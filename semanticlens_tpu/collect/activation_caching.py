@@ -1,0 +1,243 @@
+"""Collect-stage state management and reference-compatible persistence.
+
+``ActMax`` wraps the on-device :class:`~semanticlens_tpu.ops.topk.TopKState`
+and persists it as safetensors with the **same byte format, dtypes, metadata,
+and filenames** as the reference (bf16 activations, int64 sample ids;
+reference: semanticlens/component_visualization/activation_caching.py:64-216,
+434-534). A cache written by either implementation loads in the other.
+
+``ActMaxCache`` manages per-layer ``ActMax`` instances. Unlike the reference,
+it does not register hooks — JAX models expose activations functionally via
+taps — so the update path is a pure function suitable for jit/scan; the
+streaming engine lives in
+:mod:`semanticlens_tpu.collect.activation_based`.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Callable
+
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+from safetensors import safe_open
+from safetensors.numpy import save_file as _np_save_file
+
+from semanticlens_tpu.ops import aggregators
+from semanticlens_tpu.ops.topk import TopKState, init_topk, topk_update_jit
+
+logger = logging.getLogger(__name__)
+
+
+DEFAULT_AGGREGATION_FUNCTION_MAP = {
+    name: fn
+    for name, fn in vars(aggregators).items()
+    if callable(fn) and name.startswith(("aggregate_", "get_aggregate_"))
+}
+
+
+class ActMax:
+    """Running top-k activations and sample ids for one layer.
+
+    Parameters
+    ----------
+    n_collect : number of top samples kept per component.
+    n_latents : number of components; inferred from the first batch if None
+        (reference activation_caching.py:93-99 behavior).
+    """
+
+    def __init__(self, n_collect: int, n_latents: int | None = None):
+        self.n_collect = n_collect
+        self.n_latents = n_latents
+        self.state: TopKState | None = None
+        if n_latents is not None:
+            self.state = init_topk(n_latents, n_collect)
+
+    @property
+    def is_setup(self) -> bool:
+        return self.state is not None
+
+    @property
+    def activations(self) -> np.ndarray:
+        """(n_latents, n_collect) bf16 numpy view of the collected values."""
+        assert self.state is not None
+        return np.asarray(self.state.values).astype(ml_dtypes.bfloat16)
+
+    @property
+    def sample_ids(self) -> np.ndarray:
+        """(n_latents, n_collect) int64 sample ids (−1 = unfilled)."""
+        assert self.state is not None
+        return np.asarray(self.state.ids).astype(np.int64)
+
+    def update(self, acts, sample_ids):
+        """Merge a (B, n_latents) batch; infers n_latents on first call."""
+        acts = jnp.asarray(acts)
+        assert acts.ndim == 2
+        if self.state is None:
+            self.n_latents = int(acts.shape[1])
+            self.state = init_topk(self.n_latents, self.n_collect)
+        self.state = topk_update_jit(self.state, acts, jnp.asarray(sample_ids))
+
+    @property
+    def alive_latents(self) -> np.ndarray:
+        """Indices of latents with any non-zero activation."""
+        if self.state is None:
+            return np.array([], dtype=np.int64)
+        mask = np.abs(self.activations.astype(np.float32)).sum(axis=1) > 0
+        return np.where(mask)[0].astype(np.int64)
+
+    def store(self, file_path: str | Path, metadata: dict[str, str] | None = None):
+        """Write bf16 values + int64 ids to a reference-format safetensors file."""
+        if self.state is None:
+            logger.warning("Attempted to store an un-initialized ActMax instance; skipping.")
+            return
+        tensors = {
+            "activations": self.activations,
+            "sample_ids": self.sample_ids,
+        }
+        _np_save_file(tensors, str(file_path), metadata=metadata)
+        logger.debug(f"Stored ActMax data to {file_path}")
+
+    @classmethod
+    def load(cls, file_path: str | Path) -> "ActMax":
+        """Load from a safetensors file written by this or the reference impl."""
+        with safe_open(str(file_path), framework="numpy") as f:
+            metadata = f.metadata()
+            if metadata is None:
+                raise ValueError(f"File {file_path} is missing required metadata for loading.")
+            tensors = {k: f.get_tensor(k) for k in f.keys()}
+
+        n_collect = int(metadata["n_collect"])
+        n_latents = int(metadata["n_latents"])
+        instance = cls(n_collect=n_collect, n_latents=n_latents)
+        instance.state = TopKState(
+            values=jnp.asarray(tensors["activations"].astype(ml_dtypes.bfloat16)),
+            ids=jnp.asarray(tensors["sample_ids"].astype(np.int32)),
+        )
+        return instance
+
+
+class ActMaxCache:
+    """Per-layer ActMax registry with validating directory persistence.
+
+    Filenames and metadata follow the reference byte-for-byte:
+    ``{aggregation_fn_name}-{n_collect}-{layer_name}.safetensors``
+    (reference activation_caching.py:454-463), and loading validates the
+    aggregation function and n_collect (activation_caching.py:490-525).
+    """
+
+    def __init__(self, layer_names: list[str], aggregation_fn: Callable, n_collect: int):
+        self.layer_names = list(layer_names)
+        self.aggregation_fn = aggregation_fn
+        self.n_collect = n_collect
+        self.sample_idx_counter: dict[str, int] = {name: 0 for name in self.layer_names}
+
+        agg_fn_name = getattr(aggregation_fn, "__name__", None)
+        if agg_fn_name is None or agg_fn_name == "<lambda>":
+            raise ValueError("Aggregation function must be a defined function, not a lambda.")
+        self.agg_fn_name = agg_fn_name
+
+        self.cache: dict[str, ActMax] = {name: ActMax(n_collect=n_collect) for name in self.layer_names}
+
+    def __getitem__(self, layer_name: str) -> ActMax:
+        return self.cache[layer_name]
+
+    def __iter__(self):
+        return iter(self.cache.values())
+
+    def __repr__(self) -> str:
+        return (
+            f"ActMaxCache(layers={list(self.layer_names)}, "
+            f"aggregation_fn='{self.agg_fn_name}', n_collect={self.n_collect})"
+        )
+
+    def update_layer(self, layer_name: str, raw_activation) -> None:
+        """Aggregate one layer's raw activation and merge it into the top-k.
+
+        Host-driven convenience path (mirrors the reference hook body,
+        activation_caching.py:403-418); the fused jit path used by the
+        streaming engine bypasses this and calls
+        :func:`semanticlens_tpu.ops.topk.topk_update` directly.
+        """
+        aggregated = self.aggregation_fn(raw_activation)
+        assert aggregated.ndim == 2, "Something is wrong with the aggregation_fn"
+        batch_size = int(aggregated.shape[0])
+        start = self.sample_idx_counter[layer_name]
+        sample_ids = np.arange(start, start + batch_size, dtype=np.int32)
+        self.sample_idx_counter[layer_name] += batch_size
+        self.cache[layer_name].update(aggregated, sample_ids)
+
+    @property
+    def metadata(self) -> dict[str, str]:
+        return dict(
+            aggregation_fn_name=self.agg_fn_name,
+            n_collect=str(self.n_collect),
+            layer_names=str(list(self.cache.keys())),
+        )
+
+    def _layer_fname(self, layer_name: str) -> str:
+        return "-".join([self.agg_fn_name, str(self.n_collect), layer_name]) + ".safetensors"
+
+    def store(self, directory: Path | str):
+        """Save one safetensors file per layer into ``directory``."""
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+
+        for layer_name, act_max in self.cache.items():
+            if not act_max.is_setup:
+                logger.warning(f"Skipping layer '{layer_name}' as it has no data.")
+                continue
+            metadata = {
+                "aggregation_fn_name": self.agg_fn_name,
+                "n_collect": str(self.n_collect),
+                "n_latents": str(act_max.n_latents),
+                "layer_name": layer_name,
+            }
+            act_max.store(directory / self._layer_fname(layer_name), metadata=metadata)
+        logger.info(f"Cache saved successfully to {directory}")
+
+    def load(self, directory: Path | str):
+        """Load and validate per-layer files; raises FileNotFoundError on any miss.
+
+        Matches the reference's load contract (activation_caching.py:467-534):
+        missing files or mismatched aggregation-fn/n_collect metadata raise
+        ``FileNotFoundError`` so callers fall back to recomputation.
+        """
+        directory = Path(directory)
+        if not directory.is_dir():
+            raise FileNotFoundError(f"Cache directory not found: {directory}")
+
+        logger.info(f"Loading cache for aggregation fn: '{self.agg_fn_name}'")
+        loaded_count = 0
+        for layer_name in self.layer_names:
+            fpath = directory / self._layer_fname(layer_name)
+            if not fpath.exists():
+                logger.warning(f"File not found for layer '{layer_name}': {fpath}")
+                raise FileNotFoundError(f"Expected file not found: {fpath}")
+            try:
+                with safe_open(str(fpath), framework="numpy") as f:
+                    metadata = f.metadata()
+                if metadata.get("aggregation_fn_name") != self.agg_fn_name:
+                    raise ValueError(
+                        f"Mismatch in aggregation function for layer '{layer_name}'. "
+                        f"Expected '{self.agg_fn_name}', but file has "
+                        f"'{metadata.get('aggregation_fn_name')}'."
+                    )
+                if int(metadata.get("n_collect")) != self.n_collect:
+                    raise ValueError(
+                        f"Mismatch in n_collect for layer '{layer_name}'. "
+                        f"Expected '{self.n_collect}', but file has '{metadata.get('n_collect')}'."
+                    )
+            except ValueError as e:
+                logger.warning(f"Validation failed for layer '{layer_name}': {e}")
+                raise FileNotFoundError(f"Expected file not found: {fpath}")
+
+            self.cache[layer_name] = ActMax.load(fpath)
+            loaded_count += 1
+
+        if loaded_count == 0:
+            logger.warning(f"No matching cache files were found and loaded from {directory}")
+        else:
+            logger.info(f"Successfully loaded data for {loaded_count} layer(s) from {directory}")

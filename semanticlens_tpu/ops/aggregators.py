@@ -1,0 +1,80 @@
+"""Aggregation functions reducing per-layer activations to (batch, components).
+
+TPU-native counterpart of the reference aggregators
+(reference: semanticlens/component_visualization/aggregators.py:38-244).
+Differences by design:
+
+- **Layout**: convolutional activations are channels-last (B, H, W, C) — the
+  native TPU/XLA layout — instead of torch's (B, C, H, W).
+- **No host round trip**: the reference calls ``.detach().cpu()`` inside every
+  hook (aggregators.py:61 etc.); here aggregators are pure jnp functions that
+  fuse into the jitted Collect step and never leave the device.
+
+Function **names** are serialized into cache filenames and must stay
+identical to the reference (aggregators.py:32,
+activation_caching.py:454-463) — do not rename.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_ERROR_MESSAGE = f"(Select or implement a different aggregation function in {__file__}.)"
+
+
+def aggregate_conv_mean(tensor):
+    """(B, H, W, C) → (B, C) by spatial mean."""
+    if tensor.ndim != 4:
+        raise ValueError("Input tensor should be 4D (B, H, W, C). \n" + _ERROR_MESSAGE)
+    return jnp.mean(tensor, axis=(1, 2))
+
+
+def aggregate_conv_max(tensor):
+    """(B, H, W, C) → (B, C) by spatial max."""
+    if tensor.ndim != 4:
+        raise ValueError("Input tensor should be 4D (B, H, W, C). \n" + _ERROR_MESSAGE)
+    return jnp.max(tensor, axis=(1, 2))
+
+
+def aggregate_transformer_mean(tensor):
+    """(B, T, D) → (B, D) by token mean."""
+    if tensor.ndim != 3:
+        raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+    return jnp.mean(tensor, axis=1)
+
+
+def aggregate_transformer_absmean(tensor):
+    """(B, T, D) → (B, D) by mean of absolute values over tokens."""
+    if tensor.ndim != 3:
+        raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+    return jnp.mean(jnp.abs(tensor), axis=1)
+
+
+def aggregate_transformer_max(tensor):
+    """(B, T, D) → (B, D) by token max."""
+    if tensor.ndim != 3:
+        raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+    return jnp.max(tensor, axis=1)
+
+
+def aggregate_transformer_absmax(tensor):
+    """(B, T, D) → (B, D) by max of absolute values over tokens."""
+    if tensor.ndim != 3:
+        raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+    return jnp.max(jnp.abs(tensor), axis=1)
+
+
+def get_aggregate_transformer_special_token(token_position: int):
+    """Factory: extract one token position, e.g. 0 for a CLS token.
+
+    The returned function keeps a stable ``__name__`` (required because
+    aggregation-function names key the on-disk cache), parameterized by the
+    token position.
+    """
+
+    def aggregate_transformer_special_token(tensor):
+        if tensor.ndim != 3:
+            raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+        return tensor[:, token_position]
+
+    return aggregate_transformer_special_token

@@ -1,0 +1,99 @@
+"""On-device streaming top-k state for the Collect stage.
+
+The reference keeps a per-layer running top-k on the **host**, updated from a
+forward hook per layer per batch (reference:
+semanticlens/component_visualization/activation_caching.py:101-141) — a
+device→host round trip for every (layer, batch). Here the state is a pytree
+that lives in HBM and is donated through a jitted update, so the whole
+Collect hot loop [forward → aggregate → top-k merge] compiles into one XLA
+program with zero host syncs.
+
+Semantics match the reference exactly for parity of cached artifacts:
+
+- values are bf16, initialized to 0.0 → negative activations never displace
+  an unfilled slot (reference activation_caching.py:108);
+- ids are initialized to −1 sentinels (activation_caching.py:109);
+- merge = concat([state, batch]) → top-k → gather ids
+  (activation_caching.py:133-141), state entries win ties because they come
+  first in the concat and ``lax.top_k`` is stable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TopKState(NamedTuple):
+    """Running top-k for one layer: (n_latents, k) values + sample ids."""
+
+    values: jax.Array  # (C, k) bfloat16, descending per row
+    ids: jax.Array  # (C, k) int32, −1 for unfilled slots
+
+
+def init_topk(n_latents: int, n_collect: int) -> TopKState:
+    """Fresh state: 0.0-valued slots with −1 sample ids."""
+    return TopKState(
+        values=jnp.zeros((n_latents, n_collect), jnp.bfloat16),
+        ids=jnp.full((n_latents, n_collect), -1, jnp.int32),
+    )
+
+
+def topk_update(state: TopKState, acts: jax.Array, sample_ids: jax.Array) -> TopKState:
+    """Merge a batch of aggregated activations into the running top-k.
+
+    Parameters
+    ----------
+    state : TopKState with values (C, k).
+    acts : (B, C) aggregated activations (any float dtype; cast to bf16).
+    sample_ids : (B,) int32 global dataset indices of the batch rows.
+
+    Pure function — safe inside jit/scan/shard_map; donate ``state`` at the
+    jit boundary to update in place.
+    """
+    k = state.values.shape[1]
+    batch_vals = acts.T.astype(jnp.bfloat16)  # (C, B)
+    batch_ids = jnp.broadcast_to(sample_ids.astype(jnp.int32)[None, :], batch_vals.shape)
+
+    all_vals = jnp.concatenate([state.values, batch_vals], axis=1)
+    all_ids = jnp.concatenate([state.ids, batch_ids], axis=1)
+
+    # top_k on bf16 keeps the comparison semantics of the stored dtype,
+    # matching the reference which stores and compares in bf16.
+    new_vals, idx = jax.lax.top_k(all_vals, k)
+    new_ids = jnp.take_along_axis(all_ids, idx, axis=1)
+    return TopKState(values=new_vals, ids=new_ids)
+
+
+def topk_merge(states: TopKState) -> TopKState:
+    """Merge per-shard top-k states into one global state.
+
+    ``states`` holds stacked per-device results with a leading shard axis:
+    values (D, C, k). The merge concatenates candidates along k and re-selects
+    — the cross-shard reduction for data-parallel Collect (runs once at
+    finalization, after the per-shard scans; see SURVEY.md §2).
+    """
+    d, c, k = states.values.shape
+    all_vals = jnp.transpose(states.values, (1, 0, 2)).reshape(c, d * k)
+    all_ids = jnp.transpose(states.ids, (1, 0, 2)).reshape(c, d * k)
+    new_vals, idx = jax.lax.top_k(all_vals, k)
+    new_ids = jnp.take_along_axis(all_ids, idx, axis=1)
+    return TopKState(values=new_vals, ids=new_ids)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def topk_update_jit(state: TopKState, acts: jax.Array, sample_ids: jax.Array) -> TopKState:
+    """Standalone jitted update with donated state (for host-driven loops)."""
+    return topk_update(state, acts, sample_ids)
+
+
+def alive_latents(state: TopKState) -> jax.Array:
+    """Indices of latents with any non-zero collected activation.
+
+    Reference: activation_caching.py:143-156.
+    """
+    mask = jnp.sum(jnp.abs(state.values.astype(jnp.float32)), axis=1) > 0
+    return jnp.where(mask)[0]

@@ -1,0 +1,140 @@
+"""Concept-quality scores as fused, jittable JAX functions.
+
+TPU-native re-implementation of the Analyze stage of SemanticLens
+(reference: semanticlens/scores.py:18-185). All scores are pure functions of
+arrays; they run as fused matmul/reduction XLA programs on device. Inputs may
+be numpy arrays, JAX arrays, or dicts thereof (dict dispatch lives in
+:class:`semanticlens_tpu.lens.Lens`).
+
+Numerical conventions match the reference exactly:
+
+- ``clarity_score``: unbiased mean pairwise cosine similarity computed via
+  ``‖mean(normalized)‖²`` with the n/(n−1) correction
+  (reference scores.py:46).
+- ``redundancy_score``: pairwise cosine matrix with diagonal suppressed by
+  ``−2·I``, per-row max, then mean over rows (reference scores.py:76-81).
+- ``similarity_score``: shape-dispatching cosine (reference scores.py:119-128).
+- ``polysemanticity_score``: 1 − clarity of per-neuron 2-means cluster
+  centers, with the empty-cluster fallback (reference scores.py:164-185) —
+  but the clustering is a batched on-device k-means instead of a host loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from semanticlens_tpu.ops.kmeans import batched_kmeans
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "clarity_score",
+    "redundancy_score",
+    "similarity_score",
+    "polysemanticity_score",
+]
+
+
+def _normalize(x, axis=-1, eps=1e-12):
+    """L2-normalize along ``axis`` (torch.nn.functional.normalize semantics)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+@jax.jit
+def clarity_score(V):
+    """Clarity of each concept: how uniform its example embeddings are.
+
+    Parameters
+    ----------
+    V : array of shape (..., n_samples, n_features)
+        Concept tensor; typically (n_neurons, n_samples, n_features).
+
+    Returns
+    -------
+    array of shape (...,) with values in [−1/(n_samples−1), 1].
+    """
+    V = jnp.asarray(V, jnp.float32)
+    V_nrmed = _normalize(V, axis=-1)
+    n = V.shape[-2]
+    mean_embed = jnp.mean(V_nrmed, axis=-2)
+    return (jnp.sum(mean_embed**2, axis=-1) - 1.0 / n) / (n - 1) * n
+
+
+@jax.jit
+def redundancy_score(cones):
+    """Redundancy across components: mean of per-row max off-diagonal cosine.
+
+    Parameters
+    ----------
+    cones : array of shape (..., n_components, n_features).
+
+    Returns
+    -------
+    Scalar for 2-D input, (...,) for higher-rank input — matching the
+    reference's observed behavior (semanticlens/scores.py:76-81).
+    """
+    cones = jnp.asarray(cones, jnp.float32)
+    cones_nrmed = _normalize(cones, axis=-1)
+    sims = jnp.matmul(
+        cones_nrmed, jnp.swapaxes(cones_nrmed, -1, -2), precision=jax.lax.Precision.HIGHEST
+    )
+    sims = sims - 2.0 * jnp.eye(sims.shape[-1], dtype=sims.dtype)
+    return jnp.max(sims, axis=-1).mean(axis=-1)
+
+
+def similarity_score(x, y):
+    """Cosine similarity with the reference's shape dispatch.
+
+    - different shapes, ``x.shape[1] == y.shape[0]``: ``x̂ @ ŷ``
+    - different shapes, ``x.shape[1] == y.shape[1]``: ``x̂ @ ŷᵀ``
+    - equal shapes: elementwise cosine along the last axis.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    if x.shape != y.shape:
+        x_ = _normalize(x, axis=-1)
+        y_ = _normalize(y, axis=-1)
+        if x.shape[1] == y.shape[0]:
+            return jnp.matmul(x_, y_, precision=jax.lax.Precision.HIGHEST)
+        elif x.shape[1] == y.shape[1]:
+            return jnp.matmul(x_, y_.T, precision=jax.lax.Precision.HIGHEST)
+        raise ValueError("x and y must have the same shape")
+    return jnp.sum(_normalize(x, -1) * _normalize(y, -1), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("replace_empty_clusters", "random_state", "n_clusters"))
+def polysemanticity_score(V, replace_empty_clusters: bool = True, random_state: int = 123, n_clusters: int = 2):
+    """Polysemanticity of each concept: 1 − clarity of its 2-means centers.
+
+    Parameters
+    ----------
+    V : array of shape (n_neurons, n_samples, n_features).
+
+    Notes
+    -----
+    The reference clusters per neuron with seeded sklearn KMeans on the host
+    (semanticlens/scores.py:167); parity is tolerance-based, not bit-exact
+    (SURVEY.md §5). The empty-cluster fallback replicates reference
+    scores.py:173-184: neurons whose smallest cluster has < 2 members get
+    ``1 − mean_i clarity([mean(V), V[:, i]])`` over the first ≤10 samples.
+    """
+    V = jnp.asarray(V, jnp.float32)
+    centers, _, counts = batched_kmeans(V, n_clusters, n_init=10, seed=random_state)
+    poly = 1.0 - clarity_score(centers)
+
+    if replace_empty_clusters:
+        degenerate = jnp.min(counts, axis=-1) < 2  # (n_neurons,)
+        num_samples = min(10, V.shape[1])
+        v_mean = jnp.mean(V, axis=1)  # (m, d)
+        clarity_not = jnp.zeros(V.shape[0], jnp.float32)
+        for i in range(num_samples):
+            pair = jnp.stack([v_mean, V[:, i]], axis=1)  # (m, 2, d)
+            clarity_not = clarity_not + clarity_score(pair)
+        fallback = 1.0 - clarity_not / num_samples
+        poly = jnp.where(degenerate, fallback, poly)
+    return poly

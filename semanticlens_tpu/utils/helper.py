@@ -1,0 +1,50 @@
+"""Naming and preprocessing helpers.
+
+TPU-native re-implementation of the helper utilities of SemanticLens
+(reference: semanticlens/utils/helper.py:11-74). Cache identity must be stable
+across processes, so fallback names hash the object's ``repr`` with sha256
+exactly like the reference does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+
+
+def _string_hash(s: str) -> int:
+    """Stable (process-independent) integer hash of a string."""
+    return int(hashlib.sha256(s.encode()).hexdigest(), 16)
+
+
+def get_fallback_name(obj) -> str:
+    """Fallback cache name: ``<ClassName>-<sha256(repr)>``.
+
+    Mirrors reference semanticlens/utils/helper.py:16-18 so that cache
+    directories computed by either implementation agree for objects with
+    identical reprs.
+    """
+    return obj.__class__.__name__ + "-" + str(_string_hash(str(obj)))
+
+
+def get_denormalization_transform(
+    mean: Sequence[float] = (0.485, 0.456, 0.406),
+    std: Sequence[float] = (0.229, 0.224, 0.225),
+):
+    """Return a function undoing channel normalization of an image array.
+
+    The returned callable accepts arrays shaped ``(..., H, W, C)`` (channels
+    last, the TPU-native layout) and returns ``x * std + mean``.
+
+    Reference capability: semanticlens/utils/helper.py:38-74 (torchvision
+    Compose of two Normalize ops); here it is a single fused numpy expression.
+    """
+    mean_arr = np.asarray(mean, dtype=np.float32)
+    std_arr = np.asarray(std, dtype=np.float32)
+
+    def denormalize(x):
+        return np.asarray(x, dtype=np.float32) * std_arr + mean_arr
+
+    return denormalize

@@ -1,0 +1,165 @@
+"""Score-function tests: shapes, ranges, and closed-form golden values.
+
+Mirrors the reference's test strategy (reference tests/test_scores.py) and
+adds numerical parity checks against the closed-form math.
+"""
+
+import numpy as np
+import pytest
+
+from semanticlens_tpu import scores
+
+
+@pytest.fixture
+def concept_tensor():
+    rng = np.random.default_rng(0)
+    return rng.normal(size=(10, 20, 128)).astype(np.float32)
+
+
+@pytest.fixture
+def aggregated_concept_tensor():
+    rng = np.random.default_rng(1)
+    return rng.normal(size=(10, 15, 128)).astype(np.float32)
+
+
+def test_clarity_score_shape_and_range(concept_tensor):
+    clarity = np.asarray(scores.clarity_score(concept_tensor))
+    assert clarity.shape == (10,)
+    n = concept_tensor.shape[1]
+    assert np.all(clarity >= -1.0 / (n - 1) - 1e-5)
+    assert np.all(clarity <= 1.0 + 1e-5)
+
+
+def test_clarity_score_golden():
+    # Identical rows → perfect clarity of 1.
+    v = np.tile(np.array([[1.0, 2.0, 3.0]], np.float32), (5, 1))[None]
+    clarity = np.asarray(scores.clarity_score(v))
+    np.testing.assert_allclose(clarity, [1.0], atol=1e-6)
+
+    # Orthogonal pair: mean pairwise cosine (off-diagonal) is 0.
+    v = np.array([[[1.0, 0.0], [0.0, 1.0]]], np.float32)
+    clarity = np.asarray(scores.clarity_score(v))
+    np.testing.assert_allclose(clarity, [0.0], atol=1e-6)
+
+    # Antipodal pair: mean off-diagonal cosine is −1.
+    v = np.array([[[1.0, 0.0], [-1.0, 0.0]]], np.float32)
+    clarity = np.asarray(scores.clarity_score(v))
+    np.testing.assert_allclose(clarity, [-1.0], atol=1e-6)
+
+
+def test_redundancy_score_shape_and_range(aggregated_concept_tensor):
+    redundancy = np.asarray(scores.redundancy_score(aggregated_concept_tensor))
+    assert redundancy.shape == (10,)
+    assert np.all(redundancy >= -1.0 - 1e-5)
+    assert np.all(redundancy <= 1.0 + 1e-5)
+
+
+def test_redundancy_score_scalar_for_2d():
+    rng = np.random.default_rng(2)
+    cones = rng.normal(size=(10, 64)).astype(np.float32)
+    redundancy = np.asarray(scores.redundancy_score(cones))
+    assert redundancy.shape == ()
+
+
+def test_redundancy_score_golden():
+    # Two identical vectors + one orthogonal: rows 0/1 have max off-diag
+    # cosine 1, row 2 has 0 → mean = 2/3.
+    cones = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
+    redundancy = float(scores.redundancy_score(cones))
+    np.testing.assert_allclose(redundancy, 2.0 / 3.0, atol=1e-6)
+
+
+def test_similarity_score_matrix_dispatch():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(5, 32)).astype(np.float32)
+    y = rng.normal(size=(3, 32)).astype(np.float32)
+    sim = np.asarray(scores.similarity_score(x, y))
+    assert sim.shape == (5, 3)
+    # Golden: normalized dot products.
+    xn = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    yn = y / np.linalg.norm(y, axis=-1, keepdims=True)
+    np.testing.assert_allclose(sim, xn @ yn.T, atol=1e-5)
+
+
+def test_similarity_score_elementwise():
+    x = np.array([[1.0, 0.0], [0.0, 2.0]], np.float32)
+    y = np.array([[2.0, 0.0], [0.0, -1.0]], np.float32)
+    sim = np.asarray(scores.similarity_score(x, y))
+    np.testing.assert_allclose(sim, [1.0, -1.0], atol=1e-6)
+
+
+def test_similarity_score_incompatible_raises():
+    with pytest.raises(ValueError):
+        scores.similarity_score(np.zeros((4, 7), np.float32), np.zeros((3, 9), np.float32))
+
+
+def test_polysemanticity_score_shape_and_range(concept_tensor):
+    poly = np.asarray(scores.polysemanticity_score(concept_tensor[:5, :10]))
+    assert poly.shape == (5,)
+    assert np.all(poly >= -1e5)
+
+
+def test_polysemanticity_detects_two_modes():
+    # A neuron whose examples form two antipodal clusters should be far more
+    # polysemantic than one whose examples form a single tight cluster.
+    rng = np.random.default_rng(4)
+    tight = rng.normal(size=(1, 20, 16)).astype(np.float32) * 0.01 + np.ones(16, np.float32)
+    a = np.ones(16, np.float32)
+    b = -np.ones(16, np.float32)
+    bimodal = np.concatenate(
+        [
+            a + 0.01 * rng.normal(size=(10, 16)).astype(np.float32),
+            b + 0.01 * rng.normal(size=(10, 16)).astype(np.float32),
+        ]
+    )[None]
+    V = np.concatenate([tight, bimodal], axis=0)
+    poly = np.asarray(scores.polysemanticity_score(V))
+    assert poly[1] > poly[0] + 0.5
+    assert poly[1] > 1.5  # antipodal centers → clarity −1 → poly 2
+
+
+def _sklearn_reference_poly(V):
+    """Reference math (semanticlens/scores.py:164-171) with sklearn KMeans."""
+    from sklearn.cluster import KMeans
+
+    centers = np.stack(
+        [KMeans(n_clusters=2, n_init=10, random_state=123).fit(v).cluster_centers_ for v in V]
+    )
+    return 1.0 - np.asarray(scores.clarity_score(centers.astype(np.float32)))
+
+
+def test_polysemanticity_matches_sklearn_on_structured_data():
+    """Tolerance parity vs the reference's sklearn-based implementation.
+
+    Structured (mixture) data — the realistic case for concept embeddings —
+    must agree tightly; both implementations find the same two modes.
+    """
+    pytest.importorskip("sklearn.cluster")
+    rng = np.random.default_rng(5)
+    neurons = []
+    for i in range(6):
+        mu_a = rng.normal(size=32).astype(np.float32)
+        mu_b = rng.normal(size=32).astype(np.float32)
+        pts = np.concatenate(
+            [
+                mu_a + 0.3 * rng.normal(size=(12, 32)).astype(np.float32),
+                mu_b + 0.3 * rng.normal(size=(12, 32)).astype(np.float32),
+            ]
+        )
+        neurons.append(pts)
+    V = np.stack(neurons)
+
+    poly = np.asarray(scores.polysemanticity_score(V))
+    ref_poly = _sklearn_reference_poly(V)
+    np.testing.assert_allclose(poly, ref_poly, atol=0.02)
+
+
+def test_polysemanticity_close_to_sklearn_on_noise():
+    """Pure-noise inputs have many near-equal k-means minima; parity is loose
+    by nature (SURVEY.md §5: tolerance-based, not bit-exact)."""
+    pytest.importorskip("sklearn.cluster")
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(6, 24, 32)).astype(np.float32)
+    poly = np.asarray(scores.polysemanticity_score(V))
+    ref_poly = _sklearn_reference_poly(V)
+    np.testing.assert_allclose(poly, ref_poly, atol=0.15)
