@@ -11,3 +11,17 @@ __all__ = [
     "ActMaxCache",
     "DEFAULT_AGGREGATION_FUNCTION_MAP",
 ]
+
+from semanticlens_tpu.collect.activation_based import (  # noqa: E402
+    ActivationComponentVisualizer,
+    MissingNameWarning,
+)
+from semanticlens_tpu.collect.base import AbstractComponentVisualizer  # noqa: E402
+from semanticlens_tpu.collect.engine import CollectEngine  # noqa: E402
+
+__all__ += [
+    "ActivationComponentVisualizer",
+    "MissingNameWarning",
+    "AbstractComponentVisualizer",
+    "CollectEngine",
+]

@@ -1,0 +1,332 @@
+"""Activation-based component visualizer — the main Collect engine.
+
+TPU-native redesign of the reference ``ActivationComponentVisualizer``
+(reference: semanticlens/component_visualization/activation_based.py:41-560):
+
+- PyTorch forward hooks → functional **taps** (models return activations);
+- host-side per-batch top-k → donated on-device :class:`TopKState` carried
+  through a fused jit step (:class:`~semanticlens_tpu.collect.engine.CollectEngine`);
+- torch DataLoader → padded static-shape batches with background prefetch;
+- optional multi-chip data parallelism via a ``jax.sharding.Mesh``.
+
+The public API, cache directory layout, and on-disk artifact format are kept
+identical so reference users can switch without changing call sites or
+invalidating caches.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+from semanticlens_tpu.collect.activation_caching import ActMaxCache
+from semanticlens_tpu.collect.base import AbstractComponentVisualizer
+from semanticlens_tpu.collect.engine import CollectEngine
+from semanticlens_tpu.data.dataset import iter_batches, prefetch_batches
+from semanticlens_tpu.models.base import SubjectModel, validate_layers
+from semanticlens_tpu.ops import aggregators
+from semanticlens_tpu.utils.helper import get_fallback_name
+
+logger = logging.getLogger(__name__)
+
+
+class MissingNameWarning(UserWarning):
+    """Raised when a model/dataset lacks the ``.name`` needed for stable caching."""
+
+
+class ActivationComponentVisualizer(AbstractComponentVisualizer):
+    """Finds concept examples by activation maximization over a dataset.
+
+    Parameters
+    ----------
+    model : SubjectModel
+        Functional subject model. Weights come from ``params`` or
+        ``model.params``. A ``.name`` attribute is recommended for caching.
+    dataset_model : dataset preprocessed for the subject model (float NHWC).
+    dataset_fm : dataset yielding raw images for the foundation model's own
+        preprocessing; must match ``dataset_model`` in length and order.
+    layer_names : taps to analyze (torch-style names, e.g. ``"layer4.1.conv2"``).
+    num_samples : top-k examples kept per component.
+    aggregate_fn : activation reducer; defaults to spatial mean
+        (:func:`~semanticlens_tpu.ops.aggregators.aggregate_conv_mean`).
+    cache_dir : root for cached artifacts; None disables caching.
+    mesh : optional ``jax.sharding.Mesh`` with a ``"data"`` axis.
+    params : optional explicit parameter pytree.
+    """
+
+    AGGREGATION_DEFAULTS = {
+        "mean": aggregators.aggregate_conv_mean,
+        "max": aggregators.aggregate_conv_max,
+    }
+
+    def __init__(
+        self,
+        model: SubjectModel,
+        dataset_model,
+        dataset_fm,
+        layer_names: list[str],
+        num_samples: int,
+        device=None,
+        aggregate_fn=None,
+        cache_dir: str | None = None,
+        mesh=None,
+        params=None,
+    ):
+        self.model = model
+        self.params = params if params is not None else getattr(model, "params", None)
+        if self.params is None:
+            raise ValueError(
+                "Model weights required: pass `params=` or set `model.params`."
+            )
+        self.dataset = dataset_model
+        self.dataset_fm = dataset_fm
+        self.mesh = mesh
+        self._init_cache_dir(cache_dir)
+        self._validate_args()
+
+        self.layer_names = list(layer_names)
+        validate_layers(self.model, self.layer_names)
+
+        if aggregate_fn is None:
+            logger.warning(
+                f"No aggregation_fn provided using default: {aggregators.aggregate_conv_mean.__name__}"
+            )
+            aggregate_fn = aggregators.aggregate_conv_mean
+
+        self.actmax_cache = ActMaxCache(
+            self.layer_names, n_collect=num_samples, aggregation_fn=aggregate_fn
+        )
+        self.engine = CollectEngine(
+            model=self.model,
+            layer_names=self.layer_names,
+            aggregation_fn=aggregate_fn,
+            n_collect=num_samples,
+            mesh=mesh,
+        )
+
+        if self.caching:
+            try:
+                self.actmax_cache.load(self.storage_dir)
+                logger.info(f"Results loaded from {self.storage_dir}")
+            except FileNotFoundError:
+                logger.info(f"Results will be stored in {self.storage_dir}")
+
+    # ------------------------------------------------------------- validation
+    def _validate_args(self):
+        """Stable names are required for cache identity; fall back to
+        sha256-of-repr with a warning (reference activation_based.py:187-215)."""
+        if not hasattr(self.model, "name"):
+            model_name = get_fallback_name(self.model)
+            if self.caching:
+                warnings.warn(
+                    f"Model does not have a name attribute, which is required for reliable caching.\n"
+                    f"Using a fallback name: {model_name}.",
+                    MissingNameWarning,
+                    stacklevel=2,
+                )
+            self.model.name = model_name
+        if not hasattr(self.dataset, "name"):
+            dataset_name = get_fallback_name(self.dataset)
+            if self.caching:
+                warnings.warn(
+                    f"Dataset does not have a name attribute, which is required for reliable caching.\n"
+                    f"Using a fallback name: {dataset_name}.",
+                    MissingNameWarning,
+                    stacklevel=2,
+                )
+            self.dataset.name = dataset_name
+
+        if len(self.dataset) != len(self.dataset_fm):
+            raise ValueError(
+                "Model and foundation model datasets should have the same length.",
+                (len(self.dataset), len(self.dataset_fm)),
+            )
+
+    def _init_cache_dir(self, cache_dir):
+        if cache_dir is None:
+            logger.warning("No cache dir provided. Results will not be cached!")
+            self._cache_root = None
+        else:
+            self._cache_root = Path(cache_dir)
+            self._cache_root.mkdir(parents=True, exist_ok=True)
+
+    # -------------------------------------------------------------- properties
+    @property
+    def caching(self) -> bool:
+        return self._cache_root is not None
+
+    @property
+    def storage_dir(self) -> Path:
+        """``{cache_root}/ActivationComponentVisualizer/{dataset}/{model}`` —
+        identical derivation to reference activation_based.py:279-295."""
+        assert self._cache_root, "No cache dir provided"
+        return self._cache_root / self.__class__.__name__ / self.dataset.name / self.model.name
+
+    @property
+    def metadata(self) -> dict[str, str]:
+        return {**self.actmax_cache.metadata, "dataset": self.dataset.name, "model": self.model.name}
+
+    # --------------------------------------------------------------- pipeline
+    def run(self, batch_size: int = 32, **kwargs):
+        """Collect per-component top activating samples (cache-or-compute).
+
+        Returns ``{layer: ActMax}``, loading from the safetensors cache when
+        a valid one exists (reference activation_based.py:309-339).
+        """
+        if self._cache_root is None:
+            logger.debug("No cache root provided, running computation...")
+            return self._run(batch_size=batch_size)
+        try:
+            self.actmax_cache.load(self.storage_dir)
+            return self.actmax_cache.cache
+        except FileNotFoundError:
+            logger.debug(
+                f"Activation maximization cache not found at {self.storage_dir}. Running computation..."
+            )
+            return self._run(batch_size=batch_size)
+
+    def _run(self, batch_size: int = 64):
+        states, n_seen = self.engine.run(self.params, self.dataset, batch_size)
+        for name, state in states.items():
+            act_max = self.actmax_cache[name]
+            act_max.n_latents = int(state.values.shape[0])
+            act_max.state = state
+            self.actmax_cache.sample_idx_counter[name] = n_seen
+        if self._cache_root:
+            self.actmax_cache.store(self.storage_dir)
+            logger.debug(f"Stored activation maximization cache at {self.storage_dir}")
+        return self.actmax_cache.cache
+
+    def _compute_concept_db(self, fm, batch_size: int = 32, **kwargs):
+        """Collect, embed the full FM dataset, gather per-component embeddings.
+
+        Embed-all-then-gather matches the reference semantics and cache shape
+        (reference activation_based.py:360-390): deduplication across
+        components comes for free.
+        """
+        self.run(batch_size=batch_size, **kwargs)
+        embeds = self._embed_vision_dataset(fm, batch_size, **kwargs)
+        concept_db = {}
+        for layer_name in self.layer_names:
+            concept_db[layer_name] = embeds[self.get_max_reference(layer_name)]
+        return concept_db
+
+    def _embed_vision_dataset(self, fm, batch_size: int, **kwargs) -> np.ndarray:
+        """Embed every sample of ``dataset_fm`` once → (N, D) float32."""
+        embeds = []
+        n = len(self.dataset_fm)
+        for batch in prefetch_batches(iter_batches(self.dataset_fm, batch_size)):
+            inputs = fm.preprocess(batch.images)
+            out = np.asarray(fm.encode_image(inputs), np.float32)
+            embeds.append(out)
+        embeds = np.concatenate(embeds, axis=0)[:n]
+        assert embeds.shape[0] == n, "Number of embeddings does not match number of ids!"
+        return embeds
+
+    def get_max_reference(self, layer_name: str) -> np.ndarray:
+        """(n_components, n_samples) dataset indices of the top examples."""
+        self._check_layer_name(layer_name)
+        return self.actmax_cache.cache[layer_name].sample_ids
+
+    # ------------------------------------------------------------------- viz
+    def visualize_components(
+        self,
+        component_ids,
+        layer_name: str,
+        n_samples: int = 9,
+        nrows: int = 3,
+        fname=None,
+        denormalization_fn=None,
+    ):
+        """Plot a grid of top activating samples per component.
+
+        Mirrors reference activation_based.py:453-543: grids per component,
+        optional dataset ``denormalization_fn``, saved under
+        ``storage_dir/plots`` when caching is enabled.
+        """
+        self._check_layer_name(layer_name)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        if hasattr(self.dataset, "denormalization_fn"):
+            post_process = self.dataset.denormalization_fn
+        elif denormalization_fn is not None:
+            post_process = denormalization_fn
+        else:
+            logger.debug("Dataset does not have denormalization_fn method.")
+
+            def post_process(x):
+                return x
+
+        component_ids = np.asarray(component_ids)
+        pics = []
+        for component_id in component_ids:
+            ids = self.get_max_reference(layer_name)[int(component_id)][:n_samples]
+            imgs = [np.asarray(post_process(_get_image(self.dataset, int(i)))) for i in ids]
+            pics.append(_make_grid(imgs, nrow=nrows))
+
+        n_pics = len(pics)
+        n_cols = int(n_pics**0.5)
+        n_rows = (n_pics + n_cols - 1) // n_cols
+        fig, axs = plt.subplots(n_rows, n_cols, figsize=(3 * n_cols, 3 * n_rows))
+        axs = np.atleast_1d(axs).flatten()
+
+        for i, pic in enumerate(pics):
+            axs[i].imshow(np.clip(pic, 0, 1) if pic.dtype.kind == "f" else pic)
+            axs[i].set_title(f"Neuron {component_ids[i]}")
+            axs[i].set_xticks([])
+            axs[i].set_yticks([])
+        for i in range(n_pics, len(axs)):
+            axs[i].axis("off")
+
+        plt.suptitle(
+            (f"{fname:.15} " if fname else "") + f"{self.model.name:>.10} {layer_name:<.15}",
+            fontsize=16,
+        )
+        plt.tight_layout(rect=[0, 0, 1, 0.96])
+        if self.caching:
+            component_id_str = "-".join(map(str, component_ids.tolist()))
+            fdir = self.storage_dir / "plots"
+            fdir.mkdir(parents=True, exist_ok=True)
+            fpath = fdir / ((fname + "_" if fname else "") + f"{layer_name}_{component_id_str}.png")
+            plt.savefig(fpath)
+            plt.close(fig)
+            logger.info(f"Saved visualization to {fpath}")
+            return fpath
+        elif fname:
+            logger.warning(
+                "Failed to save visualization. Caching is not enabled in the "
+                "ComponentVisualizer (`cv.caching: False`)"
+            )
+        plt.close(fig)
+        return None
+
+    def _check_layer_name(self, layer_name: str):
+        if layer_name not in self.layer_names:
+            raise ValueError(f"Layer '{layer_name}' not found in model layers: {self.layer_names}")
+
+
+def _get_image(dataset, idx: int):
+    item = dataset[idx]
+    return item[0] if isinstance(item, (tuple, list)) else item
+
+
+def _make_grid(imgs: list[np.ndarray], nrow: int = 3) -> np.ndarray:
+    """Tile (H, W, C) images into a grid, row-major, ``nrow`` images per row."""
+    imgs = [np.atleast_3d(np.asarray(i)) for i in imgs]
+    h = max(i.shape[0] for i in imgs)
+    w = max(i.shape[1] for i in imgs)
+    c = imgs[0].shape[2]
+    n = len(imgs)
+    ncols = min(nrow, n)
+    nrows_ = (n + ncols - 1) // ncols
+    grid = np.zeros((nrows_ * h, ncols * w, c), imgs[0].dtype)
+    for i, img in enumerate(imgs):
+        r, col = divmod(i, ncols)
+        grid[r * h : r * h + img.shape[0], col * w : col * w + img.shape[1]] = img
+    return grid

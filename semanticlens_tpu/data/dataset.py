@@ -1,0 +1,116 @@
+"""Host-side dataset abstraction and fixed-shape batch iteration.
+
+The reference streams data through torch ``DataLoader``s (reference:
+activation_based.py:344-349, 414-422). The TPU-native equivalent must produce
+**static shapes** for XLA: the last partial batch is padded and accompanied by
+a validity mask so padded rows cannot enter the top-k (their aggregated
+activations are set to −inf by the collect engine) and are dropped from
+embeddings.
+
+Datasets are any sequence: ``len(ds)`` and ``ds[i]`` returning an image or an
+``(image, label)`` tuple. ``ArrayDataset`` wraps in-memory numpy arrays with
+a zero-copy slicing fast path. ``prefetch_batches`` overlaps host batch
+assembly with device compute via a background thread.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, NamedTuple
+
+import numpy as np
+
+
+class Batch(NamedTuple):
+    """One fixed-shape batch of host data."""
+
+    images: np.ndarray  # (B, H, W, C)
+    start_index: int  # global dataset index of row 0
+    valid: np.ndarray  # (B,) bool; False for padded rows
+
+
+class ArrayDataset:
+    """In-memory dataset over a (N, H, W, C) array with optional labels.
+
+    A ``.name`` attribute (used for cache identity, reference
+    activation_based.py:187-215) can be passed or assigned later.
+    """
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray | None = None, name: str | None = None):
+        self.images = np.asarray(images)
+        self.labels = labels
+        if name is not None:
+            self.name = name
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        label = self.labels[idx] if self.labels is not None else 0
+        return self.images[idx], label
+
+    def __repr__(self):
+        return f"ArrayDataset(n={len(self.images)}, shape={self.images.shape[1:]})"
+
+
+def _extract_image(item):
+    if isinstance(item, (tuple, list)):
+        return item[0]
+    return item
+
+
+def iter_batches(dataset, batch_size: int, *, pad_last: bool = True) -> Iterator[Batch]:
+    """Yield fixed-shape :class:`Batch` es in dataset order.
+
+    The final short batch is zero-padded to ``batch_size`` with
+    ``valid=False`` rows (skipped when ``pad_last=False`` would break static
+    shapes, so padding is always applied; the flag exists to drop an entirely
+    empty tail).
+    """
+    n = len(dataset)
+    fast_images = getattr(dataset, "images", None)
+
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        if fast_images is not None:
+            block = np.asarray(fast_images[start:stop])
+        else:
+            block = np.stack([np.asarray(_extract_image(dataset[i])) for i in range(start, stop)])
+        valid = np.ones(batch_size, bool)
+        if stop - start < batch_size:
+            if not pad_last:
+                continue
+            pad = batch_size - (stop - start)
+            block = np.concatenate([block, np.zeros((pad, *block.shape[1:]), block.dtype)])
+            valid[stop - start :] = False
+        yield Batch(images=block, start_index=start, valid=valid)
+
+
+def prefetch_batches(batch_iter: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+    """Run ``batch_iter`` in a daemon thread with a bounded queue.
+
+    Overlaps host-side image assembly (and any decode) with device compute —
+    the TPU-native counterpart of DataLoader worker processes.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+    errors: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in batch_iter:
+                q.put(item)
+        except BaseException as e:  # surfaced in the consumer
+            errors.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if errors:
+                raise errors[0]
+            return
+        yield item

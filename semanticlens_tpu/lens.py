@@ -1,0 +1,185 @@
+"""Lens: orchestration layer for concept-DB computation, probing, and scores.
+
+TPU-native counterpart of the reference ``Lens``
+(reference: semanticlens/lens.py:27-480). The Inversion-of-Control pattern is
+preserved: the Lens owns the foundation model and the concept-DB cache; the
+component visualizer owns the embed loop (``cv._compute_concept_db(fm)``).
+
+Cache layout and filenames are identical to the reference
+(lens.py:308-316), so concept DBs are interchangeable between the torch and
+TPU implementations.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+from safetensors.numpy import load_file, save_file
+
+from semanticlens_tpu.collect.base import AbstractComponentVisualizer
+from semanticlens_tpu.foundation_models.base import AbstractVLM
+from semanticlens_tpu.scores import (
+    clarity_score,
+    polysemanticity_score,
+    redundancy_score,
+    similarity_score,
+)
+from semanticlens_tpu.utils.helper import get_fallback_name
+
+logger = logging.getLogger(__name__)
+
+
+def compute_concept_db(cv: AbstractComponentVisualizer, fm: AbstractVLM):
+    """Stateless IoC entry point (reference lens.py:27-56)."""
+    return cv._compute_concept_db(fm)
+
+
+def text_probing(
+    fm: AbstractVLM,
+    query,
+    aggregated_concept_db,
+    templates: list[str] | None = None,
+    batch_size: int | None = None,
+):
+    """Cosine-probe an aggregated concept DB with natural-language queries.
+
+    With ``templates``, the embedding of each empty template is subtracted
+    from the filled one before averaging — the reference's prompt-bias
+    correction (lens.py:192-199), reproduced exactly for score parity.
+    """
+    queries = query if isinstance(query, list) else [query]
+    query_embeds = _embed_text_probes(fm, queries, templates, batch_size)
+
+    assert query_embeds.ndim == 2
+    assert query_embeds.shape[0] == len(queries)
+
+    return _probe(query_embeds, aggregated_concept_db)
+
+
+def image_probing(fm: AbstractVLM, query, aggregated_concept_db):
+    """Cosine-probe an aggregated concept DB with image queries.
+
+    Multiple query images are mean-pooled into a single probe vector
+    (reference lens.py:124-162).
+    """
+    query_embed = np.asarray(fm.encode_image(fm.preprocess(query)), np.float32)
+    query_embed = query_embed.mean(0)[None] if query_embed.shape[0] > 1 else query_embed
+    return _probe(query_embed, aggregated_concept_db)
+
+
+def _embed_text_probes(fm: AbstractVLM, query: list[str], templates, batch_size):
+    """Templating and embedding logic of text probes (reference lens.py:165-203)."""
+    if templates:
+        query_templated = [t.format(q) for t in templates for q in query]
+        empty_templates = [t.format("") for t in templates]
+
+        batch_size = batch_size or len(query_templated)
+
+        chunks = []
+        for batch_idx in range(0, len(query_templated), batch_size):
+            batch = query_templated[batch_idx : batch_idx + batch_size]
+            chunks.append(np.asarray(fm.encode_text(fm.tokenize(batch)), np.float32))
+        query_templated_embeds = np.concatenate(chunks, axis=0)
+
+        empty_templates_embeds = np.asarray(fm.encode_text(fm.tokenize(empty_templates)), np.float32)
+
+        q, t = len(query), len(templates)
+        d = query_templated_embeds.shape[-1]
+        # Behavioral parity note: the templated list is built template-outer /
+        # query-inner, but the reference splits the flat axis query-outer
+        # (einops "(q t) d -> q t d", reference lens.py:196-199). For q>1 and
+        # t>1 this scrambles (query, template) pairing; we replicate it
+        # exactly so probing scores match the reference bit-for-bit.
+        templated = query_templated_embeds.reshape(q, t, d)
+        query_embed = (templated - empty_templates_embeds[None, :, :]).mean(1)
+    else:
+        query_embed = np.asarray(fm.encode_text(fm.tokenize(query)), np.float32)
+    return query_embed
+
+
+def _probe(query, aggregated_concept_db):
+    if isinstance(aggregated_concept_db, dict):
+        return {
+            key: np.asarray(similarity_score(query, np.asarray(value, np.float32)))
+            for key, value in aggregated_concept_db.items()
+        }
+    return np.asarray(similarity_score(query, np.asarray(aggregated_concept_db, np.float32)))
+
+
+class Lens:
+    """Stateful entry point: holds a foundation model, orchestrates the flow.
+
+    Parameters
+    ----------
+    fm : AbstractVLM — used for all embedding and probing.
+    device : accepted for API parity; placement is managed by JAX shardings.
+    """
+
+    def __init__(self, fm: AbstractVLM, device=None):
+        self.fm: AbstractVLM = fm
+        self.device = device
+
+        if not hasattr(self.fm, "name"):
+            self.fm.name = get_fallback_name(self.fm)
+            logger.debug(f"Assigned fallback name to foundation model: {self.fm.name}")
+
+    def compute_concept_db(self, cv: AbstractComponentVisualizer, **kwargs) -> dict[str, np.ndarray]:
+        """Compute or load-from-cache the concept database for ``cv``.
+
+        Cache key: ``{cv.storage_dir}/concept_database/{fm.name}/concept_db-
+        {metadata-values-minus-dataset-and-model}.safetensors`` — identical to
+        reference lens.py:308-316.
+        """
+        if cv.caching:
+            fdir = cv.storage_dir / "concept_database" / self.fm.name
+            fdir.mkdir(parents=True, exist_ok=True)
+            fname = (
+                "concept_db-"
+                + "-".join([v for k, v in cv.metadata.items() if k not in ["dataset", "model"]])
+                + ".safetensors"
+            )
+            fpath = fdir / fname
+            if fpath.exists():
+                logger.debug("Loading concept DB from cache")
+                return load_file(filename=str(fpath))
+            logger.debug("Computing concept DB and saving to cache")
+            concept_db = cv._compute_concept_db(self.fm, **kwargs)
+            save_file({k: np.asarray(v, np.float32) for k, v in concept_db.items()}, str(fpath))
+            logger.debug(f"Saved concept DB to cache {fpath}")
+            return concept_db
+        else:
+            logger.debug("Caching is not enabled. Computing Concept DB")
+            return cv._compute_concept_db(self.fm, **kwargs)
+
+    def text_probing(self, query, aggregated_concept_db, templates=None, batch_size=None):
+        """Wrapper over the stateless :func:`text_probing` with the held FM."""
+        return text_probing(self.fm, query, aggregated_concept_db, templates, batch_size)
+
+    def image_probing(self, query, aggregated_concept_db):
+        """Wrapper over the stateless :func:`image_probing` with the held FM."""
+        return image_probing(self.fm, query, aggregated_concept_db)
+
+    def eval_clarity(self, concept_db):
+        """Clarity per component (reference lens.py:391-419)."""
+        if isinstance(concept_db, dict):
+            return {key: clarity_score(np.asarray(value, np.float32)) for key, value in concept_db.items()}
+        return clarity_score(np.asarray(concept_db, np.float32))
+
+    def eval_redundancy(self, aggregated_concept_db):
+        """Redundancy across components (reference lens.py:421-449)."""
+        if isinstance(aggregated_concept_db, dict):
+            return {
+                key: redundancy_score(np.asarray(value, np.float32))
+                for key, value in aggregated_concept_db.items()
+            }
+        return redundancy_score(np.asarray(aggregated_concept_db, np.float32))
+
+    def eval_polysemanticity(self, concept_db):
+        """Polysemanticity per component (reference lens.py:451-480)."""
+        if isinstance(concept_db, dict):
+            return {
+                key: polysemanticity_score(np.asarray(value, np.float32))
+                for key, value in concept_db.items()
+            }
+        return polysemanticity_score(np.asarray(concept_db, np.float32))

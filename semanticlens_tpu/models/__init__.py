@@ -1,0 +1,6 @@
+"""Subject models with named activation taps."""
+
+from semanticlens_tpu.models.base import SubjectModel, TapCollector, validate_layers
+from semanticlens_tpu.models.resnet import ResNet
+
+__all__ = ["SubjectModel", "TapCollector", "validate_layers", "ResNet"]

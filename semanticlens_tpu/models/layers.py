@@ -1,0 +1,157 @@
+"""Functional NN primitives in channels-last (NHWC) layout.
+
+These are the building blocks for subject models (ResNet, ViT) and the JAX
+CLIP towers. Everything is a pure function of a flat parameter dict whose keys
+follow torch naming (``conv1.weight`` …), so importing torchvision /
+open_clip checkpoints is a mechanical relayout (OIHW→HWIO, linear transpose)
+rather than a renaming exercise.
+
+Matmuls/convs run in the input dtype (bf16 on TPU via the caller's dtype
+policy) with float32 accumulation — the MXU-native regime.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv2d(x, weight, bias=None, *, stride=1, padding=0, groups=1):
+    """2-D convolution, NHWC input, HWIO weight, torch-style int padding."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    # Precision policy: the input dtype selects the MXU regime (cast x to
+    # bf16 for speed); HIGHEST stops the backend from silently downcasting
+    # f32 inputs to bf16.
+    out = jax.lax.conv_general_dilated(
+        x,
+        weight.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def batch_norm(x, weight, bias, running_mean, running_var, *, eps=1e-5):
+    """Inference-mode batch norm over the channel (last) axis."""
+    inv = jax.lax.rsqrt(running_var.astype(jnp.float32) + eps)
+    scale = (weight.astype(jnp.float32) * inv).astype(x.dtype)
+    shift = (
+        bias.astype(jnp.float32) - running_mean.astype(jnp.float32) * weight.astype(jnp.float32) * inv
+    ).astype(x.dtype)
+    return x * scale + shift
+
+
+def linear(x, weight, bias=None):
+    """Dense layer; ``weight`` is (in, out) — torch (out, in) is transposed at load."""
+    out = jnp.matmul(
+        x,
+        weight.astype(x.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def max_pool(x, *, window=3, stride=2, padding=1):
+    """Max pooling, NHWC, torch-style int padding."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def avg_pool(x, *, window=2, stride=2, padding=0):
+    """Average pooling, NHWC."""
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return (summed / (window * window)).astype(x.dtype)
+
+
+def global_avg_pool(x):
+    """(B, H, W, C) → (B, 1, 1, C) adaptive average pool to 1×1."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def layer_norm(x, weight, bias, *, eps=1e-5):
+    """LayerNorm over the last axis, computed in float32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def quick_gelu(x):
+    """x·sigmoid(1.702x) — OpenAI CLIP's activation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def multi_head_attention(x, params, prefix, n_heads, *, mask=None, kv=None):
+    """Torch-style ``nn.MultiheadAttention`` with fused in-proj weights.
+
+    Params: ``{prefix}.in_proj_weight`` (3D, D) already transposed to (D, 3D),
+    ``{prefix}.in_proj_bias`` (3D,), ``{prefix}.out_proj.weight`` (D, D)
+    transposed, ``{prefix}.out_proj.bias`` (D,).
+
+    x: (B, T, D) queries; kv: optional (B, S, D) keys/values (defaults to x).
+    mask: optional additive (T, S) float mask.
+    """
+    d_model = x.shape[-1]
+    w_in = params[f"{prefix}.in_proj_weight"]
+    b_in = params[f"{prefix}.in_proj_bias"]
+    kv = x if kv is None else kv
+
+    q = linear(x, w_in[:, :d_model], b_in[:d_model])
+    k = linear(kv, w_in[:, d_model : 2 * d_model], b_in[d_model : 2 * d_model])
+    v = linear(kv, w_in[:, 2 * d_model :], b_in[2 * d_model :])
+
+    out = scaled_dot_product_attention(q, k, v, n_heads, mask=mask)
+    return linear(out, params[f"{prefix}.out_proj.weight"], params[f"{prefix}.out_proj.bias"])
+
+
+def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
+    """Batched MHA core: (B, T, D) q / (B, S, D) k,v → (B, T, D)."""
+    b, t, d = q.shape
+    s = k.shape[1]
+    head_dim = d // n_heads
+
+    def split(x, length):
+        return x.reshape(b, length, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, t), split(k, s), split(v, s)
+    logits = jnp.matmul(
+        qh,
+        kh.transpose(0, 1, 3, 2),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits / np.sqrt(head_dim)
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.matmul(
+        weights, vh, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, d)

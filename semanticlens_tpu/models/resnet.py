@@ -1,0 +1,240 @@
+"""Functional torchvision-compatible ResNets with named activation taps.
+
+Subject-model family for the Collect stage (benchmark configs 1, 2, 4 in
+BASELINE.md). The architecture, module names, and parameter names mirror
+torchvision's ResNet so that (a) reference users' ``layer_names`` like
+``"layer4.1.conv2"`` work verbatim and (b) pretrained torch checkpoints import
+with a pure relayout (OIHW→HWIO convs, transposed fc).
+
+Everything is functional: ``apply(params, x, tap_names)`` returns
+``(logits, taps)`` with activations in NHWC. Inference-mode BN (running
+stats); this is an analysis library, not a trainer.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semanticlens_tpu.models.base import SubjectModel, TapCollector
+from semanticlens_tpu.models.layers import (
+    batch_norm,
+    conv2d,
+    global_avg_pool,
+    linear,
+    max_pool,
+)
+
+_STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+_BOTTLENECK = {50, 101}
+
+
+def _conv_shape(out_ch, in_ch, k):
+    return (k, k, in_ch, out_ch)  # HWIO
+
+
+class ResNet(SubjectModel):
+    """ResNet-18/34/50/101, channels-last, torch-compatible names.
+
+    Parameters
+    ----------
+    depth : one of 18, 34, 50, 101.
+    num_classes : classifier width.
+    dtype : activation dtype (bfloat16 by default — the MXU-native dtype).
+    """
+
+    def __init__(self, depth: int = 18, num_classes: int = 1000, dtype=jnp.bfloat16):
+        if depth not in _STAGE_BLOCKS:
+            raise ValueError(f"Unsupported ResNet depth {depth}")
+        self.depth = depth
+        self.num_classes = num_classes
+        self.dtype = dtype
+        self.bottleneck = depth in _BOTTLENECK
+        self.expansion = 4 if self.bottleneck else 1
+        self.stage_blocks = _STAGE_BLOCKS[depth]
+        self.module_names = tuple(self._enumerate_module_names())
+
+    # ------------------------------------------------------------------ names
+    def _block_module_names(self, prefix: str, has_downsample: bool):
+        names = [prefix]
+        convs = ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3") if self.bottleneck else (
+            "conv1",
+            "bn1",
+            "conv2",
+            "bn2",
+        )
+        names += [f"{prefix}.{n}" for n in convs]
+        names.append(f"{prefix}.relu")
+        if has_downsample:
+            names += [f"{prefix}.downsample", f"{prefix}.downsample.0", f"{prefix}.downsample.1"]
+        return names
+
+    def _enumerate_module_names(self):
+        names = ["conv1", "bn1", "relu", "maxpool"]
+        in_ch = 64
+        for stage, n_blocks in enumerate(self.stage_blocks, start=1):
+            out_ch = 64 * (2 ** (stage - 1)) * self.expansion
+            names.append(f"layer{stage}")
+            for b in range(n_blocks):
+                has_ds = b == 0 and (stage > 1 or in_ch != out_ch)
+                names += self._block_module_names(f"layer{stage}.{b}", has_ds)
+            in_ch = out_ch
+        names += ["avgpool", "fc"]
+        return names
+
+    # ------------------------------------------------------------------ init
+    def _param_specs(self):
+        """Yield (name, shape, kind) for every parameter tensor."""
+        specs = [("conv1.weight", _conv_shape(64, 3, 7), "conv")]
+        specs += self._bn_specs("bn1", 64)
+        in_ch = 64
+        for stage, n_blocks in enumerate(self.stage_blocks, start=1):
+            width = 64 * (2 ** (stage - 1))
+            out_ch = width * self.expansion
+            for b in range(n_blocks):
+                prefix = f"layer{stage}.{b}"
+                stride = 2 if (stage > 1 and b == 0) else 1
+                if self.bottleneck:
+                    specs += [(f"{prefix}.conv1.weight", _conv_shape(width, in_ch, 1), "conv")]
+                    specs += self._bn_specs(f"{prefix}.bn1", width)
+                    specs += [(f"{prefix}.conv2.weight", _conv_shape(width, width, 3), "conv")]
+                    specs += self._bn_specs(f"{prefix}.bn2", width)
+                    specs += [(f"{prefix}.conv3.weight", _conv_shape(out_ch, width, 1), "conv")]
+                    specs += self._bn_specs(f"{prefix}.bn3", out_ch)
+                else:
+                    specs += [(f"{prefix}.conv1.weight", _conv_shape(width, in_ch, 3), "conv")]
+                    specs += self._bn_specs(f"{prefix}.bn1", width)
+                    specs += [(f"{prefix}.conv2.weight", _conv_shape(width, width, 3), "conv")]
+                    specs += self._bn_specs(f"{prefix}.bn2", width)
+                if b == 0 and (stage > 1 or in_ch != out_ch):
+                    specs += [
+                        (f"{prefix}.downsample.0.weight", _conv_shape(out_ch, in_ch, 1), "conv")
+                    ]
+                    specs += self._bn_specs(f"{prefix}.downsample.1", out_ch)
+                in_ch = out_ch
+                del stride
+        specs += [
+            ("fc.weight", (512 * self.expansion, self.num_classes), "linear"),
+            ("fc.bias", (self.num_classes,), "bias"),
+        ]
+        return specs
+
+    @staticmethod
+    def _bn_specs(prefix, ch):
+        return [
+            (f"{prefix}.weight", (ch,), "bn_scale"),
+            (f"{prefix}.bias", (ch,), "bias"),
+            (f"{prefix}.running_mean", (ch,), "bias"),
+            (f"{prefix}.running_var", (ch,), "bn_scale"),
+        ]
+
+    def init(self, rng) -> dict[str, jax.Array]:
+        """Kaiming-normal convs (fan_out, torchvision default), unit BN."""
+        params = {}
+        for name, shape, kind in self._param_specs():
+            rng, sub = jax.random.split(rng)
+            if kind == "conv":
+                fan_out = shape[0] * shape[1] * shape[3]
+                params[name] = jax.random.normal(sub, shape, jnp.float32) * math.sqrt(2.0 / fan_out)
+            elif kind == "linear":
+                bound = 1.0 / math.sqrt(shape[0])
+                params[name] = jax.random.uniform(sub, shape, jnp.float32, -bound, bound)
+            elif kind == "bn_scale":
+                params[name] = jnp.ones(shape, jnp.float32)
+            else:
+                params[name] = jnp.zeros(shape, jnp.float32)
+        return params
+
+    # ------------------------------------------------------------------ apply
+    def _bn(self, params, prefix, x):
+        return batch_norm(
+            x,
+            params[f"{prefix}.weight"],
+            params[f"{prefix}.bias"],
+            params[f"{prefix}.running_mean"],
+            params[f"{prefix}.running_var"],
+        )
+
+    def _basic_block(self, params, prefix, x, stride, tap):
+        identity = x
+        out = tap(f"{prefix}.conv1", conv2d(x, params[f"{prefix}.conv1.weight"], stride=stride, padding=1))
+        out = tap(f"{prefix}.bn1", self._bn(params, f"{prefix}.bn1", out))
+        out = jax.nn.relu(out)
+        out = tap(f"{prefix}.conv2", conv2d(out, params[f"{prefix}.conv2.weight"], padding=1))
+        out = tap(f"{prefix}.bn2", self._bn(params, f"{prefix}.bn2", out))
+        if f"{prefix}.downsample.0.weight" in params:
+            identity = tap(
+                f"{prefix}.downsample.0",
+                conv2d(x, params[f"{prefix}.downsample.0.weight"], stride=stride),
+            )
+            identity = tap(f"{prefix}.downsample.1", self._bn(params, f"{prefix}.downsample.1", identity))
+            tap(f"{prefix}.downsample", identity)
+        out = jax.nn.relu(out + identity)
+        tap(f"{prefix}.relu", out)
+        return tap(prefix, out)
+
+    def _bottleneck_block(self, params, prefix, x, stride, tap):
+        identity = x
+        out = tap(f"{prefix}.conv1", conv2d(x, params[f"{prefix}.conv1.weight"]))
+        out = jax.nn.relu(tap(f"{prefix}.bn1", self._bn(params, f"{prefix}.bn1", out)))
+        out = tap(f"{prefix}.conv2", conv2d(out, params[f"{prefix}.conv2.weight"], stride=stride, padding=1))
+        out = jax.nn.relu(tap(f"{prefix}.bn2", self._bn(params, f"{prefix}.bn2", out)))
+        out = tap(f"{prefix}.conv3", conv2d(out, params[f"{prefix}.conv3.weight"]))
+        out = tap(f"{prefix}.bn3", self._bn(params, f"{prefix}.bn3", out))
+        if f"{prefix}.downsample.0.weight" in params:
+            identity = tap(
+                f"{prefix}.downsample.0",
+                conv2d(x, params[f"{prefix}.downsample.0.weight"], stride=stride),
+            )
+            identity = tap(f"{prefix}.downsample.1", self._bn(params, f"{prefix}.downsample.1", identity))
+            tap(f"{prefix}.downsample", identity)
+        out = jax.nn.relu(out + identity)
+        tap(f"{prefix}.relu", out)
+        return tap(prefix, out)
+
+    def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
+        """Forward pass. x: (B, H, W, 3) float. Returns (logits, taps)."""
+        tap = TapCollector(tap_names)
+        x = x.astype(self.dtype)
+
+        x = tap("conv1", conv2d(x, params["conv1.weight"], stride=2, padding=3))
+        x = tap("bn1", self._bn(params, "bn1", x))
+        x = tap("relu", jax.nn.relu(x))
+        x = tap("maxpool", max_pool(x, window=3, stride=2, padding=1))
+
+        block_fn = self._bottleneck_block if self.bottleneck else self._basic_block
+        for stage, n_blocks in enumerate(self.stage_blocks, start=1):
+            for b in range(n_blocks):
+                stride = 2 if (stage > 1 and b == 0) else 1
+                x = block_fn(params, f"layer{stage}.{b}", x, stride, tap)
+            tap(f"layer{stage}", x)
+
+        x = tap("avgpool", global_avg_pool(x))
+        x = x.reshape(x.shape[0], -1)
+        logits = tap("fc", linear(x, params["fc.weight"], params["fc.bias"]))
+        return logits, tap.taps
+
+    # ------------------------------------------------------------- torch load
+    def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:
+        """Convert a torchvision ResNet state dict to this layout.
+
+        Accepts tensors or numpy arrays; relayouts convs OIHW→HWIO and
+        transposes ``fc.weight`` to (in, out).
+        """
+        params = {}
+        for name, _, _ in self._param_specs():
+            value = state_dict[name]
+            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+            elif name == "fc.weight":
+                arr = arr.T
+            params[name] = jnp.asarray(arr, jnp.float32)
+        return params
+
+    def __repr__(self):
+        return f"ResNet(depth={self.depth}, num_classes={self.num_classes})"

@@ -75,12 +75,23 @@ def topk_merge(states: TopKState) -> TopKState:
     values (D, C, k). The merge concatenates candidates along k and re-selects
     — the cross-shard reduction for data-parallel Collect (runs once at
     finalization, after the per-shard scans; see SURVEY.md §2).
+
+    Tie-break is "value desc, sample-id asc": the single-device streaming
+    path (and the reference's stable CPU topk over [state, batch]) always
+    prefers earlier samples on equal values, so the cross-shard merge must
+    too — otherwise sharded and unsharded runs diverge on bf16 ties.
     """
     d, c, k = states.values.shape
     all_vals = jnp.transpose(states.values, (1, 0, 2)).reshape(c, d * k)
     all_ids = jnp.transpose(states.ids, (1, 0, 2)).reshape(c, d * k)
-    new_vals, idx = jax.lax.top_k(all_vals, k)
-    new_ids = jnp.take_along_axis(all_ids, idx, axis=1)
+
+    # Two stable sorts = lexicographic (value desc, id asc).
+    order_by_id = jnp.argsort(all_ids, axis=1, stable=True)
+    vals_i = jnp.take_along_axis(all_vals, order_by_id, axis=1)
+    ids_i = jnp.take_along_axis(all_ids, order_by_id, axis=1)
+    order_by_val = jnp.argsort(-vals_i.astype(jnp.float32), axis=1, stable=True)
+    new_vals = jnp.take_along_axis(vals_i, order_by_val, axis=1)[:, :k]
+    new_ids = jnp.take_along_axis(ids_i, order_by_val, axis=1)[:, :k]
     return TopKState(values=new_vals, ids=new_ids)
 
 

@@ -1,0 +1,236 @@
+"""End-to-end Collect tests: visualizer, caching behavior, sharded parity.
+
+Mirrors the reference test strategy (reference
+tests/component_visualization/test_activation_based.py): tiny real model +
+random dataset, cache hit/miss behavior, edge cases.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semanticlens_tpu.collect import ActivationComponentVisualizer, MissingNameWarning
+from semanticlens_tpu.data import ArrayDataset
+from semanticlens_tpu.models.base import SubjectModel, TapCollector
+from semanticlens_tpu.models.layers import conv2d
+from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+
+
+class TinyConvNet(SubjectModel):
+    """3-layer conv stack, analogue of the reference's nn.Sequential fixture."""
+
+    module_names = ("0", "1", "2")
+
+    def init(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {
+            "0.weight": jax.random.normal(k1, (3, 3, 3, 8), jnp.float32) * 0.2,
+            "2.weight": jax.random.normal(k2, (3, 3, 8, 16), jnp.float32) * 0.2,
+        }
+
+    def apply(self, params, x, tap_names=()):
+        tap = TapCollector(tap_names)
+        x = tap("0", conv2d(x, params["0.weight"], padding=0))
+        x = tap("1", jax.nn.relu(x))
+        x = tap("2", conv2d(x, params["2.weight"], padding=0))
+        return x, tap.taps
+
+    def __repr__(self):
+        return "TinyConvNet()"
+
+
+class FakeVLM:
+    """Deterministic fake foundation model (reference MagicMock analogue)."""
+
+    name = "fake-vlm"
+    embed_dim = 32
+
+    def preprocess(self, img):
+        arr = np.asarray(img, np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        return jnp.asarray(arr)
+
+    def encode_image(self, img):
+        # Hash-like but deterministic: mean pooled pixels projected by a
+        # fixed random matrix.
+        rng = np.random.default_rng(99)
+        proj = jnp.asarray(rng.normal(size=(3, self.embed_dim)).astype(np.float32))
+        pooled = jnp.mean(img, axis=(1, 2))
+        return pooled @ proj
+
+    def tokenize(self, txt):
+        txts = txt if isinstance(txt, list) else [txt]
+        return jnp.asarray([[hash(t) % 997] for t in txts], jnp.int32)
+
+    def encode_text(self, tokens):
+        rng = np.random.default_rng(7)
+        table = jnp.asarray(rng.normal(size=(997, self.embed_dim)).astype(np.float32))
+        return table[tokens[:, 0]]
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = TinyConvNet()
+    model.params = model.init(jax.random.PRNGKey(0))
+    model.name = "tiny-convnet"
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(50, 16, 16, 3)).astype(np.float32)
+    ds = ArrayDataset(images, name="tiny-ds")
+    return model, ds
+
+
+def _make_cv(model, ds, tmp_path=None, **kw):
+    return ActivationComponentVisualizer(
+        model=model,
+        dataset_model=ds,
+        dataset_fm=ds,
+        layer_names=["0", "2"],
+        num_samples=5,
+        aggregate_fn=aggregate_conv_mean,
+        cache_dir=str(tmp_path) if tmp_path else None,
+        **kw,
+    )
+
+
+def test_run_collects_topk(tiny_setup):
+    model, ds = tiny_setup
+    cv = _make_cv(model, ds)
+    cache = cv.run(batch_size=16)
+    assert cache["0"].activations.shape == (8, 5)
+    assert cache["2"].activations.shape == (16, 5)
+    ids = cache["0"].sample_ids
+    assert ids.max() < 50
+    # Activations must be sorted descending per row.
+    vals = cache["0"].activations.astype(np.float32)
+    assert (np.diff(vals, axis=1) <= 1e-6).all()
+
+
+def test_run_matches_unbatched_reference(tiny_setup):
+    """The streamed top-k must equal a brute-force full-dataset top-k."""
+    model, ds = tiny_setup
+    cv = _make_cv(model, ds)
+    cache = cv.run(batch_size=16)
+
+    # Brute force: all activations at once, bf16 like the engine stores.
+    _, taps = model.apply(model.params, jnp.asarray(ds.images), tap_names=("0",))
+    agg = np.asarray(aggregate_conv_mean(taps["0"])).astype(np.float32)  # (N, C)
+    agg16 = agg.T.astype(np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.float32)
+
+    import ml_dtypes
+
+    agg_bf = agg.T.astype(ml_dtypes.bfloat16).astype(np.float32)  # (C, N)
+    top_vals = -np.sort(-agg_bf, axis=1)[:, :5]
+    np.testing.assert_allclose(
+        cache["0"].activations.astype(np.float32), top_vals, atol=1e-6
+    )
+    del agg16
+
+
+def test_batch_size_invariance(tiny_setup):
+    model, ds = tiny_setup
+    cv1 = _make_cv(model, ds)
+    cv2 = _make_cv(model, ds)
+    c1 = cv1.run(batch_size=10)
+    c2 = cv2.run(batch_size=32)  # 50 % 32 != 0 → exercises padding
+    np.testing.assert_array_equal(
+        c1["0"].activations.view(np.uint16), c2["0"].activations.view(np.uint16)
+    )
+    np.testing.assert_array_equal(c1["0"].sample_ids, c2["0"].sample_ids)
+
+
+def test_sharded_mesh_matches_single_device(tiny_setup):
+    """8-virtual-device data-parallel collect must equal the 1-device result."""
+    model, ds = tiny_setup
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8])
+    assert devices.size == 8, "conftest must provide 8 CPU devices"
+    mesh = Mesh(devices, axis_names=("data",))
+
+    cv1 = _make_cv(model, ds)
+    c1 = cv1.run(batch_size=16)
+    cv2 = _make_cv(model, ds, mesh=mesh)
+    c2 = cv2.run(batch_size=16)
+
+    for layer in ["0", "2"]:
+        np.testing.assert_array_equal(
+            c1[layer].activations.view(np.uint16), c2[layer].activations.view(np.uint16)
+        )
+        np.testing.assert_array_equal(c1[layer].sample_ids, c2[layer].sample_ids)
+
+
+def test_cache_hit_skips_computation(tiny_setup, tmp_path):
+    model, ds = tiny_setup
+    cv = _make_cv(model, ds, tmp_path)
+    cv.run(batch_size=16)
+    assert (cv.storage_dir / "aggregate_conv_mean-5-0.safetensors").exists()
+
+    # Second visualizer loads without recomputation (engine never invoked).
+    cv2 = _make_cv(model, ds, tmp_path)
+    cv2.engine = None  # would crash on compute; load path must not touch it
+    cache = cv2.run(batch_size=16)
+    assert cache["0"].activations.shape == (8, 5)
+
+
+def test_missing_name_warning(tiny_setup, tmp_path):
+    model, _ = tiny_setup
+
+    class NamelessDs(ArrayDataset):
+        pass
+
+    ds = NamelessDs(np.zeros((4, 16, 16, 3), np.float32))
+    with pytest.warns(MissingNameWarning):
+        _make_cv(model, ds, tmp_path)
+    assert hasattr(ds, "name")
+
+
+def test_invalid_layer_raises(tiny_setup):
+    model, ds = tiny_setup
+    with pytest.raises(ValueError):
+        ActivationComponentVisualizer(
+            model=model,
+            dataset_model=ds,
+            dataset_fm=ds,
+            layer_names=["nope"],
+            num_samples=3,
+            aggregate_fn=aggregate_conv_mean,
+        )
+
+
+def test_dataset_length_mismatch_raises(tiny_setup):
+    model, ds = tiny_setup
+    ds2 = ArrayDataset(np.zeros((3, 16, 16, 3), np.float32), name="other")
+    with pytest.raises(ValueError):
+        ActivationComponentVisualizer(
+            model=model,
+            dataset_model=ds,
+            dataset_fm=ds2,
+            layer_names=["0"],
+            num_samples=3,
+            aggregate_fn=aggregate_conv_mean,
+        )
+
+
+def test_compute_concept_db_shapes(tiny_setup):
+    model, ds = tiny_setup
+    cv = _make_cv(model, ds)
+    fm = FakeVLM()
+    db = cv._compute_concept_db(fm, batch_size=16)
+    assert db["0"].shape == (8, 5, 32)
+    assert db["2"].shape == (16, 5, 32)
+
+    # Gather semantics: db rows equal embeds indexed by sample ids.
+    embeds = cv._embed_vision_dataset(fm, 16)
+    ids = cv.get_max_reference("0")
+    np.testing.assert_allclose(db["0"], embeds[ids], atol=1e-6)
+
+
+def test_visualize_components(tiny_setup, tmp_path):
+    model, ds = tiny_setup
+    cv = _make_cv(model, ds, tmp_path)
+    cv.run(batch_size=16)
+    fpath = cv.visualize_components(np.array([0, 1]), layer_name="0", n_samples=4)
+    assert fpath is not None and fpath.exists()

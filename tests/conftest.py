@@ -3,11 +3,13 @@
 Sharding logic (cross-shard top-k merge, all-gather embed) is unit-tested on
 CPU "devices" per SURVEY.md §4; real-TPU benchmarks run separately via
 bench.py.
+
+Note: the ambient environment registers a TPU backend at interpreter start
+(sitecustomize imports jax), so env vars are already cached — use
+jax.config.update, which works post-import.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

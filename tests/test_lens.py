@@ -1,0 +1,141 @@
+"""Lens orchestration tests: caching behavior, probing, eval dispatch.
+
+Mirrors reference tests/test_lens.py (MagicMock FM + fake CV seams).
+"""
+
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+
+from semanticlens_tpu.lens import Lens, text_probing
+
+
+class FakeFM:
+    name = "fake-fm"
+
+    def __init__(self, dim=16):
+        self.dim = dim
+        self._rng = np.random.default_rng(0)
+        self._table = self._rng.normal(size=(1024, dim)).astype(np.float32)
+
+    def tokenize(self, txt):
+        txts = txt if isinstance(txt, list) else [txt]
+        return np.asarray([[abs(hash(t)) % 1024] for t in txts], np.int32)
+
+    def encode_text(self, tokens):
+        return self._table[tokens[:, 0]]
+
+    def preprocess(self, img):
+        arr = np.asarray(img, np.float32)
+        return arr[None] if arr.ndim == 3 else arr
+
+    def encode_image(self, img):
+        return np.asarray(img).reshape(len(img), -1)[:, : self.dim].astype(np.float32)
+
+
+def _fake_cv(tmp_path, caching=True):
+    cv = MagicMock()
+    cv.caching = caching
+    cv.storage_dir = tmp_path
+    cv.metadata = {
+        "aggregation_fn_name": "aggregate_conv_mean",
+        "n_collect": "5",
+        "layer_names": "['layer4']",
+        "dataset": "ds",
+        "model": "m",
+    }
+    rng = np.random.default_rng(1)
+    cv._compute_concept_db.return_value = {
+        "layer4": rng.normal(size=(4, 5, 16)).astype(np.float32)
+    }
+    return cv
+
+
+def test_compute_concept_db_cache_miss_then_hit(tmp_path):
+    fm = FakeFM()
+    lens = Lens(fm)
+    cv = _fake_cv(tmp_path)
+
+    db1 = lens.compute_concept_db(cv)
+    assert cv._compute_concept_db.call_count == 1
+    expected = tmp_path / "concept_database" / "fake-fm" / (
+        "concept_db-aggregate_conv_mean-5-['layer4'].safetensors"
+    )
+    assert expected.exists(), list(tmp_path.rglob("*"))
+
+    db2 = lens.compute_concept_db(cv)
+    assert cv._compute_concept_db.call_count == 1  # loaded from cache
+    np.testing.assert_allclose(db1["layer4"], db2["layer4"], atol=1e-6)
+
+
+def test_compute_concept_db_no_caching(tmp_path):
+    lens = Lens(FakeFM())
+    cv = _fake_cv(tmp_path, caching=False)
+    lens.compute_concept_db(cv)
+    lens.compute_concept_db(cv)
+    assert cv._compute_concept_db.call_count == 2
+
+
+def test_fallback_fm_name():
+    bare = MagicMock(spec=["encode_text", "tokenize", "encode_image", "preprocess"])
+    Lens(bare)
+    assert hasattr(bare, "name") and bare.name.startswith("MagicMock")
+
+
+def test_text_probing_shapes():
+    fm = FakeFM()
+    lens = Lens(fm)
+    rng = np.random.default_rng(2)
+    agg_db = {"layer4": rng.normal(size=(10, 16)).astype(np.float32)}
+
+    out = lens.text_probing("dog", agg_db)
+    assert out["layer4"].shape == (1, 10)
+
+    out = lens.text_probing(["dog", "cat", "car"], agg_db, templates=["a photo of a {}", "{}"])
+    assert out["layer4"].shape == (3, 10)
+
+
+def test_text_probing_template_bias_subtraction():
+    """Single query + templates: must equal mean_t(embed(t(q)) − embed(t('')))."""
+    fm = FakeFM()
+    templates = ["a photo of a {}", "an image of {}"]
+    q = "dog"
+    templated = fm.encode_text(fm.tokenize([t.format(q) for t in templates]))
+    empty = fm.encode_text(fm.tokenize([t.format("") for t in templates]))
+    expected = (templated - empty).mean(0, keepdims=True)
+
+    rng = np.random.default_rng(3)
+    agg_db = rng.normal(size=(6, 16)).astype(np.float32)
+    out = text_probing(fm, q, agg_db, templates=templates)
+
+    en = expected / np.linalg.norm(expected, axis=-1, keepdims=True)
+    dn = agg_db / np.linalg.norm(agg_db, axis=-1, keepdims=True)
+    np.testing.assert_allclose(out, en @ dn.T, atol=1e-5)
+
+
+def test_image_probing_mean_pools_multiple_queries():
+    fm = FakeFM()
+    lens = Lens(fm)
+    rng = np.random.default_rng(4)
+    agg_db = rng.normal(size=(6, 16)).astype(np.float32)
+    imgs = rng.normal(size=(3, 4, 4, 3)).astype(np.float32)
+    out = lens.image_probing(imgs, agg_db)
+    assert out.shape == (1, 6)
+
+
+def test_eval_dispatch_dict_and_tensor():
+    lens = Lens(FakeFM())
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(4, 6, 16)).astype(np.float32)
+
+    c_dict = lens.eval_clarity({"l": V})
+    assert np.asarray(c_dict["l"]).shape == (4,)
+    c_arr = lens.eval_clarity(V)
+    np.testing.assert_allclose(np.asarray(c_arr), np.asarray(c_dict["l"]), atol=1e-6)
+
+    r = lens.eval_redundancy({"l": V.mean(1)})
+    assert np.asarray(r["l"]).shape == ()
+
+    p = lens.eval_polysemanticity({"l": V})
+    assert np.asarray(p["l"]).shape == (4,)
