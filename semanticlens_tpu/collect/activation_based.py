@@ -55,6 +55,18 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
     cache_dir : root for cached artifacts; None disables caching.
     mesh : optional ``jax.sharding.Mesh`` with a ``"data"`` axis.
     params : optional explicit parameter pytree.
+    model_preprocess : optional device-side fn mapping a raw batch (e.g.
+        uint8 HWC) to the subject model's input. Enables uint8 transport +
+        on-device normalization; defaults to a float32 cast.
+
+    Notes
+    -----
+    When ``dataset_model is dataset_fm`` (one raw-image dataset serving both
+    models — the TPU-native layout), ``_compute_concept_db`` runs a **fused
+    single pass**: every batch is uploaded once and feeds the subject model
+    and the foundation model. The reference sweeps the dataset twice
+    (activation_based.py:341-358, then 392-433); at TPU host→device
+    bandwidths the second sweep is pure waste.
     """
 
     AGGREGATION_DEFAULTS = {
@@ -74,6 +86,7 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         cache_dir: str | None = None,
         mesh=None,
         params=None,
+        model_preprocess=None,
     ):
         self.model = model
         self.params = params if params is not None else getattr(model, "params", None)
@@ -105,6 +118,7 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
             aggregation_fn=aggregate_fn,
             n_collect=num_samples,
             mesh=mesh,
+            input_preprocess=model_preprocess,
         )
 
         if self.caching:
@@ -205,24 +219,66 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
 
         Embed-all-then-gather matches the reference semantics and cache shape
         (reference activation_based.py:360-390): deduplication across
-        components comes for free.
+        components comes for free. The gather happens on the host — the full
+        (n_components, k, D) concept DB is ~50× the size of the (N, D)
+        embedding table, so only the table crosses the device→host link.
+
+        When the collect cache is cold and both stages read the same raw
+        dataset, Collect and Embed run as one fused pass (one upload per
+        image).
         """
-        self.run(batch_size=batch_size, **kwargs)
-        embeds = self._embed_vision_dataset(fm, batch_size, **kwargs)
+        if self.dataset_fm is self.dataset and not self._has_collect_cache():
+            embeds = self._run_fused(fm, batch_size)
+        else:
+            self.run(batch_size=batch_size, **kwargs)
+            embeds = self._embed_vision_dataset(fm, batch_size, **kwargs)
         concept_db = {}
         for layer_name in self.layer_names:
             concept_db[layer_name] = embeds[self.get_max_reference(layer_name)]
         return concept_db
 
+    def _has_collect_cache(self) -> bool:
+        if self._cache_root is None:
+            return False
+        return all(
+            (self.storage_dir / self.actmax_cache._layer_fname(name)).exists()
+            for name in self.layer_names
+        )
+
+    def _run_fused(self, fm, batch_size: int) -> np.ndarray:
+        """One pass over the raw dataset: collect top-k AND embed every image."""
+
+        def embed_fn(raw_device_batch):
+            return fm.encode_image(fm.preprocess(raw_device_batch))
+
+        states, embeds, n_seen = self.engine.run_fused(
+            self.params, self.dataset, batch_size, embed_fn
+        )
+        for name, state in states.items():
+            act_max = self.actmax_cache[name]
+            act_max.n_latents = int(state.values.shape[0])
+            act_max.state = state
+            self.actmax_cache.sample_idx_counter[name] = n_seen
+        if self._cache_root:
+            self.actmax_cache.store(self.storage_dir)
+        assert embeds.shape[0] == n_seen, "Number of embeddings does not match number of ids!"
+        return embeds
+
     def _embed_vision_dataset(self, fm, batch_size: int, **kwargs) -> np.ndarray:
-        """Embed every sample of ``dataset_fm`` once → (N, D) float32."""
-        embeds = []
+        """Embed every sample of ``dataset_fm`` once → (N, D) float32.
+
+        Raw batches upload in host dtype (uint8 stays uint8); embeddings
+        accumulate on device and return in a single readback.
+        """
+        import jax
+        import jax.numpy as jnp
+
         n = len(self.dataset_fm)
+        chunks = []
         for batch in prefetch_batches(iter_batches(self.dataset_fm, batch_size)):
-            inputs = fm.preprocess(batch.images)
-            out = np.asarray(fm.encode_image(inputs), np.float32)
-            embeds.append(out)
-        embeds = np.concatenate(embeds, axis=0)[:n]
+            inputs = fm.preprocess(jax.device_put(batch.images))
+            chunks.append(fm.encode_image(inputs))
+        embeds = np.asarray(jnp.concatenate(chunks, axis=0), np.float32)[:n]
         assert embeds.shape[0] == n, "Number of embeddings does not match number of ids!"
         return embeds
 

@@ -8,10 +8,18 @@ activations to the host for a CPU top-k every (layer, batch). Here:
   compile into a single XLA program per batch shape;
 - the running ``TopKState`` pytree is **donated**, so it is updated in place
   in HBM;
-- with a ``jax.sharding.Mesh``, batches are split along the ``data`` axis via
-  ``shard_map`` — each device keeps an independent per-shard state, and the
-  cross-shard merge (all-candidate concat + re-top-k) happens **once** at
-  finalization, not per step (SURVEY.md §2: the only required collective).
+- input batches ship in their host dtype (uint8 for raw images) and are
+  normalized **on device** via ``input_preprocess`` — host→device bandwidth,
+  not FLOPs, bounds this workload, so bytes-on-the-wire is the currency;
+- uploads are started ahead of compute by a prefetch thread
+  (:func:`~semanticlens_tpu.data.dataset.device_prefetch_batches`);
+- with a ``jax.sharding.Mesh``, batches split along the ``data`` axis via
+  ``shard_map``; each device keeps an independent per-shard state and the
+  cross-shard merge happens **once** at finalization (SURVEY.md §2);
+- ``run_fused`` additionally embeds every uploaded batch with a foundation
+  model in the same pass — Collect + Embed share one upload per image,
+  halving data movement vs the reference's two dataset sweeps
+  (reference activation_based.py:341-358 then 392-433).
 
 Padded rows (static-shape last batch) get −inf activations, which can never
 displace the 0.0-initialized slots — preserving the reference's sentinel
@@ -29,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from semanticlens_tpu.data.dataset import iter_batches, prefetch_batches
+from semanticlens_tpu.data.dataset import device_prefetch_batches, iter_batches
 from semanticlens_tpu.models.base import SubjectModel
 from semanticlens_tpu.ops.topk import TopKState, init_topk, topk_merge, topk_update
 
@@ -47,6 +55,9 @@ class CollectEngine:
     n_collect : top-k per component.
     mesh : optional Mesh with a ``"data"`` axis for multi-chip data
         parallelism. Batch size must be divisible by the axis size.
+    input_preprocess : optional device-side fn applied to each raw batch
+        before the model (e.g. uint8 → normalized float). Defaults to a
+        float32 cast.
     """
 
     def __init__(
@@ -56,6 +67,7 @@ class CollectEngine:
         aggregation_fn: Callable,
         n_collect: int,
         mesh: Mesh | None = None,
+        input_preprocess: Callable | None = None,
     ):
         self.model = model
         self.layer_names = tuple(layer_names)
@@ -63,6 +75,8 @@ class CollectEngine:
         self.n_collect = n_collect
         self.mesh = mesh
         self.n_shards = mesh.shape["data"] if mesh is not None else 1
+        self.input_preprocess = input_preprocess or (lambda x: x.astype(jnp.float32))
+        self._step = None  # memoized jitted step — rebuilt closures would recompile
 
     # ----------------------------------------------------------------- shapes
     def infer_n_latents(self, params, batch_shape, dtype=jnp.float32) -> dict[str, int]:
@@ -70,7 +84,7 @@ class CollectEngine:
         spec = jax.ShapeDtypeStruct(batch_shape, dtype)
 
         def fn(p, x):
-            _, taps = self.model.apply(p, x, self.layer_names)
+            _, taps = self.model.apply(p, self.input_preprocess(x), self.layer_names)
             return {name: self.aggregation_fn(taps[name]) for name in self.layer_names}
 
         shapes = jax.eval_shape(fn, params, spec)
@@ -79,7 +93,8 @@ class CollectEngine:
     # ------------------------------------------------------------------ steps
     def _local_step(self, states, params, images, sample_ids, valid):
         """One shard's update: forward, aggregate, mask padding, merge top-k."""
-        _, taps = self.model.apply(params, images, self.layer_names)
+        x = self.input_preprocess(images)
+        _, taps = self.model.apply(params, x, self.layer_names)
         new_states = {}
         for name in self.layer_names:
             agg = self.aggregation_fn(taps[name]).astype(jnp.float32)
@@ -87,31 +102,91 @@ class CollectEngine:
             new_states[name] = topk_update(states[name], agg, sample_ids)
         return new_states
 
-    def _build_step(self):
+    def _get_step(self):
+        """Jitted step, memoized per engine.
+
+        Sample ids and the padding mask derive on device from two scalars
+        (batch start index, dataset length) — per-step host→device traffic is
+        the image tensor plus two scalars, nothing else.
+        """
+        if self._step is not None:
+            return self._step
+
         if self.mesh is None:
 
             @functools.partial(jax.jit, donate_argnums=0)
-            def step(states, params, images, sample_ids, valid):
+            def step(states, params, images, start, n_total):
+                b = images.shape[0]
+                sample_ids = start + jnp.arange(b, dtype=jnp.int32)
+                valid = sample_ids < n_total
                 return self._local_step(states, params, images, sample_ids, valid)
 
+            self._step = step
             return step
 
         mesh = self.mesh
 
-        def sharded(states, params, images, sample_ids, valid):
+        def sharded(states, params, images, start, n_total):
             # Local views: states (1, C, k) per shard; squeeze the shard axis.
             local = jax.tree.map(lambda a: a[0], states)
+            b_local = images.shape[0]
+            shard = jax.lax.axis_index("data").astype(jnp.int32)
+            sample_ids = start + shard * b_local + jnp.arange(b_local, dtype=jnp.int32)
+            valid = sample_ids < n_total
             new_local = self._local_step(local, params, images, sample_ids, valid)
             return jax.tree.map(lambda a: a[None], new_local)
 
         step_sharded = jax.shard_map(
             sharded,
             mesh=mesh,
-            in_specs=(P("data"), P(), P("data"), P("data"), P("data")),
+            in_specs=(P("data"), P(), P("data"), P(), P()),
             out_specs=P("data"),
             check_vma=False,
         )
-        return jax.jit(step_sharded, donate_argnums=0)
+        self._step = jax.jit(step_sharded, donate_argnums=0)
+        return self._step
+
+    def _init_states(self, n_latents: dict[str, int]):
+        if self.mesh is None:
+            return {name: init_topk(c, self.n_collect) for name, c in n_latents.items()}
+        sharding = NamedSharding(self.mesh, P("data"))
+        return {
+            name: TopKState(
+                values=jax.device_put(
+                    jnp.zeros((self.n_shards, c, self.n_collect), jnp.bfloat16), sharding
+                ),
+                ids=jax.device_put(
+                    jnp.full((self.n_shards, c, self.n_collect), -1, jnp.int32), sharding
+                ),
+            )
+            for name, c in n_latents.items()
+        }
+
+    def _finalize(self, states):
+        if self.mesh is not None:
+            merge = jax.jit(topk_merge)
+            states = {name: merge(st) for name, st in states.items()}
+        return states
+
+    def _batches(self, dataset, batch_size: int, prefetch: int):
+        sharding = NamedSharding(self.mesh, P("data")) if self.mesh is not None else None
+        return device_prefetch_batches(
+            iter_batches(dataset, batch_size), depth=prefetch, sharding=sharding
+        )
+
+    def _probe_shape(self, dataset, batch_size):
+        probe = np.asarray(
+            dataset.images[0]
+            if getattr(dataset, "images", None) is not None
+            else _first_image(dataset)
+        )
+        return (batch_size, *probe.shape), probe.dtype
+
+    def _check_batch(self, batch_size):
+        if batch_size % self.n_shards:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by data-parallel degree {self.n_shards}"
+            )
 
     # -------------------------------------------------------------------- run
     def run(self, params, dataset, batch_size: int, *, prefetch: int = 2):
@@ -120,53 +195,56 @@ class CollectEngine:
         n = len(dataset)
         if n == 0:
             return {name: init_topk(1, self.n_collect) for name in self.layer_names}, 0
-        if batch_size % self.n_shards:
-            raise ValueError(
-                f"batch_size {batch_size} must be divisible by data-parallel degree {self.n_shards}"
+        self._check_batch(batch_size)
+
+        shape, dtype = self._probe_shape(dataset, batch_size)
+        n_latents = self.infer_n_latents(params, shape, dtype)
+        states = self._init_states(n_latents)
+        step = self._get_step()
+
+        for images, start_index, _ in self._batches(dataset, batch_size, prefetch):
+            states = step(states, params, images, np.int32(start_index), np.int32(n))
+
+        return self._finalize(states), n
+
+    def run_fused(
+        self,
+        params,
+        dataset,
+        batch_size: int,
+        embed_fn: Callable,
+        *,
+        prefetch: int = 2,
+    ):
+        """Single-pass Collect + Embed: one upload per image feeds both.
+
+        ``embed_fn(raw_device_batch) -> (B, D)`` embeddings on device (the
+        foundation model's own device-side preprocessing + encoder).
+
+        Returns ``({layer: TopKState}, embeds (N, D) float32 numpy, n)``.
+        Embeddings accumulate on device and come back in one readback.
+        """
+        n = len(dataset)
+        if n == 0:
+            return (
+                {name: init_topk(1, self.n_collect) for name in self.layer_names},
+                np.zeros((0, 1), np.float32),
+                0,
             )
+        self._check_batch(batch_size)
 
-        probe = np.asarray(
-            dataset.images[0] if getattr(dataset, "images", None) is not None else _first_image(dataset)
-        )
-        n_latents = self.infer_n_latents(params, (batch_size, *probe.shape))
+        shape, dtype = self._probe_shape(dataset, batch_size)
+        n_latents = self.infer_n_latents(params, shape, dtype)
+        states = self._init_states(n_latents)
+        step = self._get_step()
 
-        if self.mesh is None:
-            states = {name: init_topk(c, self.n_collect) for name, c in n_latents.items()}
-        else:
-            # Per-shard states with a leading device axis, sharded over "data".
-            sharding = NamedSharding(self.mesh, P("data"))
-            states = {
-                name: TopKState(
-                    values=jax.device_put(
-                        jnp.zeros((self.n_shards, c, self.n_collect), jnp.bfloat16), sharding
-                    ),
-                    ids=jax.device_put(
-                        jnp.full((self.n_shards, c, self.n_collect), -1, jnp.int32), sharding
-                    ),
-                )
-                for name, c in n_latents.items()
-            }
+        embed_chunks = []
+        for images, start_index, _ in self._batches(dataset, batch_size, prefetch):
+            states = step(states, params, images, np.int32(start_index), np.int32(n))
+            embed_chunks.append(embed_fn(images))
 
-        step = self._build_step()
-        data_sharding = (
-            NamedSharding(self.mesh, P("data")) if self.mesh is not None else None
-        )
-
-        batches = prefetch_batches(iter_batches(dataset, batch_size), depth=prefetch)
-        for batch in batches:
-            images = jnp.asarray(batch.images, jnp.float32)
-            sample_ids = batch.start_index + jnp.arange(batch_size, dtype=jnp.int32)
-            valid = jnp.asarray(batch.valid)
-            if data_sharding is not None:
-                images = jax.device_put(images, data_sharding)
-                sample_ids = jax.device_put(sample_ids, data_sharding)
-                valid = jax.device_put(valid, data_sharding)
-            states = step(states, params, images, sample_ids, valid)
-
-        if self.mesh is not None:
-            merge = jax.jit(topk_merge)
-            states = {name: merge(st) for name, st in states.items()}
-        return states, n
+        embeds = np.asarray(jnp.concatenate(embed_chunks, axis=0), np.float32)[:n]
+        return self._finalize(states), embeds, n
 
 
 def _first_image(dataset):

@@ -87,6 +87,44 @@ def iter_batches(dataset, batch_size: int, *, pad_last: bool = True) -> Iterator
         yield Batch(images=block, start_index=start, valid=valid)
 
 
+def device_prefetch_batches(
+    batch_iter: Iterator[Batch], depth: int = 3, sharding=None, put_threads: int = 2
+):
+    """Prefetch batches AND start their host→device uploads ahead of compute.
+
+    Yields ``(images_on_device, start_index, valid_host)`` in order. Images
+    keep their host dtype (ship uint8, normalize on device — host↔device
+    bandwidth, not the VPU, bounds this workload). Up to ``depth`` uploads
+    are in flight, issued from ``put_threads`` workers so transfers overlap
+    both compute and each other. ``sharding`` optionally places each upload
+    directly into a mesh sharding.
+    """
+    import concurrent.futures as cf
+
+    import jax
+
+    def put(batch: Batch):
+        if sharding is not None:
+            images = jax.device_put(batch.images, sharding)
+        else:
+            images = jax.device_put(batch.images)
+        # The validity mask is derivable on device from (start_index, n);
+        # ship only the images (the mask would be one more small put per step).
+        return images, batch.start_index, batch.valid
+
+    def generator():
+        with cf.ThreadPoolExecutor(put_threads) as ex:
+            pending: list = []
+            for batch in batch_iter:
+                pending.append(ex.submit(put, batch))
+                if len(pending) > depth:
+                    yield pending.pop(0).result()
+            for fut in pending:
+                yield fut.result()
+
+    return generator()
+
+
 def prefetch_batches(batch_iter: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
     """Run ``batch_iter`` in a daemon thread with a bounded queue.
 

@@ -1,0 +1,553 @@
+"""JAX CLIP: ViT and ModifiedResNet image towers + causal text tower.
+
+TPU-native re-implementation of the capability provided by the reference's
+``OpenClip`` wrapper (reference: semanticlens/foundation_models/clip.py:27-247
+— there a thin shim over the ``open_clip`` torch package). Here the towers
+are built from scratch as functional JAX programs:
+
+- parameter names mirror open_clip state dicts (``visual.conv1.weight``,
+  ``transformer.resblocks.0.attn.in_proj_weight`` …), so pretrained torch
+  checkpoints import via :func:`load_openclip_state_dict` with a pure
+  relayout (conv OIHW→HWIO, linear transpose);
+- ``encode_image`` / ``encode_text`` are jitted, optionally sharded over a
+  ``data`` mesh axis for multi-chip embedding;
+- preprocessing (resize/crop/normalize) runs on device
+  (:mod:`semanticlens_tpu.ops.preprocess`), not on the host per-PIL.
+
+Supported presets cover the reference's model zoo: RN50 (benchmark config 1),
+ViT-B-32 / ViT-B-16 (config 2), and the SigLIP/MobileCLIP wrappers live in
+their own modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import math
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semanticlens_tpu.foundation_models.base import AbstractVLM
+from semanticlens_tpu.foundation_models.tokenizer import ClipBpeTokenizer, HashTokenizer
+from semanticlens_tpu.models.base import TapCollector
+from semanticlens_tpu.models.layers import (
+    avg_pool,
+    batch_norm,
+    conv2d,
+    layer_norm,
+    linear,
+    multi_head_attention,
+    quick_gelu,
+    scaled_dot_product_attention,
+)
+from semanticlens_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD, preprocess_images
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionCfg:
+    kind: Literal["vit", "resnet"]
+    image_size: int = 224
+    # ViT
+    patch_size: int = 32
+    width: int = 768
+    layers: int | tuple[int, int, int, int] = 12
+    heads: int = 12
+    # ResNet stem width (CLIP ModifiedResNet "width")
+    resnet_width: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class TextCfg:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int
+    vision: VisionCfg
+    text: TextCfg
+    quick_gelu: bool = True  # OpenAI-pretrained towers use x·σ(1.702x)
+    mean: tuple = CLIP_MEAN
+    std: tuple = CLIP_STD
+
+
+CLIP_PRESETS: dict[str, CLIPConfig] = {
+    "RN50": CLIPConfig(
+        embed_dim=1024,
+        vision=VisionCfg(kind="resnet", image_size=224, layers=(3, 4, 6, 3), resnet_width=64),
+        text=TextCfg(width=512, heads=8, layers=12),
+    ),
+    "ViT-B-32": CLIPConfig(
+        embed_dim=512,
+        vision=VisionCfg(kind="vit", patch_size=32, width=768, layers=12, heads=12),
+        text=TextCfg(width=512, heads=8, layers=12),
+    ),
+    "ViT-B-16": CLIPConfig(
+        embed_dim=512,
+        vision=VisionCfg(kind="vit", patch_size=16, width=768, layers=12, heads=12),
+        text=TextCfg(width=512, heads=8, layers=12),
+    ),
+    "ViT-L-14": CLIPConfig(
+        embed_dim=768,
+        vision=VisionCfg(kind="vit", patch_size=14, width=1024, layers=24, heads=16),
+        text=TextCfg(width=768, heads=12, layers=12),
+    ),
+}
+
+
+def _gelu(x, quick: bool):
+    return quick_gelu(x) if quick else jax.nn.gelu(x, approximate=False)
+
+
+# --------------------------------------------------------------------------- #
+# Transformer (shared by ViT tower, text tower, and the subject ViT)
+# --------------------------------------------------------------------------- #
+def transformer_block(params, prefix, x, n_heads, *, mask=None, quick: bool = True, tap=None):
+    """open_clip ResidualAttentionBlock: pre-LN attn + pre-LN MLP."""
+    tap = tap or (lambda name, v: v)
+    h = layer_norm(x, params[f"{prefix}.ln_1.weight"], params[f"{prefix}.ln_1.bias"])
+    h = multi_head_attention(h, params, f"{prefix}.attn", n_heads, mask=mask)
+    x = x + tap(f"{prefix}.attn", h)
+    h = layer_norm(x, params[f"{prefix}.ln_2.weight"], params[f"{prefix}.ln_2.bias"])
+    h = linear(h, params[f"{prefix}.mlp.c_fc.weight"], params[f"{prefix}.mlp.c_fc.bias"])
+    h = _gelu(h, quick)
+    h = linear(h, params[f"{prefix}.mlp.c_proj.weight"], params[f"{prefix}.mlp.c_proj.bias"])
+    x = x + tap(f"{prefix}.mlp", h)
+    return tap(prefix, x)
+
+
+def transformer_stack(params, prefix, x, layers, n_heads, *, mask=None, quick=True, tap=None):
+    for i in range(layers):
+        x = transformer_block(
+            params, f"{prefix}.resblocks.{i}", x, n_heads, mask=mask, quick=quick, tap=tap
+        )
+    return x
+
+
+# --------------------------------------------------------------------------- #
+# ViT image tower
+# --------------------------------------------------------------------------- #
+def vit_encode_image(params, cfg: CLIPConfig, images, *, dtype=jnp.float32, tap=None):
+    """(B, H, W, 3) preprocessed → (B, embed_dim). open_clip VisionTransformer."""
+    v = cfg.vision
+    tap = tap or (lambda name, val: val)
+    x = images.astype(dtype)
+    x = conv2d(x, params["visual.conv1.weight"], stride=v.patch_size)  # (B, g, g, width)
+    b, gh, gw, w = x.shape
+    x = x.reshape(b, gh * gw, w)
+    cls = jnp.broadcast_to(params["visual.class_embedding"].astype(dtype), (b, 1, w))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["visual.positional_embedding"].astype(dtype)
+    x = layer_norm(x, params["visual.ln_pre.weight"], params["visual.ln_pre.bias"])
+    x = transformer_stack(
+        params, "visual.transformer", x, v.layers, v.heads, quick=cfg.quick_gelu, tap=tap
+    )
+    pooled = layer_norm(
+        x[:, 0], params["visual.ln_post.weight"], params["visual.ln_post.bias"]
+    )
+    return jnp.matmul(
+        pooled.astype(jnp.float32),
+        params["visual.proj"].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# ModifiedResNet image tower (CLIP RN50 family)
+# --------------------------------------------------------------------------- #
+def _rn_bottleneck(params, prefix, x, stride, dtype):
+    """CLIP's anti-aliased Bottleneck: stride-1 convs, avgpool for striding."""
+
+    def bn(p, h):
+        return batch_norm(
+            h,
+            params[f"{p}.weight"],
+            params[f"{p}.bias"],
+            params[f"{p}.running_mean"],
+            params[f"{p}.running_var"],
+        )
+
+    identity = x
+    out = jax.nn.relu(bn(f"{prefix}.bn1", conv2d(x, params[f"{prefix}.conv1.weight"])))
+    out = jax.nn.relu(bn(f"{prefix}.bn2", conv2d(out, params[f"{prefix}.conv2.weight"], padding=1)))
+    if stride > 1:
+        out = avg_pool(out, window=stride, stride=stride)
+    out = bn(f"{prefix}.bn3", conv2d(out, params[f"{prefix}.conv3.weight"]))
+    if f"{prefix}.downsample.0.weight" in params:
+        if stride > 1:
+            identity = avg_pool(identity, window=stride, stride=stride)
+        identity = bn(
+            f"{prefix}.downsample.1", conv2d(identity, params[f"{prefix}.downsample.0.weight"])
+        )
+    return jax.nn.relu(out + identity)
+
+
+def resnet_encode_image(params, cfg: CLIPConfig, images, *, dtype=jnp.float32, tap=None):
+    """(B, H, W, 3) → (B, embed_dim). CLIP ModifiedResNet with attention pool."""
+    v = cfg.vision
+    width = v.resnet_width
+    x = images.astype(dtype)
+
+    def bn(p, h):
+        return batch_norm(
+            h,
+            params[f"{p}.weight"],
+            params[f"{p}.bias"],
+            params[f"{p}.running_mean"],
+            params[f"{p}.running_var"],
+        )
+
+    # 3-conv stem with blur-free avgpool downsampling.
+    x = jax.nn.relu(bn("visual.bn1", conv2d(x, params["visual.conv1.weight"], stride=2, padding=1)))
+    x = jax.nn.relu(bn("visual.bn2", conv2d(x, params["visual.conv2.weight"], padding=1)))
+    x = jax.nn.relu(bn("visual.bn3", conv2d(x, params["visual.conv3.weight"], padding=1)))
+    x = avg_pool(x, window=2, stride=2)
+
+    strides = (1, 2, 2, 2)
+    for stage, n_blocks in enumerate(v.layers, start=1):
+        for b in range(n_blocks):
+            stride = strides[stage - 1] if b == 0 else 1
+            x = _rn_bottleneck(params, f"visual.layer{stage}.{b}", x, stride, dtype)
+    del width
+
+    # AttentionPool2d: mean-token query over spatial tokens + positions.
+    b_, h_, w_, c_ = x.shape
+    tokens = x.reshape(b_, h_ * w_, c_)
+    mean_tok = jnp.mean(tokens, axis=1, keepdims=True)
+    seq = jnp.concatenate([mean_tok, tokens], axis=1)  # (B, 1+HW, C)
+    seq = seq + params["visual.attnpool.positional_embedding"].astype(seq.dtype)
+
+    heads = c_ // 64  # CLIP AttentionPool2d: num_heads = pooled_dim // 64 (32 for RN50)
+    q = linear(seq[:, :1], params["visual.attnpool.q_proj.weight"], params["visual.attnpool.q_proj.bias"])
+    k = linear(seq, params["visual.attnpool.k_proj.weight"], params["visual.attnpool.k_proj.bias"])
+    val = linear(seq, params["visual.attnpool.v_proj.weight"], params["visual.attnpool.v_proj.bias"])
+    pooled = scaled_dot_product_attention(q, k, val, heads)[:, 0]
+    out = linear(
+        pooled, params["visual.attnpool.c_proj.weight"], params["visual.attnpool.c_proj.bias"]
+    )
+    return out.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------- #
+# Text tower
+# --------------------------------------------------------------------------- #
+def clip_encode_text(params, cfg: CLIPConfig, tokens, *, dtype=jnp.float32, tap=None):
+    """(B, T) int tokens → (B, embed_dim). EOT pooling via argmax(token id)."""
+    t = cfg.text
+    x = params["token_embedding.weight"].astype(dtype)[tokens]
+    x = x + params["positional_embedding"].astype(dtype)[: tokens.shape[1]]
+    mask = jnp.triu(jnp.full((tokens.shape[1], tokens.shape[1]), -jnp.inf, jnp.float32), k=1)
+    x = transformer_stack(
+        params, "transformer", x, t.layers, t.heads, mask=mask, quick=cfg.quick_gelu, tap=tap
+    )
+    x = layer_norm(x, params["ln_final.weight"], params["ln_final.bias"])
+    eot = jnp.argmax(tokens, axis=-1)
+    pooled = x[jnp.arange(tokens.shape[0]), eot]
+    return jnp.matmul(
+        pooled.astype(jnp.float32),
+        params["text_projection"].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Parameter initialization / torch import
+# --------------------------------------------------------------------------- #
+def _transformer_param_specs(prefix, layers, width):
+    specs = []
+    for i in range(layers):
+        p = f"{prefix}.resblocks.{i}"
+        specs += [
+            (f"{p}.ln_1.weight", (width,), "ones"),
+            (f"{p}.ln_1.bias", (width,), "zeros"),
+            (f"{p}.attn.in_proj_weight", (width, 3 * width), "attn"),
+            (f"{p}.attn.in_proj_bias", (3 * width,), "zeros"),
+            (f"{p}.attn.out_proj.weight", (width, width), "proj"),
+            (f"{p}.attn.out_proj.bias", (width,), "zeros"),
+            (f"{p}.ln_2.weight", (width,), "ones"),
+            (f"{p}.ln_2.bias", (width,), "zeros"),
+            (f"{p}.mlp.c_fc.weight", (width, 4 * width), "fc"),
+            (f"{p}.mlp.c_fc.bias", (4 * width,), "zeros"),
+            (f"{p}.mlp.c_proj.weight", (4 * width, width), "proj"),
+            (f"{p}.mlp.c_proj.bias", (width,), "zeros"),
+        ]
+    return specs
+
+
+def _bn_specs(prefix, ch):
+    return [
+        (f"{prefix}.weight", (ch,), "ones"),
+        (f"{prefix}.bias", (ch,), "zeros"),
+        (f"{prefix}.running_mean", (ch,), "zeros"),
+        (f"{prefix}.running_var", (ch,), "ones"),
+    ]
+
+
+def clip_param_specs(cfg: CLIPConfig):
+    """All (name, shape, init-kind) for a CLIP model under ``cfg``."""
+    specs = []
+    v, t = cfg.vision, cfg.text
+    if v.kind == "vit":
+        grid = v.image_size // v.patch_size
+        specs += [
+            ("visual.conv1.weight", (v.patch_size, v.patch_size, 3, v.width), "patch"),
+            ("visual.class_embedding", (v.width,), "scaled"),
+            ("visual.positional_embedding", (grid * grid + 1, v.width), "scaled"),
+            ("visual.ln_pre.weight", (v.width,), "ones"),
+            ("visual.ln_pre.bias", (v.width,), "zeros"),
+            ("visual.ln_post.weight", (v.width,), "ones"),
+            ("visual.ln_post.bias", (v.width,), "zeros"),
+            ("visual.proj", (v.width, cfg.embed_dim), "scaled"),
+        ]
+        specs += _transformer_param_specs("visual.transformer", v.layers, v.width)
+    else:
+        w = v.resnet_width
+        pooled_dim = w * 8 * 4  # final channel count (2048 for RN50)
+        spacial = v.image_size // 32
+        specs += [
+            ("visual.conv1.weight", (3, 3, 3, w // 2), "patch"),
+            *_bn_specs("visual.bn1", w // 2),
+            ("visual.conv2.weight", (3, 3, w // 2, w // 2), "patch"),
+            *_bn_specs("visual.bn2", w // 2),
+            ("visual.conv3.weight", (3, 3, w // 2, w), "patch"),
+            *_bn_specs("visual.bn3", w),
+        ]
+        in_ch = w
+        for stage, n_blocks in enumerate(v.layers, start=1):
+            planes = w * (2 ** (stage - 1))
+            out_ch = planes * 4
+            for b in range(n_blocks):
+                p = f"visual.layer{stage}.{b}"
+                specs += [
+                    (f"{p}.conv1.weight", (1, 1, in_ch, planes), "patch"),
+                    *_bn_specs(f"{p}.bn1", planes),
+                    (f"{p}.conv2.weight", (3, 3, planes, planes), "patch"),
+                    *_bn_specs(f"{p}.bn2", planes),
+                    (f"{p}.conv3.weight", (1, 1, planes, out_ch), "patch"),
+                    *_bn_specs(f"{p}.bn3", out_ch),
+                ]
+                if b == 0:
+                    specs += [
+                        (f"{p}.downsample.0.weight", (1, 1, in_ch, out_ch), "patch"),
+                        *_bn_specs(f"{p}.downsample.1", out_ch),
+                    ]
+                in_ch = out_ch
+        specs += [
+            ("visual.attnpool.positional_embedding", (spacial * spacial + 1, pooled_dim), "scaled"),
+            ("visual.attnpool.q_proj.weight", (pooled_dim, pooled_dim), "proj"),
+            ("visual.attnpool.q_proj.bias", (pooled_dim,), "zeros"),
+            ("visual.attnpool.k_proj.weight", (pooled_dim, pooled_dim), "proj"),
+            ("visual.attnpool.k_proj.bias", (pooled_dim,), "zeros"),
+            ("visual.attnpool.v_proj.weight", (pooled_dim, pooled_dim), "proj"),
+            ("visual.attnpool.v_proj.bias", (pooled_dim,), "zeros"),
+            ("visual.attnpool.c_proj.weight", (pooled_dim, cfg.embed_dim), "proj"),
+            ("visual.attnpool.c_proj.bias", (cfg.embed_dim,), "zeros"),
+        ]
+
+    specs += [
+        ("token_embedding.weight", (t.vocab_size, t.width), "embed"),
+        ("positional_embedding", (t.context_length, t.width), "scaled"),
+        ("ln_final.weight", (t.width,), "ones"),
+        ("ln_final.bias", (t.width,), "zeros"),
+        ("text_projection", (t.width, cfg.embed_dim), "scaled"),
+        ("logit_scale", (), "logit_scale"),
+    ]
+    specs += _transformer_param_specs("transformer", t.layers, t.width)
+    return specs
+
+
+def init_clip_params(rng, cfg: CLIPConfig) -> dict[str, jax.Array]:
+    """Random init matching open_clip's scheme closely enough for smoke tests."""
+    params = {}
+    for name, shape, kind in clip_param_specs(cfg):
+        rng, sub = jax.random.split(rng)
+        if kind == "ones":
+            params[name] = jnp.ones(shape, jnp.float32)
+        elif kind == "zeros":
+            params[name] = jnp.zeros(shape, jnp.float32)
+        elif kind == "logit_scale":
+            params[name] = jnp.asarray(math.log(1 / 0.07), jnp.float32)
+        elif kind in ("patch", "proj", "fc", "attn", "embed", "scaled"):
+            fan_in = shape[0] if len(shape) <= 2 else int(np.prod(shape[:-1]))
+            std = 0.02 if kind == "embed" else fan_in**-0.5
+            params[name] = jax.random.normal(sub, shape, jnp.float32) * std
+        else:  # pragma: no cover
+            raise ValueError(kind)
+    return params
+
+
+def load_openclip_state_dict(cfg: CLIPConfig, state_dict) -> dict[str, jax.Array]:
+    """Relayout an open_clip/OpenAI CLIP torch state dict into our params.
+
+    Linear ``weight``s transpose (out,in)→(in,out); convs OIHW→HWIO;
+    ``visual.proj`` / ``text_projection`` / embeddings pass through.
+    """
+    out = {}
+    for name, shape, _ in clip_param_specs(cfg):
+        value = state_dict[name]
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        if arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)
+        elif name.endswith("weight") and arr.ndim == 2 and "embedding" not in name:
+            arr = arr.T  # torch Linear / attn in_proj (out,in) → (in,out)
+        if tuple(arr.shape) != tuple(shape):
+            raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
+        out[name] = jnp.asarray(arr, jnp.float32)
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# User-facing foundation-model class
+# --------------------------------------------------------------------------- #
+class OpenClip(AbstractVLM):
+    """JAX CLIP foundation model with the reference's ``OpenClip`` API.
+
+    Parameters
+    ----------
+    url : preset name (``"RN50"``, ``"ViT-B-32"``, …) or an open_clip-style
+        id — a leading ``hf-hub:`` or trailing tag is stripped to match a
+        preset.
+    params : optional ready parameter dict.
+    checkpoint : optional torch state dict (or path to ``.safetensors``/
+        ``.npz``) with open_clip names to convert.
+    bpe_path : CLIP BPE merges file for real tokenization; without it a
+        HashTokenizer fallback is used (testing only).
+    dtype : tower compute dtype (bfloat16 = MXU-native; float32 for parity
+        work).
+    mesh : optional Mesh with a ``"data"`` axis to shard encode batches.
+    """
+
+    def __init__(
+        self,
+        url: str = "ViT-B-32",
+        *,
+        params=None,
+        checkpoint=None,
+        bpe_path=None,
+        dtype=jnp.bfloat16,
+        mesh=None,
+        seed: int = 0,
+        **kwargs,
+    ):
+        self.url = url
+        preset = _resolve_preset(url)
+        if preset is None:
+            raise ValueError(f"Unknown CLIP model '{url}'. Presets: {sorted(CLIP_PRESETS)}")
+        self.cfg = CLIP_PRESETS[preset]
+        self.preset = preset
+        self.dtype = dtype
+        self.mesh = mesh
+        self.name = f"OpenClip({url})"
+
+        if params is not None:
+            self.params = params
+        elif checkpoint is not None:
+            self.params = load_openclip_state_dict(self.cfg, _load_checkpoint(checkpoint))
+        else:
+            logger.warning("No weights provided for %s — using random init.", url)
+            self.params = init_clip_params(jax.random.PRNGKey(seed), self.cfg)
+
+        if bpe_path is not None:
+            self.tokenizer = ClipBpeTokenizer(bpe_path, self.cfg.text.context_length)
+        else:
+            self.tokenizer = HashTokenizer(self.cfg.text.vocab_size, self.cfg.text.context_length)
+
+        encode_image_fn = (
+            vit_encode_image if self.cfg.vision.kind == "vit" else resnet_encode_image
+        )
+
+        @functools.partial(jax.jit)
+        def _encode_image(params, images):
+            return encode_image_fn(params, self.cfg, images, dtype=self.dtype)
+
+        @functools.partial(jax.jit)
+        def _encode_text(params, tokens):
+            return clip_encode_text(params, self.cfg, tokens, dtype=self.dtype)
+
+        self._encode_image = _encode_image
+        self._encode_text = _encode_text
+
+    @property
+    def context_length(self):
+        return self.cfg.text.context_length
+
+    @property
+    def embed_dim(self):
+        return self.cfg.embed_dim
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}(url='{self.url}', preset={self.preset})"
+
+    def preprocess(self, img):
+        """Host images → normalized (B, S, S, 3) on device."""
+        arr = _to_image_batch(img)
+        return preprocess_images(
+            jnp.asarray(arr),
+            size=self.cfg.vision.image_size,
+            crop=self.cfg.vision.image_size,
+            mean=self.cfg.mean,
+            std=self.cfg.std,
+        )
+
+    def encode_image(self, img):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            img = jax.device_put(img, NamedSharding(self.mesh, P("data")))
+        return self._encode_image(self.params, img)
+
+    def tokenize(self, txt, context_length=None):
+        return jnp.asarray(self.tokenizer(txt, context_length or self.context_length))
+
+    def encode_text(self, text_input):
+        return self._encode_text(self.params, jnp.asarray(text_input))
+
+
+def _resolve_preset(url: str) -> str | None:
+    if url in CLIP_PRESETS:
+        return url
+    stripped = url.split(":")[-1]  # hf-hub:org/name → name
+    stripped = stripped.split("/")[-1]
+    for preset in CLIP_PRESETS:
+        if stripped == preset or stripped.startswith(preset):
+            return preset
+    return None
+
+
+def _load_checkpoint(checkpoint):
+    if isinstance(checkpoint, (str, bytes)) or hasattr(checkpoint, "__fspath__"):
+        path = str(checkpoint)
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            return load_file(path)
+        if path.endswith(".npz"):
+            return dict(np.load(path))
+        raise ValueError(f"Unsupported checkpoint file type: {path}")
+    return checkpoint  # assume mapping
+
+
+def _to_image_batch(img):
+    """PIL / array / list-of-either → (B, H, W, C); device arrays pass through.
+
+    A batch already on device (e.g. the shared upload of the fused
+    Collect+Embed pass) must NOT round-trip through the host.
+    """
+    if isinstance(img, jax.Array):
+        return img if img.ndim == 4 else img[None]
+    if isinstance(img, (list, tuple)):
+        return np.stack([np.asarray(i) for i in img])
+    arr = np.asarray(img)
+    if arr.ndim == 3:
+        arr = arr[None]
+    return arr

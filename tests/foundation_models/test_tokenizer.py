@@ -1,0 +1,75 @@
+"""Tokenizer tests: BPE algorithm golden values and framing semantics.
+
+A miniature merges file exercises the full BPE pipeline (byte→unicode,
+``</w>`` endings, merge ranks); framing (SOT/EOT, truncation, padding) is
+asserted to match open_clip's tokenize contract.
+"""
+
+import numpy as np
+import pytest
+
+from semanticlens_tpu.foundation_models.tokenizer import (
+    ClipBpeTokenizer,
+    HashTokenizer,
+    bytes_to_unicode,
+)
+
+
+def test_bytes_to_unicode_reversible():
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256
+
+
+@pytest.fixture
+def mini_bpe(tmp_path):
+    # Version line + a few merges. Vocab = 256 bytes + 256 "</w>" + merges + 2 specials.
+    merges = ["#version: 0.2", "h e", "he l", "hel l", "hell o</w>", "l o</w>"]
+    fp = tmp_path / "bpe.txt"
+    fp.write_text("\n".join(merges) + "\n")
+    return ClipBpeTokenizer(fp, context_length=8)
+
+
+def test_bpe_merges_applied(mini_bpe):
+    # "hello" fully merges via the chain h+e, he+l, hel+l, hell+o</w>.
+    toks = mini_bpe.encode("hello")
+    assert toks == [mini_bpe.encoder["hello</w>"]]
+
+
+def test_bpe_unmerged_word_falls_back_to_chars(mini_bpe):
+    toks = mini_bpe.encode("xyz")
+    expected = [
+        mini_bpe.encoder["x"],
+        mini_bpe.encoder["y"],
+        mini_bpe.encoder["z</w>"],
+    ]
+    assert toks == expected
+
+
+def test_framing_and_padding(mini_bpe):
+    arr = mini_bpe(["hello"])
+    assert arr.shape == (1, 8)
+    assert arr[0, 0] == mini_bpe.sot_token
+    assert arr[0, 2] == mini_bpe.eot_token
+    assert (arr[0, 3:] == 0).all()
+
+
+def test_truncation_keeps_eot(mini_bpe):
+    arr = mini_bpe(["xyz xyz xyz xyz xyz"])
+    assert arr.shape == (1, 8)
+    assert arr[0, -1] == mini_bpe.eot_token
+
+
+def test_lowercase_and_whitespace_cleanup(mini_bpe):
+    a = mini_bpe(["  HELLO   "])
+    b = mini_bpe(["hello"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_hash_tokenizer_deterministic():
+    tok = HashTokenizer(vocab_size=100, context_length=6)
+    a = tok(["a photo of a dog"])
+    b = tok(["a photo of a dog"])
+    np.testing.assert_array_equal(a, b)
+    assert a[0, 0] == 98  # SOT = vocab−2
+    assert tok(["x"]).shape == (1, 6)
