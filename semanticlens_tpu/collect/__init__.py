@@ -25,3 +25,7 @@ __all__ += [
     "AbstractComponentVisualizer",
     "CollectEngine",
 ]
+
+from semanticlens_tpu.collect.relevance_based import RelevanceComponentVisualizer  # noqa: E402
+
+__all__ += ["RelevanceComponentVisualizer"]

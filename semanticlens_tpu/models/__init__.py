@@ -2,5 +2,6 @@
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector, validate_layers
 from semanticlens_tpu.models.resnet import ResNet
+from semanticlens_tpu.models.vit import VisionTransformer
 
-__all__ = ["SubjectModel", "TapCollector", "validate_layers", "ResNet"]
+__all__ = ["SubjectModel", "TapCollector", "validate_layers", "ResNet", "VisionTransformer"]

@@ -12,9 +12,107 @@ policy) with float32 accumulation — the MXU-native regime.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# --------------------------------------------------------------------------- #
+# LRP (layer-wise relevance propagation) context
+#
+# The relevance subsystem re-traces model.apply with a composite active; the
+# linear primitives below then attach modified-backward rules (ε / z⁺ / flat)
+# via jax.custom_vjp while the FORWARD stays bit-identical. This replaces the
+# reference's zennit composites (reference relevance_based.py:19 —
+# EpsilonPlusFlat) with JAX-native custom VJPs.
+# --------------------------------------------------------------------------- #
+_LRP = threading.local()
+
+
+@contextmanager
+def lrp_composite(name: str = "epsilon_plus_flat", epsilon: float = 1e-6):
+    """Activate an LRP composite for every layer traced inside the context.
+
+    Composites:
+    - ``"epsilon_plus_flat"`` (zennit's EpsilonPlusFlat analogue): first conv
+      → flat rule, other convs → z⁺ rule, dense/affine → ε rule.
+    - ``"epsilon"``: ε rule everywhere.
+    - ``"gradient"``: plain gradient (no modified backward).
+    """
+    _LRP.composite = name
+    _LRP.epsilon = epsilon
+    _LRP.n_linear_seen = 0
+    try:
+        yield
+    finally:
+        _LRP.composite = None
+
+
+def _lrp_active():
+    return getattr(_LRP, "composite", None) not in (None, "gradient")
+
+
+def _next_rule(kind: str) -> tuple[str, float]:
+    """Pick the rule for the next traced linear op under the composite."""
+    comp = _LRP.composite
+    eps = _LRP.epsilon
+    idx = _LRP.n_linear_seen
+    _LRP.n_linear_seen += 1
+    if comp == "epsilon":
+        return "epsilon", eps
+    # epsilon_plus_flat
+    if idx == 0:
+        return "flat", eps
+    if kind == "conv":
+        return "zplus", eps
+    return "epsilon", eps
+
+
+def _lrp_wrap(true_fwd, x, rule: str, eps: float, plus_fwd=None, flat_fwd=None):
+    """Attach an LRP backward to a linear(ish) forward.
+
+    ``true_fwd`` computes the real output (used forward); the backward
+    redistributes incoming relevance R via the chosen rule:
+
+    - ε:     R_x = x ⊙ fᵀ(R / (f(x) + ε·sign(f(x))))
+    - z⁺:    R_x = x ⊙ f₊ᵀ(R / (f₊(x) + ε))    (f₊ = positive weights only)
+    - flat:  R_x = f₁ᵀ(R / (f₁(1) + ε))         (f₁ = unit weights, unit input)
+    """
+
+    @jax.custom_vjp
+    def op(x):
+        return true_fwd(x)
+
+    def fwd(x):
+        return true_fwd(x), x
+
+    def bwd(x, R):
+        if rule == "zplus":
+            f = plus_fwd
+            z = f(x)
+            s = R / (z + eps)
+            _, vjp = jax.vjp(f, x)
+            (c,) = vjp(s)
+            return (x * c,)
+        if rule == "flat":
+            f = flat_fwd
+            ones = jnp.ones_like(x)
+            z = f(ones)
+            s = R / (z + eps)
+            _, vjp = jax.vjp(f, ones)
+            (c,) = vjp(s)
+            return (c,)
+        # epsilon
+        z = true_fwd(x)
+        s = R / (z + eps * jnp.sign(z) + jnp.where(z == 0, eps, 0.0))
+        _, vjp = jax.vjp(true_fwd, x)
+        (c,) = vjp(s)
+        return (x * c,)
+
+    op.defvjp(fwd, bwd)
+    return op(x)
 
 
 def conv2d(x, weight, bias=None, *, stride=1, padding=0, groups=1):
@@ -23,19 +121,36 @@ def conv2d(x, weight, bias=None, *, stride=1, padding=0, groups=1):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
-    # Precision policy: the input dtype selects the MXU regime (cast x to
-    # bf16 for speed); HIGHEST stops the backend from silently downcasting
-    # f32 inputs to bf16.
-    out = jax.lax.conv_general_dilated(
-        x,
-        weight.astype(x.dtype),
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+
+    def _conv(x, w):
+        # Precision policy: the input dtype selects the MXU regime (cast x to
+        # bf16 for speed); HIGHEST stops the backend from silently downcasting
+        # f32 inputs to bf16.
+        out = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=stride,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return out
+
+    if _lrp_active():
+        rule, eps = _next_rule("conv")
+        b = 0.0 if bias is None else bias.astype(x.dtype)
+        return _lrp_wrap(
+            lambda xx: _conv(xx, weight) + b,
+            x,
+            rule,
+            eps,
+            plus_fwd=lambda xx: _conv(xx, jnp.maximum(weight, 0.0)),
+            flat_fwd=lambda xx: _conv(xx, jnp.ones_like(weight)),
+        )
+
+    out = _conv(x, weight)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -48,17 +163,43 @@ def batch_norm(x, weight, bias, running_mean, running_var, *, eps=1e-5):
     shift = (
         bias.astype(jnp.float32) - running_mean.astype(jnp.float32) * weight.astype(jnp.float32) * inv
     ).astype(x.dtype)
+    if _lrp_active():
+        # Affine layer: ε rule (BN is canonically merged with the adjacent
+        # conv; a separate ε application is equivalent for small ε).
+        eps_r = _LRP.epsilon
+        return _lrp_wrap(
+            lambda xx: xx * scale + shift,
+            x,
+            "epsilon",
+            eps_r,
+        )
     return x * scale + shift
 
 
 def linear(x, weight, bias=None):
     """Dense layer; ``weight`` is (in, out) — torch (out, in) is transposed at load."""
-    out = jnp.matmul(
-        x,
-        weight.astype(x.dtype),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+
+    def _dense(xx, w):
+        return jnp.matmul(
+            xx,
+            w.astype(xx.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(xx.dtype)
+
+    if _lrp_active():
+        rule, eps = _next_rule("linear")
+        b = 0.0 if bias is None else bias.astype(x.dtype)
+        return _lrp_wrap(
+            lambda xx: _dense(xx, weight) + b,
+            x,
+            rule,
+            eps,
+            plus_fwd=lambda xx: _dense(xx, jnp.maximum(weight, 0.0)),
+            flat_fwd=lambda xx: _dense(xx, jnp.ones_like(weight)),
+        )
+
+    out = _dense(x, weight)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

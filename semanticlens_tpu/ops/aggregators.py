@@ -29,6 +29,13 @@ def aggregate_conv_mean(tensor):
     return jnp.mean(tensor, axis=(1, 2))
 
 
+def aggregate_conv_sum(tensor):
+    """(B, H, W, C) → (B, C) by spatial sum (the relevance CV's "sum" target)."""
+    if tensor.ndim != 4:
+        raise ValueError("Input tensor should be 4D (B, H, W, C). \n" + _ERROR_MESSAGE)
+    return jnp.sum(tensor, axis=(1, 2))
+
+
 def aggregate_conv_max(tensor):
     """(B, H, W, C) → (B, C) by spatial max."""
     if tensor.ndim != 4:

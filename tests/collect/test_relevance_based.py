@@ -1,0 +1,128 @@
+"""Relevance CV tests: LRP heatmaps, conservation-ish sanity, rendering."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semanticlens_tpu.collect import RelevanceComponentVisualizer
+from semanticlens_tpu.data import ArrayDataset
+from semanticlens_tpu.models import ResNet
+from semanticlens_tpu.models.layers import conv2d, linear, lrp_composite
+from semanticlens_tpu.relevance.attribution import make_attribution_fn
+
+
+def test_lrp_epsilon_conserves_relevance_linear_net():
+    """ε-LRP on a bias-free linear stack conserves total relevance."""
+    rng = np.random.default_rng(0)
+    w1 = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(1, 8)).astype(np.float32))
+
+    def f(x):
+        h = linear(x, w1)
+        h = jax.nn.relu(h)
+        return linear(h, w2)
+
+    with lrp_composite("epsilon", epsilon=1e-9):
+        rel = jax.grad(lambda x: f(x)[0, 2])(x)
+    # Conservation: with unit seed relevance at the target output, the total
+    # input relevance of a bias-free ReLU net is preserved (≈ 1).
+    np.testing.assert_allclose(float(rel.sum()), 1.0, rtol=1e-3)
+
+
+def test_attribution_localizes_signal():
+    """A conv channel keyed to a spatial quadrant must attribute there."""
+
+    from semanticlens_tpu.models.base import SubjectModel, TapCollector
+
+    class OneConv(SubjectModel):
+        module_names = ("c",)
+
+        def init(self, rng):
+            w = np.zeros((1, 1, 3, 2), np.float32)
+            w[..., 0, 0] = 1.0  # channel 0 = red detector
+            w[..., 1, 1] = 1.0  # channel 1 = green detector
+            return {"w": jnp.asarray(w)}
+
+        def apply(self, params, x, tap_names=()):
+            tap = TapCollector(tap_names)
+            out = tap("c", jax.nn.relu(conv2d(x, params["w"])))
+            return out, tap.taps
+
+    model = OneConv()
+    params = model.init(None)
+    # Red blob top-left, green blob bottom-right.
+    img = np.zeros((1, 16, 16, 3), np.float32)
+    img[0, 2:6, 2:6, 0] = 1.0
+    img[0, 10:14, 10:14, 1] = 1.0
+
+    fn = make_attribution_fn(model, "c", composite="epsilon_plus_flat")
+    heat0 = np.asarray(fn(params, jnp.asarray(img), jnp.int32(0)))[0]
+    heat1 = np.asarray(fn(params, jnp.asarray(img), jnp.int32(1)))[0]
+    assert heat0[2:6, 2:6].sum() > 5 * abs(heat0[10:14, 10:14]).sum()
+    assert heat1[10:14, 10:14].sum() > 5 * abs(heat1[2:6, 2:6]).sum()
+
+
+@pytest.fixture(scope="module")
+def rel_cv(tmp_path_factory):
+    model = ResNet(depth=18, num_classes=10, dtype=jnp.float32)
+    model.params = model.init(jax.random.PRNGKey(0))
+    model.name = "r18"
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.random((24, 32, 32, 3)).astype(np.float32), name="rand24")
+    cv = RelevanceComponentVisualizer(
+        model=model,
+        dataset=ds,
+        layer_names=["layer2"],
+        num_samples=4,
+        storage_dir=str(tmp_path_factory.mktemp("relcache")),
+    )
+    return cv
+
+
+def test_relevance_run_and_ids(rel_cv):
+    rel_cv.run(batch_size=8)
+    ids = rel_cv.get_act_max_sample_ids("layer2")
+    assert ids.shape == (128, 4)
+    assert ids.max() < 24
+
+
+def test_relevance_preprocessed_skip(rel_cv):
+    rel_cv.run(batch_size=8)
+    out = rel_cv.run(batch_size=8)  # second run: already preprocessed
+    assert isinstance(out, list) and out
+
+
+def test_get_max_reference_returns_cropped_pils(rel_cv):
+    rel_cv.run(batch_size=8)
+    refs = rel_cv.get_max_reference([0, 5], "layer2", n_ref=3, batch_size=8)
+    assert set(refs) == {0, 5}
+    from PIL import Image
+
+    for pils in refs.values():
+        assert len(pils) == 3
+        assert all(isinstance(p, Image.Image) for p in pils)
+
+
+def test_relevance_concept_db(rel_cv):
+    class TinyFM:
+        name = "t"
+
+        def preprocess(self, pils):
+            arr = np.stack([np.asarray(p.resize((8, 8)), np.float32) for p in pils])
+            return jnp.asarray(arr)
+
+        def encode_image(self, x):
+            return jnp.mean(x, axis=(1, 2))
+
+        def tokenize(self, t):
+            return jnp.zeros((1, 2), jnp.int32)
+
+        def encode_text(self, t):
+            return jnp.zeros((1, 3), jnp.float32)
+
+    rel_cv.run(batch_size=8)
+    db = rel_cv._compute_concept_db(TinyFM(), batch_size=8, n_ref=3)
+    assert db["layer2"].shape == (128, 3, 3)

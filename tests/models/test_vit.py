@@ -1,0 +1,75 @@
+"""Subject ViT tests: taps, shapes, timm-name conversion roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semanticlens_tpu.models.vit import VisionTransformer
+
+
+@pytest.fixture(scope="module")
+def tiny_vit():
+    model = VisionTransformer(
+        image_size=32, patch_size=8, width=48, depth=2, heads=2, num_classes=5, dtype=jnp.float32
+    )
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_forward_and_token_taps(tiny_vit):
+    model, params = tiny_vit
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32))
+    logits, taps = model.apply(params, x, tap_names=("blocks.1.mlp.fc1", "blocks.0.attn", "norm"))
+    assert logits.shape == (2, 5)
+    assert taps["blocks.1.mlp.fc1"].shape == (2, 17, 192)  # 16 patches + CLS, 4x width
+    assert taps["blocks.0.attn"].shape == (2, 17, 48)
+    assert taps["norm"].shape == (2, 17, 48)
+
+
+def test_module_names(tiny_vit):
+    model, _ = tiny_vit
+    for n in ["patch_embed.proj", "blocks.0.attn.qkv", "blocks.1.mlp.fc2", "norm", "head"]:
+        assert n in model.module_names
+
+
+def test_transformer_aggregator_integration(tiny_vit):
+    from semanticlens_tpu.ops.aggregators import (
+        aggregate_transformer_mean,
+        get_aggregate_transformer_special_token,
+    )
+
+    model, params = tiny_vit
+    x = jnp.zeros((3, 32, 32, 3), jnp.float32)
+    _, taps = model.apply(params, x, tap_names=("blocks.1",))
+    agg = aggregate_transformer_mean(taps["blocks.1"])
+    assert agg.shape == (3, 48)
+    cls_agg = get_aggregate_transformer_special_token(0)(taps["blocks.1"])
+    assert cls_agg.shape == (3, 48)
+
+
+def test_torch_roundtrip(tiny_vit):
+    torch = pytest.importorskip("torch")
+    model, params = tiny_vit
+    sd = {}
+    for name, arr in params.items():
+        a = np.asarray(arr)
+        if a.ndim == 4:
+            a = a.transpose(3, 2, 0, 1)
+        elif name.endswith("weight") and a.ndim == 2:
+            a = a.T
+        sd[name] = torch.from_numpy(np.ascontiguousarray(a))
+    params2 = model.load_torch_state_dict(sd)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 32, 32, 3)).astype(np.float32))
+    out1, _ = model.apply(params, x)
+    out2, _ = model.apply(params2, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_headless_returns_features():
+    model = VisionTransformer(
+        image_size=16, patch_size=8, width=32, depth=1, heads=2, num_classes=0, dtype=jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    out, _ = model.apply(params, jnp.zeros((2, 16, 16, 3), jnp.float32))
+    assert out.shape == (2, 32)
