@@ -28,3 +28,11 @@ __all__ = [
     "ClipBpeTokenizer",
     "HashTokenizer",
 ]
+
+from semanticlens_tpu.foundation_models.mobileclip import (  # noqa: E402
+    ClipMobile,
+    MobileCLIPConfig,
+    init_mobileclip_params,
+)
+
+__all__ += ["ClipMobile", "MobileCLIPConfig", "init_mobileclip_params"]

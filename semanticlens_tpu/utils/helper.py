@@ -29,6 +29,38 @@ def get_fallback_name(obj) -> str:
     return obj.__class__.__name__ + "-" + str(_string_hash(str(obj)))
 
 
+def make_preprocess_fn(
+    size: int = 224,
+    crop: int | None = None,
+    mean: Sequence[float] = (0.485, 0.456, 0.406),
+    std: Sequence[float] = (0.229, 0.224, 0.225),
+    interpolation: str = "bicubic",
+):
+    """Build a device-side preprocessing fn from a torchvision-style config.
+
+    TPU-native analogue of the reference's ``to_transforms_compose``
+    (reference semanticlens/utils/helper.py:21-35, which converts a
+    torchvision ImageClassification preset into a host Compose): here the
+    resize → center-crop → normalize pipeline is one jitted on-device program
+    usable as a visualizer's ``model_preprocess``.
+    """
+    from semanticlens_tpu.ops.preprocess import preprocess_images
+
+    crop_size = crop or size
+
+    def preprocess(images):
+        return preprocess_images(
+            images,
+            size=size,
+            crop=crop_size,
+            mean=tuple(mean),
+            std=tuple(std),
+            interpolation=interpolation,
+        )
+
+    return preprocess
+
+
 def get_denormalization_transform(
     mean: Sequence[float] = (0.485, 0.456, 0.406),
     std: Sequence[float] = (0.229, 0.224, 0.225),
