@@ -1,0 +1,100 @@
+"""Pallas TPU kernels for the Analyze stage's hot reductions.
+
+``cosine_similarity_matrix`` fuses L2 normalization of BOTH operands into the
+similarity matmul. XLA fuses elementwise producers into a dot's *inputs* only
+up to one operand path; normalizing two large matrices first costs an extra
+HBM round trip of both (the full-audit configuration probes every layer's
+concept bank, X = queries, Y = up to all-layer components). Here each grid
+tile loads raw rows into VMEM once, normalizes in registers, and feeds the
+MXU directly.
+
+Falls back to interpreter mode off-TPU, so the same code path is exercised by
+the CPU test suite.
+
+Status note (measured on v5e, 4096×512 × 8192×512 f32): XLA's
+matmul-then-rescale formulation currently beats this kernel ~10× — the XLA
+dot emitter pipelines f32 HIGHEST passes better than this Mosaic schedule.
+The kernel is kept as an optional backend and a base for fused epilogues XLA
+cannot express (masked top-k-per-row similarity); the production scores path
+uses the XLA formulation (see semanticlens_tpu.scores).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 256  # query-tile rows
+_TN = 256  # component-tile rows
+
+
+def _cosine_kernel(x_ref, yt_ref, out_ref):
+    """One (TM, TN) output tile: raw dot on the MXU, normalization as epilogue.
+
+    cos = (x·y) / (‖x‖‖y‖): scaling AFTER the matmul avoids materializing
+    normalized operands entirely and keeps the MXU contraction in the
+    standard (TM, D) @ (D, TN) layout (a (1,),(1,) contraction would insert
+    a per-tile transpose).
+    """
+    x = x_ref[:].astype(jnp.float32)  # (TM, D)
+    yt = yt_ref[:].astype(jnp.float32)  # (D, TN)
+    dots = jax.lax.dot_general(
+        x,
+        yt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    x_inv = jax.lax.rsqrt(jnp.sum(x * x, axis=1, keepdims=True) + 1e-24)
+    y_inv = jax.lax.rsqrt(jnp.sum(yt * yt, axis=0, keepdims=True) + 1e-24)
+    out_ref[:] = dots * x_inv * y_inv
+
+
+def _pad_rows(a, tile):
+    m = a.shape[0]
+    pad = (-m) % tile
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad, a.shape[1]), a.dtype)], axis=0)
+    return a, m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cosine_similarity_matrix(x, y, *, interpret: bool | None = None):
+    """Fused ``x̂ @ ŷᵀ`` for (M, D) × (N, D) → (M, N) float32.
+
+    Zero rows produce 0 similarity (rsqrt is ε-guarded), matching the
+    reference's torch ``normalize`` semantics for degenerate inputs.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    d = x.shape[1]
+    assert y.shape[1] == d, (x.shape, y.shape)
+
+    xp, m = _pad_rows(x, _TM)
+    yp, n = _pad_rows(y, _TN)
+    ytp = yp.T  # one global transpose instead of one per tile
+
+    grid = (xp.shape[0] // _TM, yp.shape[0] // _TN)
+    out = pl.pallas_call(
+        _cosine_kernel,
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], yp.shape[0]), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, _TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TM, _TN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xp.shape[0] * yp.shape[0] * d + 4 * (xp.shape[0] + yp.shape[0]) * d,
+            bytes_accessed=4 * (xp.shape[0] * d + yp.shape[0] * d + xp.shape[0] * yp.shape[0]),
+            transcendentals=xp.shape[0] + yp.shape[0],
+        ),
+        interpret=interpret,
+    )(xp, ytp)
+    return out[:m, :n]

@@ -45,6 +45,19 @@ def _normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(norm, eps)
 
 
+def _inv_norm(x, eps=1e-12):
+    """1/max(‖row‖, eps) along the last axis."""
+    return 1.0 / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def _cosine_matrix(x, y_t):
+    """cos(x_i, y_j) as matmul-then-rescale — mathematically identical to
+    normalize-then-matmul but avoids materializing normalized copies of both
+    operands in HBM (the dot's scaling epilogue fuses)."""
+    dots = jnp.matmul(x, y_t, precision=jax.lax.Precision.HIGHEST)
+    return dots * _inv_norm(x) * jnp.swapaxes(_inv_norm(jnp.swapaxes(y_t, -1, -2)), -1, -2)
+
+
 @jax.jit
 def clarity_score(V):
     """Clarity of each concept: how uniform its example embeddings are.
@@ -79,10 +92,7 @@ def redundancy_score(cones):
     reference's observed behavior (semanticlens/scores.py:76-81).
     """
     cones = jnp.asarray(cones, jnp.float32)
-    cones_nrmed = _normalize(cones, axis=-1)
-    sims = jnp.matmul(
-        cones_nrmed, jnp.swapaxes(cones_nrmed, -1, -2), precision=jax.lax.Precision.HIGHEST
-    )
+    sims = _cosine_matrix(cones, jnp.swapaxes(cones, -1, -2))
     sims = sims - 2.0 * jnp.eye(sims.shape[-1], dtype=sims.dtype)
     return jnp.max(sims, axis=-1).mean(axis=-1)
 
@@ -97,12 +107,14 @@ def similarity_score(x, y):
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     if x.shape != y.shape:
-        x_ = _normalize(x, axis=-1)
-        y_ = _normalize(y, axis=-1)
         if x.shape[1] == y.shape[0]:
-            return jnp.matmul(x_, y_, precision=jax.lax.Precision.HIGHEST)
+            # Reference quirk kept verbatim (scores.py:122-123): x̂ @ ŷ with ŷ
+            # row-normalized — only the x-side is a true cosine here.
+            return jnp.matmul(
+                _normalize(x, -1), _normalize(y, -1), precision=jax.lax.Precision.HIGHEST
+            )
         elif x.shape[1] == y.shape[1]:
-            return jnp.matmul(x_, y_.T, precision=jax.lax.Precision.HIGHEST)
+            return _cosine_matrix(x, y.T)
         raise ValueError("x and y must have the same shape")
     return jnp.sum(_normalize(x, -1) * _normalize(y, -1), axis=-1)
 
