@@ -1,0 +1,9 @@
+"""Multi-chip parallelism: parameter sharding rules and mesh execution."""
+
+from semanticlens_tpu.parallel.tensor_parallel import (
+    clip_param_specs_2d,
+    shard_clip_params,
+    siglip_param_specs_2d,
+)
+
+__all__ = ["shard_clip_params", "clip_param_specs_2d", "siglip_param_specs_2d"]

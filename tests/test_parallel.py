@@ -1,0 +1,75 @@
+"""Tensor-parallel sharding tests on a virtual 2×4 (data × model) mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from semanticlens_tpu.foundation_models.clip import (
+    CLIPConfig,
+    TextCfg,
+    VisionCfg,
+    clip_encode_text,
+    init_clip_params,
+    vit_encode_image,
+)
+from semanticlens_tpu.parallel import clip_param_specs_2d, shard_clip_params
+
+TINY = CLIPConfig(
+    embed_dim=16,
+    vision=VisionCfg(kind="vit", image_size=16, patch_size=8, width=64, layers=2, heads=4),
+    text=TextCfg(context_length=12, vocab_size=64, width=64, heads=4, layers=2),
+)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devices, axis_names=("data", "model"))
+
+
+def test_sharding_placement(mesh2d):
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    specs = clip_param_specs_2d(TINY)
+    sharded = shard_clip_params(params, mesh2d, specs)
+
+    w = sharded["visual.transformer.resblocks.0.attn.in_proj_weight"]
+    assert w.sharding.spec == P(None, "model")
+    # Replicated params stay replicated.
+    assert sharded["visual.proj"].sharding.spec == P()
+
+
+def test_tp_encode_matches_single_device(mesh2d):
+    """GSPMD execution over (data, model) must equal unsharded execution."""
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, 64, size=(4, 12)), jnp.int32)
+
+    ref_img = np.asarray(vit_encode_image(params, TINY, imgs))
+    ref_txt = np.asarray(clip_encode_text(params, TINY, tokens))
+
+    sharded = shard_clip_params(params, mesh2d, clip_param_specs_2d(TINY))
+    imgs_s = jax.device_put(imgs, NamedSharding(mesh2d, P("data")))
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh2d, P("data")))
+
+    tp_img = np.asarray(jax.jit(lambda p, x: vit_encode_image(p, TINY, x))(sharded, imgs_s))
+    tp_txt = np.asarray(jax.jit(lambda p, t: clip_encode_text(p, TINY, t))(sharded, tokens_s))
+
+    np.testing.assert_allclose(tp_img, ref_img, atol=1e-4)
+    np.testing.assert_allclose(tp_txt, ref_txt, atol=1e-4)
+
+
+def test_non_divisible_dims_fall_back_to_replication(mesh2d):
+    cfg = CLIPConfig(
+        embed_dim=16,
+        vision=VisionCfg(kind="vit", image_size=16, patch_size=8, width=30, layers=1, heads=2),
+        text=TextCfg(context_length=12, vocab_size=64, width=30, heads=2, layers=1),
+    )
+    params = init_clip_params(jax.random.PRNGKey(1), cfg)
+    sharded = shard_clip_params(params, mesh2d, clip_param_specs_2d(cfg))
+    # 3·30=90 not divisible by 4 → replicated, not an error.
+    w = sharded["transformer.resblocks.0.attn.in_proj_weight"]
+    assert w.sharding.spec == P()
