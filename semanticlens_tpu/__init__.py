@@ -17,12 +17,30 @@ Workflow (same three stages as the reference, README.md:46-53):
    text/image probing as jitted matmul/reduction programs.
 """
 
-from semanticlens_tpu import foundation_models, scores, utils
+from semanticlens_tpu import (
+    collect,
+    core,
+    data,
+    foundation_models,
+    models,
+    ops,
+    parallel,
+    relevance,
+    scores,
+    utils,
+)
 from semanticlens_tpu.lens import Lens
 from semanticlens_tpu.scores import clarity_score, polysemanticity_score, redundancy_score
 
 __all__ = [
+    "collect",
+    "core",
+    "data",
     "foundation_models",
+    "models",
+    "ops",
+    "parallel",
+    "relevance",
     "scores",
     "utils",
     "Lens",

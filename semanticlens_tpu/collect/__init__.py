@@ -2,11 +2,13 @@
 
 from semanticlens_tpu.collect.activation_caching import (
     DEFAULT_AGGREGATION_FUNCTION_MAP,
+    ActCache,
     ActMax,
     ActMaxCache,
 )
 
 __all__ = [
+    "ActCache",
     "ActMax",
     "ActMaxCache",
     "DEFAULT_AGGREGATION_FUNCTION_MAP",

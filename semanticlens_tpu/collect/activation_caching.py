@@ -119,6 +119,31 @@ class ActMax:
         return instance
 
 
+class ActCache:
+    """Raw per-layer activation capture for a batch of inputs.
+
+    Functional counterpart of the reference's hook-based ``ActCache``
+    (reference activation_caching.py:219-315): instead of registering forward
+    hooks, :meth:`capture` runs the tapped forward and stores each requested
+    layer's raw output in ``.cache`` (host numpy, mirroring the reference's
+    ``.detach().cpu()`` semantics). Use :class:`ActMaxCache` for streaming
+    top-k; this class is for ad-hoc inspection of full activations.
+    """
+
+    def __init__(self, layer_names: list[str]):
+        self.layer_names = list(layer_names)
+        self.cache: dict[str, np.ndarray] = {}
+
+    def capture(self, model, params, x) -> dict[str, np.ndarray]:
+        """Forward ``x`` through ``model`` and cache the requested taps."""
+        _, taps = model.apply(params, x, tuple(self.layer_names))
+        self.cache = {name: np.asarray(taps[name], np.float32) for name in self.layer_names}
+        return self.cache
+
+    def clear(self):
+        self.cache = {}
+
+
 class ActMaxCache:
     """Per-layer ActMax registry with validating directory persistence.
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import logging
+from pathlib import Path
 from typing import Callable, Sequence
 
 import jax
@@ -168,11 +169,60 @@ class CollectEngine:
             states = {name: merge(st) for name, st in states.items()}
         return states
 
-    def _batches(self, dataset, batch_size: int, prefetch: int):
+    def _batches(self, dataset, batch_size: int, prefetch: int, start_index: int = 0):
         sharding = NamedSharding(self.mesh, P("data")) if self.mesh is not None else None
         return device_prefetch_batches(
-            iter_batches(dataset, batch_size), depth=prefetch, sharding=sharding
+            iter_batches(dataset, batch_size, start_index=start_index),
+            depth=prefetch,
+            sharding=sharding,
         )
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, directory, states, next_start: int):
+        """Flush the running top-k state mid-sweep (crp's ``checkpoint=500``
+        analogue, reference relevance_based.py:157,194 — enables resume after
+        interruption)."""
+        import json
+
+        import ml_dtypes
+        from safetensors.numpy import save_file
+
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        for name, st in states.items():
+            save_file(
+                {
+                    "values": np.asarray(st.values).astype(ml_dtypes.bfloat16),
+                    "ids": np.asarray(st.ids).astype(np.int32),
+                },
+                str(directory / f"state-{name}.safetensors"),
+            )
+        (directory / "progress.json").write_text(
+            json.dumps({"next_start": int(next_start), "layers": list(states)})
+        )
+
+    def load_checkpoint(self, directory):
+        """Returns (states, next_start) or None if no checkpoint exists."""
+        import json
+
+        from safetensors.numpy import load_file
+
+        directory = Path(directory)
+        progress = directory / "progress.json"
+        if not progress.exists():
+            return None
+        meta = json.loads(progress.read_text())
+        states = {}
+        for name in meta["layers"]:
+            t = load_file(str(directory / f"state-{name}.safetensors"))
+            values = jnp.asarray(t["values"])
+            ids = jnp.asarray(t["ids"])
+            if self.mesh is not None:
+                sharding = NamedSharding(self.mesh, P("data"))
+                values = jax.device_put(values, sharding)
+                ids = jax.device_put(ids, sharding)
+            states[name] = TopKState(values=values, ids=ids)
+        return states, int(meta["next_start"])
 
     def _probe_shape(self, dataset, batch_size):
         probe = np.asarray(
@@ -189,21 +239,48 @@ class CollectEngine:
             )
 
     # -------------------------------------------------------------------- run
-    def run(self, params, dataset, batch_size: int, *, prefetch: int = 2):
+    def run(
+        self,
+        params,
+        dataset,
+        batch_size: int,
+        *,
+        prefetch: int = 2,
+        checkpoint_dir=None,
+        checkpoint_every: int = 0,
+    ):
         """Stream the dataset; returns ``{layer: TopKState}`` globally merged,
-        plus the number of samples seen."""
+        plus the number of samples seen.
+
+        With ``checkpoint_dir`` + ``checkpoint_every`` (batches), the running
+        state flushes periodically and an interrupted sweep resumes from the
+        last flush.
+        """
         n = len(dataset)
         if n == 0:
             return {name: init_topk(1, self.n_collect) for name in self.layer_names}, 0
         self._check_batch(batch_size)
 
-        shape, dtype = self._probe_shape(dataset, batch_size)
-        n_latents = self.infer_n_latents(params, shape, dtype)
-        states = self._init_states(n_latents)
+        resume_start = 0
+        states = None
+        if checkpoint_dir is not None:
+            loaded = self.load_checkpoint(checkpoint_dir)
+            if loaded is not None:
+                states, resume_start = loaded
+                logger.info(f"Resuming collect sweep from sample {resume_start}")
+
+        if states is None:
+            shape, dtype = self._probe_shape(dataset, batch_size)
+            n_latents = self.infer_n_latents(params, shape, dtype)
+            states = self._init_states(n_latents)
         step = self._get_step()
 
-        for images, start_index, _ in self._batches(dataset, batch_size, prefetch):
+        batches_done = 0
+        for images, start_index, _ in self._batches(dataset, batch_size, prefetch, resume_start):
             states = step(states, params, images, np.int32(start_index), np.int32(n))
+            batches_done += 1
+            if checkpoint_dir is not None and checkpoint_every and batches_done % checkpoint_every == 0:
+                self.save_checkpoint(checkpoint_dir, states, start_index + batch_size)
 
         return self._finalize(states), n
 

@@ -169,13 +169,24 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             ]
 
         data_end = len(self.dataset) if data_end is None else data_end
-        states, n_seen = self.engine.run(self.params, _Slice(self.dataset, data_start, data_end), batch_size)
+        ckpt_dir = self.storage_dir / "_checkpoint" if checkpoint else None
+        states, n_seen = self.engine.run(
+            self.params,
+            _Slice(self.dataset, data_start, data_end),
+            batch_size,
+            checkpoint_dir=ckpt_dir,
+            checkpoint_every=max(1, checkpoint // batch_size) if checkpoint else 0,
+        )
         for name, state in states.items():
             act_max = self.actmax_cache[name]
             act_max.n_latents = int(state.values.shape[0])
             act_max.state = state
             self.actmax_cache.sample_idx_counter[name] = n_seen
         self.actmax_cache.store(self.storage_dir)
+        if ckpt_dir is not None and ckpt_dir.exists():
+            import shutil
+
+            shutil.rmtree(ckpt_dir)  # the stored ActMax files supersede it
         self._ran = True
         return self.actmax_cache.cache
 

@@ -3,8 +3,17 @@
 from semanticlens_tpu.data.dataset import (
     ArrayDataset,
     Batch,
+    device_prefetch_batches,
     iter_batches,
     prefetch_batches,
 )
+from semanticlens_tpu.data.image_folder import ImageFolder
 
-__all__ = ["ArrayDataset", "Batch", "iter_batches", "prefetch_batches"]
+__all__ = [
+    "ArrayDataset",
+    "Batch",
+    "ImageFolder",
+    "iter_batches",
+    "prefetch_batches",
+    "device_prefetch_batches",
+]

@@ -60,18 +60,21 @@ def _extract_image(item):
     return item
 
 
-def iter_batches(dataset, batch_size: int, *, pad_last: bool = True) -> Iterator[Batch]:
+def iter_batches(
+    dataset, batch_size: int, *, pad_last: bool = True, start_index: int = 0
+) -> Iterator[Batch]:
     """Yield fixed-shape :class:`Batch` es in dataset order.
 
     The final short batch is zero-padded to ``batch_size`` with
     ``valid=False`` rows (skipped when ``pad_last=False`` would break static
     shapes, so padding is always applied; the flag exists to drop an entirely
-    empty tail).
+    empty tail). ``start_index`` resumes iteration mid-dataset (must be a
+    batch boundary used by a previous run for ids to line up).
     """
     n = len(dataset)
     fast_images = getattr(dataset, "images", None)
 
-    for start in range(0, n, batch_size):
+    for start in range(start_index, n, batch_size):
         stop = min(start + batch_size, n)
         if fast_images is not None:
             block = np.asarray(fast_images[start:stop])

@@ -192,3 +192,29 @@ class TestShardedMerge:
 
         np.testing.assert_array_equal(np.asarray(merged.values), np.asarray(global_state.values))
         np.testing.assert_array_equal(np.asarray(merged.ids), np.asarray(global_state.ids))
+
+
+class TestActCache:
+    def test_capture_raw_activations(self):
+        import jax
+        import jax.numpy as jnp
+
+        from semanticlens_tpu.collect import ActCache
+        from semanticlens_tpu.models.base import SubjectModel, TapCollector
+        from semanticlens_tpu.models.layers import conv2d
+
+        class OneConv(SubjectModel):
+            module_names = ("c",)
+
+            def apply(self, params, x, tap_names=()):
+                tap = TapCollector(tap_names)
+                return tap("c", conv2d(x, params["w"])), tap.taps
+
+        model = OneConv()
+        params = {"w": jnp.ones((1, 1, 3, 4), jnp.float32)}
+        cache = ActCache(["c"])
+        out = cache.capture(model, params, jnp.ones((2, 5, 5, 3), jnp.float32))
+        assert out["c"].shape == (2, 5, 5, 4)
+        np.testing.assert_allclose(out["c"], 3.0)
+        cache.clear()
+        assert cache.cache == {}

@@ -1,0 +1,125 @@
+"""Data pipeline tests: batching, padding, prefetch, ImageFolder, resume."""
+
+import numpy as np
+import pytest
+
+from semanticlens_tpu.data import ArrayDataset, ImageFolder, iter_batches, prefetch_batches
+
+
+def test_iter_batches_padding():
+    ds = ArrayDataset(np.arange(10 * 4 * 4 * 3, dtype=np.float32).reshape(10, 4, 4, 3), name="d")
+    batches = list(iter_batches(ds, 4))
+    assert len(batches) == 3
+    assert batches[2].valid.tolist() == [True, True, False, False]
+    np.testing.assert_array_equal(batches[2].images[2:], 0)
+    assert [b.start_index for b in batches] == [0, 4, 8]
+
+
+def test_iter_batches_start_index():
+    ds = ArrayDataset(np.zeros((12, 2, 2, 3), np.float32), name="d")
+    batches = list(iter_batches(ds, 4, start_index=8))
+    assert [b.start_index for b in batches] == [8]
+
+
+def test_iter_batches_slow_path():
+    class ListDs:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, np.float32), i
+
+    batches = list(iter_batches(ListDs(), 2))
+    assert len(batches) == 3
+    np.testing.assert_array_equal(batches[1].images[0], np.full((2, 2, 3), 2))
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    items = list(prefetch_batches(iter(range(20)), depth=3))
+    assert items == list(range(20))
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetch_batches(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for cls in ["cat", "dog"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            arr = rng.integers(0, 255, size=(50, 70, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    return tmp_path
+
+
+def test_image_folder(image_dir):
+    ds = ImageFolder(image_dir, image_size=32)
+    assert len(ds) == 6
+    img, label = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert ds.class_to_idx == {"cat": 0, "dog": 1}
+    labels = {ds[i][1] for i in range(6)}
+    assert labels == {0, 1}
+
+
+def test_image_folder_empty_raises(tmp_path):
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError):
+        ImageFolder(tmp_path / "empty")
+    with pytest.raises(FileNotFoundError):
+        ImageFolder(tmp_path / "missing")
+
+
+def test_engine_checkpoint_resume(tmp_path):
+    """Interrupted collect sweeps resume from the last flush with identical
+    final state."""
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.models.base import SubjectModel, TapCollector
+    from semanticlens_tpu.models.layers import conv2d
+    from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+
+    class OneConv(SubjectModel):
+        module_names = ("c",)
+
+        def apply(self, params, x, tap_names=()):
+            tap = TapCollector(tap_names)
+            return tap("c", conv2d(x, params["w"])), tap.taps
+
+    model = OneConv()
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 3, 6)).astype(np.float32))}
+    ds = ArrayDataset(np.random.default_rng(1).normal(size=(32, 8, 8, 3)).astype(np.float32), name="d")
+
+    def make_engine():
+        return CollectEngine(model=model, layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5)
+
+    # Full run, no checkpointing.
+    ref_states, _ = make_engine().run(params, ds, 8)
+
+    # Partial run: process half, checkpoint, "crash".
+    eng = make_engine()
+    half = ArrayDataset(ds.images[:16], name="d")
+    states_half, _ = eng.run(params, half, 8, checkpoint_dir=tmp_path, checkpoint_every=1)
+    assert (tmp_path / "progress.json").exists()
+
+    # Resume on the full dataset from the checkpoint.
+    eng2 = make_engine()
+    resumed, _ = eng2.run(params, ds, 8, checkpoint_dir=tmp_path, checkpoint_every=1)
+    np.testing.assert_array_equal(
+        np.asarray(resumed["c"].ids), np.asarray(ref_states["c"].ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed["c"].values, np.float32), np.asarray(ref_states["c"].values, np.float32)
+    )
