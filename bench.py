@@ -101,7 +101,8 @@ def main():
     # Device-resident compute throughput — the design's ceiling where the
     # host→device link is not the bottleneck (real TPU hosts).
     bufs = [jax.device_put(images[i * BATCH : (i + 1) * BATCH]) for i in range(N_IMAGES // BATCH)]
-    np.asarray(bufs[-1][:1, :1, :1])
+    for b in bufs:  # sync EVERY upload — in-flight transfers would pollute timing
+        np.asarray(b[:1, :1, :1])
     states, _ = cv.engine.run(model.params, warm_ds, BATCH)
     step = cv.engine._get_step()
     t0 = time.perf_counter()

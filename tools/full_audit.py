@@ -1,0 +1,153 @@
+"""Full model audit (BASELINE.md config 5): all-layer concept DB + scores + search.
+
+Runs the complete pipeline sharded over every available chip:
+
+1. Collect + Embed (fused single pass) over all requested layers;
+2. clarity / redundancy / polysemanticity per layer;
+3. text search over every layer for the given queries;
+4. per-stage wall-clock + throughput report (JSON to stdout).
+
+Usage:
+    python tools/full_audit.py [--images /path.npy | --image-dir DIR]
+        [--depth 50] [--layers layer1 layer2 layer3 layer4]
+        [--n-samples 25] [--batch 256] [--queries dog "striped pattern"]
+        [--fm ViT-B-32] [--checkpoint ckpt.safetensors] [--bpe merges.gz]
+        [--cache-dir cache] [--no-mesh]
+
+Offline (no weights) it still runs end-to-end with random weights — the
+systems path is identical; only the semantics of the embeddings change.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", default=None, help=".npy uint8 (N,H,W,3)")
+    ap.add_argument("--image-dir", default=None)
+    ap.add_argument("--n-synthetic", type=int, default=1024)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
+    ap.add_argument("--n-samples", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--queries", nargs="*", default=["dog", "car wheel", "striped pattern"])
+    ap.add_argument("--fm", default="ViT-B-32")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--model-checkpoint", default=None, help="torchvision ResNet state dict (.pt)")
+    ap.add_argument("--bpe", default=None)
+    ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--no-mesh", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import semanticlens_tpu as sl
+    from semanticlens_tpu.collect import ActivationComponentVisualizer
+    from semanticlens_tpu.core import data_mesh
+    from semanticlens_tpu.data import ArrayDataset, ImageFolder
+    from semanticlens_tpu.foundation_models import OpenClip
+    from semanticlens_tpu.models import ResNet
+    from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+    from semanticlens_tpu.utils import StageTimer, make_preprocess_fn, setup_colored_logging
+
+    setup_colored_logging("INFO")
+    timer = StageTimer()
+
+    # --- data ----------------------------------------------------------------
+    if args.image_dir:
+        dataset = ImageFolder(args.image_dir, image_size=args.image_size)
+    elif args.images:
+        dataset = ArrayDataset(np.load(args.images), name=str(args.images))
+    else:
+        rng = np.random.default_rng(0)
+        dataset = ArrayDataset(
+            rng.integers(0, 255, size=(args.n_synthetic, args.image_size, args.image_size, 3), dtype=np.uint8),
+            name="synthetic-audit",
+        )
+    n = len(dataset)
+
+    # --- mesh ------------------------------------------------------------------
+    mesh = None
+    if not args.no_mesh and jax.device_count() > 1:
+        mesh = data_mesh()
+
+    # --- models ----------------------------------------------------------------
+    model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16)
+    if args.model_checkpoint:
+        import torch
+
+        model.params = model.load_torch_state_dict(
+            torch.load(args.model_checkpoint, map_location="cpu")
+        )
+    else:
+        model.params = model.init(jax.random.PRNGKey(0))
+    model.name = f"resnet{args.depth}-audit"
+
+    fm = OpenClip(
+        args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16, mesh=mesh
+    )
+    lens = sl.Lens(fm)
+
+    cv = ActivationComponentVisualizer(
+        model=model,
+        dataset_model=dataset,
+        dataset_fm=dataset,
+        layer_names=list(args.layers),
+        num_samples=args.n_samples,
+        aggregate_fn=aggregate_conv_mean,
+        model_preprocess=make_preprocess_fn(size=args.image_size, crop=args.image_size),
+        cache_dir=args.cache_dir,
+        mesh=mesh,
+    )
+
+    # --- pipeline ----------------------------------------------------------------
+    with timer.stage("collect+embed", items=n):
+        concept_db = lens.compute_concept_db(cv, batch_size=args.batch)
+        for v in concept_db.values():
+            np.asarray(v)
+
+    agg_db = {k: np.asarray(v).mean(1) for k, v in concept_db.items()}
+
+    scores_out = {}
+    with timer.stage("scores"):
+        clarity = lens.eval_clarity(concept_db)
+        redundancy = lens.eval_redundancy(agg_db)
+        poly = lens.eval_polysemanticity(concept_db)
+        for layer in args.layers:
+            scores_out[layer] = {
+                "clarity_mean": float(np.asarray(clarity[layer]).mean()),
+                "redundancy": float(np.asarray(redundancy[layer])),
+                "polysemanticity_mean": float(np.asarray(poly[layer]).mean()),
+            }
+
+    search_out = {}
+    with timer.stage("text-search"):
+        hits = lens.text_probing(list(args.queries), agg_db, templates=["a photo of a {}"])
+        for layer, sim in hits.items():
+            sim = np.asarray(sim)
+            search_out[layer] = {
+                q: int(sim[i].argmax()) for i, q in enumerate(args.queries)
+            }
+
+    report = {
+        "dataset": getattr(dataset, "name", "?"),
+        "n_images": n,
+        "layers": list(args.layers),
+        "mesh": dict(mesh.shape) if mesh is not None else None,
+        "db_shapes": {k: list(np.asarray(v).shape) for k, v in concept_db.items()},
+        "scores": scores_out,
+        "top_neuron_per_query": search_out,
+        "stages": timer.summary(),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
