@@ -17,3 +17,7 @@ __all__ = [
     "prefetch_batches",
     "device_prefetch_batches",
 ]
+
+from semanticlens_tpu.data.grain_adapter import GrainDataset, host_shard_range  # noqa: E402
+
+__all__ += ["GrainDataset", "host_shard_range"]

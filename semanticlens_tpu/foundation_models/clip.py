@@ -437,6 +437,7 @@ class OpenClip(AbstractVLM):
         dtype=jnp.bfloat16,
         mesh=None,
         seed: int = 0,
+        quick_gelu: bool | None = None,
         **kwargs,
     ):
         self.url = url
@@ -444,6 +445,14 @@ class OpenClip(AbstractVLM):
         if preset is None:
             raise ValueError(f"Unknown CLIP model '{url}'. Presets: {sorted(CLIP_PRESETS)}")
         self.cfg = CLIP_PRESETS[preset]
+        # OpenAI-pretrained towers use quick-GELU; LAION/datacomp ones use
+        # exact GELU. Auto-detect from open_clip-style naming, overridable.
+        if quick_gelu is None:
+            quick_gelu = not any(tag in url for tag in ("laion", "datacomp", "dfn", "metaclip"))
+            if "quickgelu" in url:
+                quick_gelu = True
+        if quick_gelu != self.cfg.quick_gelu:
+            self.cfg = dataclasses.replace(self.cfg, quick_gelu=quick_gelu)
         self.preset = preset
         self.dtype = dtype
         self.mesh = mesh

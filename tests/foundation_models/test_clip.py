@@ -189,3 +189,10 @@ def test_init_params_cover_all_specs():
     assert out.shape == (1, 16)
     txt = clip_encode_text(params, TINY, jnp.zeros((1, 12), jnp.int32))
     assert txt.shape == (1, 16)
+
+
+def test_quick_gelu_autodetect():
+    # params={} skips random init — only the config resolution is under test.
+    assert OpenClip("ViT-B-32", params={}).cfg.quick_gelu is True
+    assert OpenClip("hf-hub:laion/ViT-B-32-laion2b", params={}).cfg.quick_gelu is False
+    assert OpenClip("ViT-B-32", params={}, quick_gelu=False).cfg.quick_gelu is False

@@ -123,3 +123,19 @@ def test_engine_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(resumed["c"].values, np.float32), np.asarray(ref_states["c"].values, np.float32)
     )
+
+
+def test_grain_adapter_protocol():
+    from semanticlens_tpu.data import GrainDataset, host_shard_range
+
+    records = [{"img": np.full((4, 4, 3), i, np.uint8), "label": i % 2} for i in range(10)]
+    ds = GrainDataset(records, transform=lambda r: (r["img"], r["label"]), name="grain-fake")
+    assert len(ds) == 10
+    img, label = ds[3]
+    assert img.shape == (4, 4, 3) and label == 1
+    batches = list(iter_batches(ds, 4))
+    assert len(batches) == 3
+
+    # Host shard ranges tile the dataset without overlap.
+    ranges = [host_shard_range(10, process_index=i, process_count=3) for i in range(3)]
+    assert ranges == [(0, 4), (4, 8), (8, 10)]
