@@ -115,9 +115,16 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             input_preprocess=preprocess_fn,
         )
         self._attribution_fns: dict[str, object] = {}
-        self._ran = self.check_if_preprocessed()
-        if self._ran:
-            self.actmax_cache.load(self.storage_dir)
+        self._ran = False
+        if self.check_if_preprocessed():
+            try:
+                self.actmax_cache.load(self.storage_dir)
+                self._ran = True
+            except FileNotFoundError:
+                # Stale cache written with different num_samples/aggregation —
+                # recompute on run() rather than failing construction.
+                logger.info("Existing cache at %s does not match this configuration; "
+                            "will recompute on run().", self.storage_dir)
 
     # ------------------------------------------------------------- properties
     @property
@@ -144,12 +151,13 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
 
     # ----------------------------------------------------------------- sweep
     def check_if_preprocessed(self) -> bool:
+        """True iff every layer's exact cache file (matching aggregation fn
+        and num_samples) exists."""
         d = self.storage_dir
         if not d.is_dir():
             return False
-        files = [f.name for f in d.iterdir()]
-        return bool(files) and all(
-            any(layer in f for f in files) for layer in self.layer_names
+        return all(
+            (d / self.actmax_cache._layer_fname(layer)).exists() for layer in self.layer_names
         )
 
     def run(self, composite=None, data_start=0, data_end=None, batch_size=32, checkpoint=500, **kwargs):
@@ -178,6 +186,14 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             checkpoint_every=max(1, checkpoint // batch_size) if checkpoint else 0,
         )
         for name, state in states.items():
+            if data_start:
+                # Engine ids are slice-local; stored ids must index the FULL
+                # dataset (get_max_reference renders from self.dataset).
+                import jax.numpy as jnp
+
+                state = state._replace(
+                    ids=jnp.where(state.ids >= 0, state.ids + data_start, state.ids)
+                )
             act_max = self.actmax_cache[name]
             act_max.n_latents = int(state.values.shape[0])
             act_max.state = state
@@ -254,17 +270,20 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             ids_table = self.get_act_max_sample_ids(layer_name)
             n_components = ids_table.shape[0]
             refs = self.get_max_reference(list(range(n_components)), layer_name, n_ref, batch_size)
+
+            # Encode non-empty components first so dead components (all-
+            # sentinel top-k) can be zero-padded with the right width.
+            encoded = {
+                cid: np.asarray(fm.encode_image(fm.preprocess(pils)), np.float32)
+                for cid, pils in refs.items()
+                if pils
+            }
+            embed_dim = next(iter(encoded.values())).shape[-1] if encoded else 1
             embeds = []
-            embed_dim = None
             for cid in range(n_components):
-                pils = refs[cid]
-                if pils:
-                    e = np.asarray(fm.encode_image(fm.preprocess(pils)), np.float32)
-                    embed_dim = e.shape[-1]
-                else:
-                    e = np.zeros((0, embed_dim or 1), np.float32)
+                e = encoded.get(cid, np.zeros((0, embed_dim), np.float32))
                 if e.shape[0] < n_ref:  # pad unfilled slots with zeros
-                    e = np.concatenate([e, np.zeros((n_ref - e.shape[0], e.shape[-1]), np.float32)])
+                    e = np.concatenate([e, np.zeros((n_ref - e.shape[0], embed_dim), np.float32)])
                 embeds.append(e)
             concept_db[layer_name] = np.stack(embeds)
         return concept_db

@@ -498,10 +498,17 @@ class OpenClip(AbstractVLM):
         return f"{self.__class__.__name__}(url='{self.url}', preset={self.preset})"
 
     def preprocess(self, img):
-        """Host images → normalized (B, S, S, 3) on device."""
-        arr = _to_image_batch(img)
+        """Host images → normalized (B, S, S, 3) on device.
+
+        Accepts device arrays (pass-through, no host round trip), numpy
+        arrays (uint8 0–255 or float; host floats in 0–255 are rescaled),
+        single PILs, and lists of PILs/arrays — mixed sizes are resized on
+        the host per image, mirroring the reference's per-PIL torchvision
+        path (reference clip.py:137-163).
+        """
+        arr = _to_image_batch(img, target_size=self.cfg.vision.image_size)
         return preprocess_images(
-            jnp.asarray(arr),
+            jnp.asarray(arr) if not isinstance(arr, jax.Array) else arr,
             size=self.cfg.vision.image_size,
             crop=self.cfg.vision.image_size,
             mean=self.cfg.mean,
@@ -527,10 +534,17 @@ def _resolve_preset(url: str) -> str | None:
         return url
     stripped = url.split(":")[-1]  # hf-hub:org/name → name
     stripped = stripped.split("/")[-1]
+    if "siglip" in stripped.lower():
+        raise ValueError(f"'{url}' is a SigLIP model — use foundation_models.SigLipV2")
+    # Exact match, or preset followed by a '-'-separated tag (quickgelu,
+    # laion2b, …). A bare prefix like 'RN50x4' must NOT resolve to 'RN50':
+    # scaled variants are different architectures.
+    best = None
     for preset in CLIP_PRESETS:
-        if stripped == preset or stripped.startswith(preset):
-            return preset
-    return None
+        if stripped == preset or stripped.startswith(preset + "-"):
+            if best is None or len(preset) > len(best):
+                best = preset
+    return best
 
 
 def _load_checkpoint(checkpoint):
@@ -546,17 +560,45 @@ def _load_checkpoint(checkpoint):
     return checkpoint  # assume mapping
 
 
-def _to_image_batch(img):
+def _to_image_batch(img, target_size: int | None = None):
     """PIL / array / list-of-either → (B, H, W, C); device arrays pass through.
 
     A batch already on device (e.g. the shared upload of the fused
-    Collect+Embed pass) must NOT round-trip through the host.
+    Collect+Embed pass) must NOT round-trip through the host. Mixed-size
+    lists are host-resized (PIL bicubic, shorter side → ``target_size``,
+    center crop) so stacking succeeds — the reference's per-PIL path. Host
+    float arrays with values in 0–255 are rescaled to 0–1 (the on-device
+    normalizer only auto-scales uint8).
     """
     if isinstance(img, jax.Array):
         return img if img.ndim == 4 else img[None]
     if isinstance(img, (list, tuple)):
-        return np.stack([np.asarray(i) for i in img])
-    arr = np.asarray(img)
-    if arr.ndim == 3:
-        arr = arr[None]
+        arrs = [np.asarray(i) for i in img]
+        shapes = {a.shape for a in arrs}
+        if len(shapes) > 1:
+            if target_size is None:
+                raise ValueError("Mixed-size image list requires a target size")
+            arrs = [_host_resize_crop(a, target_size) for a in arrs]
+        arr = np.stack(arrs)
+    else:
+        arr = np.asarray(img)
+        if arr.ndim == 3:
+            arr = arr[None]
+    if arr.dtype.kind == "f" and arr.size and float(arr.max()) > 2.0:
+        arr = (arr / 255.0).astype(np.float32)
     return arr
+
+
+def _host_resize_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    """PIL-bicubic shorter-side resize + center crop on the host → uint8 HWC."""
+    from PIL import Image
+
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0 if arr.max() <= 2.0 else arr, 0, 255).astype(np.uint8)
+    pil = Image.fromarray(arr)
+    w, h = pil.size
+    scale = size / min(w, h)
+    pil = pil.resize((max(1, round(w * scale)), max(1, round(h * scale))), Image.BICUBIC)
+    w, h = pil.size
+    left, top = (w - size) // 2, (h - size) // 2
+    return np.asarray(pil.crop((left, top, left + size, top + size)), np.uint8)

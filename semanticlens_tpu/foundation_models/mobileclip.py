@@ -288,7 +288,7 @@ class ClipMobile(AbstractVLM):
         return f"{self.__class__.__name__}(url='{self.url}')"
 
     def preprocess(self, img):
-        arr = _to_image_batch(img)
+        arr = _to_image_batch(img, target_size=self.cfg.image_size)
         return preprocess_images(
             jnp.asarray(arr) if not isinstance(arr, jax.Array) else arr,
             size=self.cfg.image_size,

@@ -284,9 +284,9 @@ class SigLipV2(AbstractVLM):
     def preprocess(self, img):
         from semanticlens_tpu.foundation_models.clip import _to_image_batch
 
-        arr = _to_image_batch(img)
+        arr = _to_image_batch(img, target_size=self.cfg.image_size)
         return preprocess_images(
-            jnp.asarray(arr),
+            jnp.asarray(arr) if not isinstance(arr, jax.Array) else arr,
             size=self.cfg.image_size,
             crop=self.cfg.image_size,
             mean=SIGLIP_MEAN,

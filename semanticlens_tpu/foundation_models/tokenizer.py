@@ -100,11 +100,14 @@ class ClipBpeTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
+        # open_clip's pattern uses \p{L}/\p{N}; stdlib `re` has no \p classes,
+        # so emulate them: [^\W\d_] == unicode letter, \d == unicode digit,
+        # and the punctuation class excludes both plus whitespace (underscore
+        # is punctuation in \p{L}\p{N} terms, so it joins the last class).
         self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-            if False
-            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-            re.IGNORECASE,
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+            r"""|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+            re.IGNORECASE | re.UNICODE,
         )
         self.sot_token = self.encoder["<|startoftext|>"]
         self.eot_token = self.encoder["<|endoftext|>"]

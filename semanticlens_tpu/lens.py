@@ -21,9 +21,9 @@ from semanticlens_tpu.collect.base import AbstractComponentVisualizer
 from semanticlens_tpu.foundation_models.base import AbstractVLM
 from semanticlens_tpu.scores import (
     clarity_score,
+    cosine_probe,
     polysemanticity_score,
     redundancy_score,
-    similarity_score,
 )
 from semanticlens_tpu.utils.helper import get_fallback_name
 
@@ -99,12 +99,17 @@ def _embed_text_probes(fm: AbstractVLM, query: list[str], templates, batch_size)
 
 
 def _probe(query, aggregated_concept_db):
+    # cosine_probe, not similarity_score: the reference's shape dispatch
+    # (scores.py:122) silently computes the wrong product whenever a layer's
+    # component count equals the embedding dim (e.g. 512-channel layers vs a
+    # 512-dim CLIP). Probing layouts are known here, so use the unambiguous
+    # primitive.
     if isinstance(aggregated_concept_db, dict):
         return {
-            key: np.asarray(similarity_score(query, np.asarray(value, np.float32)))
+            key: np.asarray(cosine_probe(query, np.asarray(value, np.float32)))
             for key, value in aggregated_concept_db.items()
         }
-    return np.asarray(similarity_score(query, np.asarray(aggregated_concept_db, np.float32)))
+    return np.asarray(cosine_probe(query, np.asarray(aggregated_concept_db, np.float32)))
 
 
 class Lens:

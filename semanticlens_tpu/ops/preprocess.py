@@ -40,7 +40,12 @@ def preprocess_images(
     std=CLIP_STD,
     interpolation: str = "bicubic",
 ):
-    """(B, H, W, C) uint8/float in [0, 255] or [0, 1] → normalized (B, crop, crop, C).
+    """(B, H, W, C) uint8 (0–255) or float (0–1) → normalized (B, crop, crop, C).
+
+    Float inputs MUST be pre-scaled to [0, 1] — dtype is the only signal
+    available inside jit (a value-dependent branch would break tracing); the
+    foundation models' ``preprocess`` wrappers rescale host floats in 0–255
+    before shipping.
 
     Matches torchvision's ``Resize(size) → CenterCrop(crop) → ToTensor →
     Normalize`` semantics: the shorter side is scaled to ``size`` keeping

@@ -35,6 +35,7 @@ __all__ = [
     "clarity_score",
     "redundancy_score",
     "similarity_score",
+    "cosine_probe",
     "polysemanticity_score",
 ]
 
@@ -108,6 +109,19 @@ def similarity_score(x, y):
     y = jnp.asarray(y, jnp.float32)
     if x.shape != y.shape:
         if x.shape[1] == y.shape[0]:
+            if y.shape[0] == y.shape[1]:
+                # Ambiguous square y: the reference's dispatch (scores.py:122)
+                # would take this branch and compute x̂ @ ŷ with ŷ
+                # ROW-normalized — garbage whenever y is actually a
+                # (components, features) DB whose component count equals the
+                # embedding dim. Probing callers should use
+                # :func:`cosine_probe`, which has unambiguous semantics.
+                logger.warning(
+                    "similarity_score: y is square (%s); interpreting as x @ y "
+                    "(reference dispatch). If y is a (components, features) "
+                    "concept DB, use cosine_probe / pass y transposed.",
+                    y.shape,
+                )
             # Reference quirk kept verbatim (scores.py:122-123): x̂ @ ŷ with ŷ
             # row-normalized — only the x-side is a true cosine here.
             return jnp.matmul(
@@ -117,6 +131,22 @@ def similarity_score(x, y):
             return _cosine_matrix(x, y.T)
         raise ValueError("x and y must have the same shape")
     return jnp.sum(_normalize(x, -1) * _normalize(y, -1), axis=-1)
+
+
+def cosine_probe(queries, concept_db):
+    """Cosine similarity of (Q, D) queries against a (C, D) concept DB → (Q, C).
+
+    Shape-unambiguous probing primitive: unlike ``similarity_score`` (whose
+    reference-parity dispatch misfires when C == D), the layouts are fixed by
+    contract. Used by all probing paths.
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    concept_db = jnp.asarray(concept_db, jnp.float32)
+    if queries.shape[-1] != concept_db.shape[-1]:
+        raise ValueError(
+            f"feature dims differ: queries {queries.shape} vs concept_db {concept_db.shape}"
+        )
+    return _cosine_matrix(queries, concept_db.T)
 
 
 @functools.partial(jax.jit, static_argnames=("replace_empty_clusters", "random_state", "n_clusters"))

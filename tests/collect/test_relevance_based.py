@@ -126,3 +126,87 @@ def test_relevance_concept_db(rel_cv):
     rel_cv.run(batch_size=8)
     db = rel_cv._compute_concept_db(TinyFM(), batch_size=8, n_ref=3)
     assert db["layer2"].shape == (128, 3, 3)
+
+
+def test_data_start_offsets_sample_ids(tmp_path):
+    """Regression: run(data_start>0) must store FULL-dataset sample ids."""
+    model = ResNet(depth=18, num_classes=10, dtype=jnp.float32)
+    model.params = model.init(jax.random.PRNGKey(3))
+    model.name = "r18b"
+    rng = np.random.default_rng(3)
+    images = rng.random((20, 32, 32, 3)).astype(np.float32)
+    # Make samples 10.. much stronger so they dominate the top-k.
+    images[10:] *= 3.0
+    ds = ArrayDataset(images, name="offs20")
+    cv = RelevanceComponentVisualizer(
+        model=model, dataset=ds, layer_names=["layer4"], num_samples=3,
+        storage_dir=str(tmp_path))
+    cv.run(batch_size=4, data_start=10, data_end=20)
+    ids = cv.get_act_max_sample_ids("layer4")
+    valid = ids[ids >= 0]
+    assert valid.min() >= 10 and valid.max() < 20
+
+
+def test_stale_cache_config_mismatch_recomputes(tmp_path):
+    """Regression: a cache written with different num_samples must not make
+    construction fail — it recomputes on run()."""
+    model = ResNet(depth=18, num_classes=10, dtype=jnp.float32)
+    model.params = model.init(jax.random.PRNGKey(4))
+    model.name = "r18c"
+    ds = ArrayDataset(np.random.default_rng(4).random((8, 32, 32, 3)).astype(np.float32), name="d8")
+    cv1 = RelevanceComponentVisualizer(model=model, dataset=ds, layer_names=["layer4"],
+                                       num_samples=4, storage_dir=str(tmp_path))
+    cv1.run(batch_size=4)
+    # Different num_samples: constructor must succeed and run() recompute.
+    cv2 = RelevanceComponentVisualizer(model=model, dataset=ds, layer_names=["layer4"],
+                                       num_samples=2, storage_dir=str(tmp_path))
+    out = cv2.run(batch_size=4)
+    assert cv2.get_act_max_sample_ids("layer4").shape == (512, 2)
+    del out
+
+
+def test_concept_db_with_dead_components(tmp_path):
+    """Regression: components with all-sentinel top-k (no refs) must zero-pad
+    with the embedding width, not crash np.stack."""
+    from semanticlens_tpu.models.base import SubjectModel, TapCollector
+    from semanticlens_tpu.models.layers import conv2d
+
+    class TwoChan(SubjectModel):
+        module_names = ("c",)
+
+        def init(self, rng):
+            w = np.zeros((1, 1, 3, 2), np.float32)
+            w[..., 0] = 1.0   # channel 0 alive
+            w[..., 1] = -1.0  # channel 1 always negative → dead
+            return {"w": jnp.asarray(w)}
+
+        def apply(self, params, x, tap_names=()):
+            tap = TapCollector(tap_names)
+            return tap("c", conv2d(x, params["w"])), tap.taps
+
+    model = TwoChan()
+    model.params = model.init(None)
+    model.name = "twochan"
+    ds = ArrayDataset(np.random.default_rng(5).random((8, 16, 16, 3)).astype(np.float32), name="p8")
+    cv = RelevanceComponentVisualizer(model=model, dataset=ds, layer_names=["c"],
+                                      num_samples=3, storage_dir=str(tmp_path))
+    cv.run(batch_size=4)
+
+    class TinyFM2:
+        name = "t2"
+
+        def preprocess(self, pils):
+            return jnp.asarray(np.stack([np.asarray(p.resize((8, 8)), np.float32) for p in pils]))
+
+        def encode_image(self, x):
+            return jnp.mean(x, axis=(1, 2))
+
+        def tokenize(self, t):
+            return jnp.zeros((1, 2), jnp.int32)
+
+        def encode_text(self, t):
+            return jnp.zeros((1, 3), jnp.float32)
+
+    db = cv._compute_concept_db(TinyFM2(), batch_size=4, n_ref=3)
+    assert db["c"].shape == (2, 3, 3)
+    np.testing.assert_allclose(db["c"][1], 0.0)  # dead channel → zeros

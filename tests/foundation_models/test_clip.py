@@ -196,3 +196,31 @@ def test_quick_gelu_autodetect():
     assert OpenClip("ViT-B-32", params={}).cfg.quick_gelu is True
     assert OpenClip("hf-hub:laion/ViT-B-32-laion2b", params={}).cfg.quick_gelu is False
     assert OpenClip("ViT-B-32", params={}, quick_gelu=False).cfg.quick_gelu is False
+
+
+def test_scaled_architecture_variants_rejected():
+    """Regression: RN50x4 / RN50x16 are different architectures and must NOT
+    silently resolve to the RN50 preset."""
+    with pytest.raises(ValueError):
+        OpenClip("RN50x4", params={})
+    with pytest.raises(ValueError):
+        OpenClip("hf-hub:timm/ViT-B-16-SigLIP2", params={})
+
+
+def test_mixed_size_pil_list_preprocess():
+    PIL = pytest.importorskip("PIL.Image")
+    fm = OpenClip("ViT-B-32", params={})
+    imgs = [
+        PIL.fromarray(np.zeros((100, 160, 3), np.uint8)),
+        PIL.fromarray(np.full((250, 250, 3), 255, np.uint8)),
+    ]
+    out = fm.preprocess(imgs)
+    assert out.shape == (2, 224, 224, 3)
+
+
+def test_float_0_255_host_array_rescaled():
+    fm = OpenClip("ViT-B-32", params={})
+    x = np.full((1, 224, 224, 3), 128.0, np.float32)
+    out = np.asarray(fm.preprocess(x))
+    # 128/255 ≈ 0.502 normalized: |(0.502-0.48)/0.27| < 1, not ~470σ.
+    assert np.abs(out).max() < 2.0

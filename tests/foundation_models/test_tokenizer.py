@@ -5,6 +5,8 @@ A miniature merges file exercises the full BPE pipeline (byte→unicode,
 asserted to match open_clip's tokenize contract.
 """
 
+import re
+
 import numpy as np
 import pytest
 
@@ -73,3 +75,10 @@ def test_hash_tokenizer_deterministic():
     np.testing.assert_array_equal(a, b)
     assert a[0, 0] == 98  # SOT = vocab−2
     assert tok(["x"]).shape == (1, 6)
+
+
+def test_unicode_words_tokenize_as_letters(mini_bpe):
+    # 'café' must be matched as ONE word by the \p{L}+-equivalent class
+    # (open_clip semantics), not split at the accent.
+    toks = re.findall(mini_bpe.pat, "café 99 !?")
+    assert toks == ["café", "9", "9", "!?"]

@@ -163,3 +163,27 @@ def test_polysemanticity_close_to_sklearn_on_noise():
     poly = np.asarray(scores.polysemanticity_score(V))
     ref_poly = _sklearn_reference_poly(V)
     np.testing.assert_allclose(poly, ref_poly, atol=0.15)
+
+
+def test_cosine_probe_square_db_unambiguous():
+    """Regression: probing a DB whose component count equals the embedding
+    dim must compute queries @ db.T (the reference's similarity_score
+    dispatch silently computes the wrong product in this case)."""
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    db = rng.normal(size=(8, 8)).astype(np.float32)  # C == D
+
+    out = np.asarray(scores.cosine_probe(q, db))
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    dn = db / np.linalg.norm(db, axis=-1, keepdims=True)
+    np.testing.assert_allclose(out, qn @ dn.T, atol=1e-5)
+
+    # Lens._probe must route through cosine_probe.
+    from semanticlens_tpu.lens import _probe
+
+    np.testing.assert_allclose(_probe(q, db), qn @ dn.T, atol=1e-5)
+
+
+def test_cosine_probe_dim_mismatch_raises():
+    with pytest.raises(ValueError):
+        scores.cosine_probe(np.zeros((2, 8), np.float32), np.zeros((4, 6), np.float32))
