@@ -5,3 +5,7 @@ from semanticlens_tpu.models.resnet import ResNet
 from semanticlens_tpu.models.vit import VisionTransformer
 
 __all__ = ["SubjectModel", "TapCollector", "validate_layers", "ResNet", "VisionTransformer"]
+
+from semanticlens_tpu.models.flax_adapter import FlaxSubjectModel  # noqa: E402
+
+__all__ += ["FlaxSubjectModel"]

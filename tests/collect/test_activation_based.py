@@ -267,3 +267,29 @@ def test_device_resident_rejects_ragged(tiny_setup):
                         aggregation_fn=aggregate_conv_mean, n_collect=5)
     with pytest.raises(ValueError):
         eng.run_device_resident(model.params, jnp.asarray(ds.images), 16)  # 50 % 16 != 0
+
+
+def test_fused_path_with_mesh_matches_single_device(tiny_setup):
+    """run_fused under a data mesh: states AND embeddings match 1-device."""
+    model, ds = tiny_setup
+    from jax.sharding import Mesh
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+
+    fm = FakeVLM()
+
+    def embed_fn(x):
+        return fm.encode_image(x.astype(jnp.float32))
+
+    def mk(mesh=None):
+        return CollectEngine(model=model, layer_names=("0",),
+                             aggregation_fn=aggregate_conv_mean, n_collect=5, mesh=mesh)
+
+    images = ds.images[:48]
+    s1, e1, n1 = mk().run_fused(model.params, ArrayDataset(images, name="x"), 16, embed_fn)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    s2, e2, n2 = mk(mesh).run_fused(model.params, ArrayDataset(images, name="x"), 16, embed_fn)
+
+    assert n1 == n2 == 48
+    np.testing.assert_array_equal(np.asarray(s1["0"].ids), np.asarray(s2["0"].ids))
+    np.testing.assert_allclose(e1, e2, atol=1e-5)
