@@ -86,20 +86,10 @@ def main():
     )
     np.asarray(warm_states["layer4"].values), warm_embeds
 
-    # End-to-end pipeline, best of 2 (host→device transport on shared links
-    # is noisy; compute is deterministic).
-    walls = []
-    concept_db = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
-        _force(concept_db)  # host materialization = honest end-to-end timing
-        walls.append(time.perf_counter() - t0)
-    total_s = min(walls)
-    imgs_per_sec = N_IMAGES / total_s
-
     # Device-resident compute throughput — the design's ceiling where the
-    # host→device link is not the bottleneck (real TPU hosts).
+    # host→device link is not the bottleneck (real TPU hosts). Measured
+    # BEFORE the end-to-end run: the tunnel's remote executor degrades
+    # under transfer backlog and would pollute a post-pipeline measurement.
     bufs = [jax.device_put(images[i * BATCH : (i + 1) * BATCH]) for i in range(N_IMAGES // BATCH)]
     for b in bufs:  # sync EVERY upload — in-flight transfers would pollute timing
         np.asarray(b[:1, :1, :1])
@@ -114,6 +104,19 @@ def main():
     es = [embed_fn(b) for b in bufs]
     np.asarray(es[-1][:1])
     embed_compute_s = time.perf_counter() - t0
+    del bufs, es, states
+
+    # End-to-end pipeline, best of 2 (host→device transport on shared links
+    # is noisy; compute is deterministic).
+    walls = []
+    concept_db = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
+        _force(concept_db)  # host materialization = honest end-to-end timing
+        walls.append(time.perf_counter() - t0)
+    total_s = min(walls)
+    imgs_per_sec = N_IMAGES / total_s
 
     result = {
         "metric": "concept-DB build imgs/sec/chip (fused ResNet-50 collect + CLIP ViT-B/32 embed)",
