@@ -15,6 +15,7 @@ assembly with device compute via a background thread.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from typing import Iterator, NamedTuple
@@ -107,10 +108,22 @@ def device_prefetch_batches(
     import jax
 
     def put(batch: Batch):
-        if sharding is not None:
-            images = jax.device_put(batch.images, sharding)
-        else:
-            images = jax.device_put(batch.images)
+        # Transient transport failures (remote/tunneled device runtimes) are
+        # retried once before surfacing — a single flaky transfer should not
+        # kill an hours-long sweep whose state is checkpointable.
+        for attempt in (0, 1):
+            try:
+                if sharding is not None:
+                    images = jax.device_put(batch.images, sharding)
+                else:
+                    images = jax.device_put(batch.images)
+                break
+            except Exception:
+                if attempt:
+                    raise
+                logging.getLogger(__name__).warning(
+                    "device_put failed for batch @%d; retrying once", batch.start_index
+                )
         # The validity mask is derivable on device from (start_index, n);
         # ship only the images (the mask would be one more small put per step).
         return images, batch.start_index, batch.valid

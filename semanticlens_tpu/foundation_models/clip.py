@@ -102,6 +102,16 @@ CLIP_PRESETS: dict[str, CLIPConfig] = {
         vision=VisionCfg(kind="vit", patch_size=14, width=1024, layers=24, heads=16),
         text=TextCfg(width=768, heads=12, layers=12),
     ),
+    "ViT-L-14-336": CLIPConfig(
+        embed_dim=768,
+        vision=VisionCfg(kind="vit", image_size=336, patch_size=14, width=1024, layers=24, heads=16),
+        text=TextCfg(width=768, heads=12, layers=12),
+    ),
+    "RN101": CLIPConfig(
+        embed_dim=512,
+        vision=VisionCfg(kind="resnet", image_size=224, layers=(3, 4, 23, 3), resnet_width=64),
+        text=TextCfg(width=512, heads=8, layers=12),
+    ),
 }
 
 

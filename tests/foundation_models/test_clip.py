@@ -224,3 +224,16 @@ def test_float_0_255_host_array_rescaled():
     out = np.asarray(fm.preprocess(x))
     # 128/255 ≈ 0.502 normalized: |(0.502-0.48)/0.27| < 1, not ~470σ.
     assert np.abs(out).max() < 2.0
+
+
+def test_additional_presets_resolve_and_spec():
+    from semanticlens_tpu.foundation_models.clip import CLIP_PRESETS, clip_param_specs
+
+    assert OpenClip("ViT-L-14-336", params={}).preset == "ViT-L-14-336"
+    assert OpenClip("RN101", params={}).preset == "RN101"
+    # Spec generation must be consistent for every preset (shape sanity).
+    for name, cfg in CLIP_PRESETS.items():
+        specs = clip_param_specs(cfg)
+        names = [n for n, _, _ in specs]
+        assert len(names) == len(set(names)), f"duplicate param names in {name}"
+        assert "text_projection" in names
