@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from semanticlens_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
 REFERENCE_IMGS_PER_SEC = 100.0
 
 N_IMAGES = 2048
@@ -32,8 +34,6 @@ BATCH = 256
 IMAGE_SIZE = 224
 N_COLLECT = 25
 LAYERS = ("layer1", "layer2", "layer3", "layer4")
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def main():

@@ -20,12 +20,14 @@ import logging
 import warnings
 from pathlib import Path
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from semanticlens_tpu.collect.activation_caching import ActMaxCache
 from semanticlens_tpu.collect.base import AbstractComponentVisualizer
 from semanticlens_tpu.collect.engine import CollectEngine
-from semanticlens_tpu.data.dataset import iter_batches, prefetch_batches
+from semanticlens_tpu.data.dataset import get_image, iter_batches, prefetch_batches
 from semanticlens_tpu.models.base import SubjectModel, validate_layers
 from semanticlens_tpu.ops import aggregators
 from semanticlens_tpu.utils.helper import get_fallback_name
@@ -270,9 +272,6 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         Raw batches upload in host dtype (uint8 stays uint8); embeddings
         accumulate on device and return in a single readback.
         """
-        import jax
-        import jax.numpy as jnp
-
         n = len(self.dataset_fm)
         chunks = []
         for batch in prefetch_batches(iter_batches(self.dataset_fm, batch_size)):
@@ -323,7 +322,7 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         pics = []
         for component_id in component_ids:
             ids = self.get_max_reference(layer_name)[int(component_id)][:n_samples]
-            imgs = [np.asarray(post_process(_get_image(self.dataset, int(i)))) for i in ids]
+            imgs = [np.asarray(post_process(get_image(self.dataset, int(i)))) for i in ids]
             pics.append(_make_grid(imgs, nrow=nrows))
 
         n_pics = len(pics)
@@ -366,10 +365,6 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         if layer_name not in self.layer_names:
             raise ValueError(f"Layer '{layer_name}' not found in model layers: {self.layer_names}")
 
-
-def _get_image(dataset, idx: int):
-    item = dataset[idx]
-    return item[0] if isinstance(item, (tuple, list)) else item
 
 
 def _make_grid(imgs: list[np.ndarray], nrow: int = 3) -> np.ndarray:

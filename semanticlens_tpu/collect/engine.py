@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from semanticlens_tpu.data.dataset import device_prefetch_batches, iter_batches
+from semanticlens_tpu.data.dataset import device_prefetch_batches, get_image, iter_batches
 from semanticlens_tpu.models.base import SubjectModel
 from semanticlens_tpu.ops.topk import TopKState, init_topk, topk_merge, topk_update
 
@@ -225,11 +225,8 @@ class CollectEngine:
         return states, int(meta["next_start"])
 
     def _probe_shape(self, dataset, batch_size):
-        probe = np.asarray(
-            dataset.images[0]
-            if getattr(dataset, "images", None) is not None
-            else _first_image(dataset)
-        )
+        fast = getattr(dataset, "images", None)
+        probe = np.asarray(fast[0]) if fast is not None else get_image(dataset, 0)
         return (batch_size, *probe.shape), probe.dtype
 
     def _check_batch(self, batch_size):
@@ -366,7 +363,3 @@ class CollectEngine:
         embeds = np.asarray(jnp.concatenate(embed_chunks, axis=0), np.float32)[:n]
         return self._finalize(states), embeds, n
 
-
-def _first_image(dataset):
-    item = dataset[0]
-    return item[0] if isinstance(item, (tuple, list)) else item

@@ -21,11 +21,13 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
+import jax.numpy as jnp
 import numpy as np
 
 from semanticlens_tpu.collect.activation_caching import ActMaxCache
 from semanticlens_tpu.collect.base import AbstractComponentVisualizer
 from semanticlens_tpu.collect.engine import CollectEngine
+from semanticlens_tpu.data.dataset import get_image
 from semanticlens_tpu.models.base import validate_layers
 from semanticlens_tpu.ops import aggregators
 from semanticlens_tpu.relevance.attribution import make_attribution_fn
@@ -189,8 +191,6 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             if data_start:
                 # Engine ids are slice-local; stored ids must index the FULL
                 # dataset (get_max_reference renders from self.dataset).
-                import jax.numpy as jnp
-
                 state = state._replace(
                     ids=jnp.where(state.ids >= 0, state.ids + data_start, state.ids)
                 )
@@ -232,8 +232,6 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
         get_max_reference contract (relevance_based.py:202-246), computed
         with JAX LRP instead of crp/zennit.
         """
-        import jax.numpy as jnp
-
         if not self._ran:
             raise RuntimeError("Call run() first to collect maximally activating samples.")
         if isinstance(concept_ids, (int, np.integer)):
@@ -248,7 +246,7 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             if not ids:
                 out[int(cid)] = []
                 continue
-            raw = np.stack([_get_image(self.dataset, i) for i in ids])
+            raw = np.stack([get_image(self.dataset, i) for i in ids])
             heat = np.asarray(fn(self.params, jnp.asarray(raw), jnp.int32(cid)))
             out[int(cid)] = self.plot_fn(raw, heat)
         return out
@@ -324,7 +322,3 @@ class _Preprocessed:
             x = self.preprocess_fn(x)
         return self.model.apply(params, x, tap_names)
 
-
-def _get_image(dataset, idx: int):
-    item = dataset[idx]
-    return np.asarray(item[0] if isinstance(item, (tuple, list)) else item)

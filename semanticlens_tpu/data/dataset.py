@@ -55,6 +55,11 @@ class ArrayDataset:
         return f"ArrayDataset(n={len(self.images)}, shape={self.images.shape[1:]})"
 
 
+def get_image(dataset, idx: int) -> np.ndarray:
+    """Image at ``idx`` regardless of whether items are bare or (image, label)."""
+    return np.asarray(_extract_image(dataset[idx]))
+
+
 def _extract_image(item):
     if isinstance(item, (tuple, list)):
         return item[0]

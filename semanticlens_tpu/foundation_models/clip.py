@@ -24,7 +24,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
-import math
 from typing import Literal
 
 import jax
@@ -32,8 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from semanticlens_tpu.foundation_models.base import AbstractVLM
+from semanticlens_tpu.foundation_models.common import init_from_specs
 from semanticlens_tpu.foundation_models.tokenizer import ClipBpeTokenizer, HashTokenizer
-from semanticlens_tpu.models.base import TapCollector
 from semanticlens_tpu.models.layers import (
     avg_pool,
     batch_norm,
@@ -205,7 +204,6 @@ def _rn_bottleneck(params, prefix, x, stride, dtype):
 def resnet_encode_image(params, cfg: CLIPConfig, images, *, dtype=jnp.float32, tap=None):
     """(B, H, W, 3) → (B, embed_dim). CLIP ModifiedResNet with attention pool."""
     v = cfg.vision
-    width = v.resnet_width
     x = images.astype(dtype)
 
     def bn(p, h):
@@ -228,7 +226,6 @@ def resnet_encode_image(params, cfg: CLIPConfig, images, *, dtype=jnp.float32, t
         for b in range(n_blocks):
             stride = strides[stage - 1] if b == 0 else 1
             x = _rn_bottleneck(params, f"visual.layer{stage}.{b}", x, stride, dtype)
-    del width
 
     # AttentionPool2d: mean-token query over spatial tokens + positions.
     b_, h_, w_, c_ = x.shape
@@ -378,22 +375,7 @@ def clip_param_specs(cfg: CLIPConfig):
 
 def init_clip_params(rng, cfg: CLIPConfig) -> dict[str, jax.Array]:
     """Random init matching open_clip's scheme closely enough for smoke tests."""
-    params = {}
-    for name, shape, kind in clip_param_specs(cfg):
-        rng, sub = jax.random.split(rng)
-        if kind == "ones":
-            params[name] = jnp.ones(shape, jnp.float32)
-        elif kind == "zeros":
-            params[name] = jnp.zeros(shape, jnp.float32)
-        elif kind == "logit_scale":
-            params[name] = jnp.asarray(math.log(1 / 0.07), jnp.float32)
-        elif kind in ("patch", "proj", "fc", "attn", "embed", "scaled"):
-            fan_in = shape[0] if len(shape) <= 2 else int(np.prod(shape[:-1]))
-            std = 0.02 if kind == "embed" else fan_in**-0.5
-            params[name] = jax.random.normal(sub, shape, jnp.float32) * std
-        else:  # pragma: no cover
-            raise ValueError(kind)
-    return params
+    return init_from_specs(rng, clip_param_specs(cfg))
 
 
 def load_openclip_state_dict(cfg: CLIPConfig, state_dict) -> dict[str, jax.Array]:
@@ -518,7 +500,7 @@ class OpenClip(AbstractVLM):
         """
         arr = _to_image_batch(img, target_size=self.cfg.vision.image_size)
         return preprocess_images(
-            jnp.asarray(arr) if not isinstance(arr, jax.Array) else arr,
+            jnp.asarray(arr),
             size=self.cfg.vision.image_size,
             crop=self.cfg.vision.image_size,
             mean=self.cfg.mean,

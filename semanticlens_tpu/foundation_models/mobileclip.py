@@ -23,7 +23,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
-import math
 
 import jax
 import jax.numpy as jnp
@@ -203,20 +202,9 @@ def mobileclip_param_specs(cfg: MobileCLIPConfig):
 
 
 def init_mobileclip_params(rng, cfg: MobileCLIPConfig):
-    params = {}
-    for name, shape, kind in mobileclip_param_specs(cfg):
-        rng, sub = jax.random.split(rng)
-        if kind == "ones":
-            params[name] = jnp.ones(shape, jnp.float32)
-        elif kind == "zeros":
-            params[name] = jnp.zeros(shape, jnp.float32)
-        elif kind == "logit_scale":
-            params[name] = jnp.asarray(math.log(1 / 0.07), jnp.float32)
-        else:
-            fan_in = shape[0] if len(shape) <= 2 else int(np.prod(shape[:-1]))
-            std = 0.02 if kind == "embed" else fan_in**-0.5
-            params[name] = jax.random.normal(sub, shape, jnp.float32) * std
-    return params
+    from semanticlens_tpu.foundation_models.common import init_from_specs
+
+    return init_from_specs(rng, mobileclip_param_specs(cfg))
 
 
 class ClipMobile(AbstractVLM):
@@ -290,7 +278,7 @@ class ClipMobile(AbstractVLM):
     def preprocess(self, img):
         arr = _to_image_batch(img, target_size=self.cfg.image_size)
         return preprocess_images(
-            jnp.asarray(arr) if not isinstance(arr, jax.Array) else arr,
+            jnp.asarray(arr),
             size=self.cfg.image_size,
             crop=self.cfg.image_size,
             mean=self.cfg.mean,

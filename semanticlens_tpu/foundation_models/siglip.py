@@ -19,7 +19,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
-import math
 
 import jax
 import jax.numpy as jnp
@@ -165,7 +164,7 @@ def siglip_param_specs(cfg: SigLIPConfig):
         ("text.norm.bias", (tw,), "zeros"),
         ("text.head.weight", (tw, cfg.embed_dim), "proj"),
         ("text.head.bias", (cfg.embed_dim,), "zeros"),
-        ("logit_scale", (), "logit_scale"),
+        ("logit_scale", (), "logit_scale_siglip"),
         ("logit_bias", (), "zeros"),
     ]
     for i in range(cfg.text_layers):
@@ -191,20 +190,9 @@ def _block_specs(prefix, w):
 
 
 def init_siglip_params(rng, cfg: SigLIPConfig):
-    params = {}
-    for name, shape, kind in siglip_param_specs(cfg):
-        rng, sub = jax.random.split(rng)
-        if kind == "ones":
-            params[name] = jnp.ones(shape, jnp.float32)
-        elif kind == "zeros":
-            params[name] = jnp.zeros(shape, jnp.float32)
-        elif kind == "logit_scale":
-            params[name] = jnp.asarray(math.log(10.0), jnp.float32)
-        else:
-            fan_in = shape[0] if len(shape) <= 2 else int(np.prod(shape[:-1]))
-            std = 0.02 if kind == "embed" else fan_in**-0.5
-            params[name] = jax.random.normal(sub, shape, jnp.float32) * std
-    return params
+    from semanticlens_tpu.foundation_models.common import init_from_specs
+
+    return init_from_specs(rng, siglip_param_specs(cfg))
 
 
 def load_siglip_state_dict(cfg: SigLIPConfig, state_dict):
@@ -286,7 +274,7 @@ class SigLipV2(AbstractVLM):
 
         arr = _to_image_batch(img, target_size=self.cfg.image_size)
         return preprocess_images(
-            jnp.asarray(arr) if not isinstance(arr, jax.Array) else arr,
+            jnp.asarray(arr),
             size=self.cfg.image_size,
             crop=self.cfg.image_size,
             mean=SIGLIP_MEAN,

@@ -44,8 +44,6 @@ class FlaxSubjectModel(SubjectModel):
 
     # ------------------------------------------------------------------ names
     def _discover_names(self):
-        import flax.linen as nn
-
         variables = jax.eval_shape(
             lambda: self.module.init(jax.random.PRNGKey(0), jax.numpy.zeros(self._example.shape, self._example.dtype))
         )
@@ -72,7 +70,6 @@ class FlaxSubjectModel(SubjectModel):
                     walk(sub, path if key != "__call__" else prefix)
 
         walk(intermediates, "")
-        del nn
         return names
 
     # ------------------------------------------------------------------ apply

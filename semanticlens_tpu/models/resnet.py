@@ -97,7 +97,6 @@ class ResNet(SubjectModel):
             out_ch = width * self.expansion
             for b in range(n_blocks):
                 prefix = f"layer{stage}.{b}"
-                stride = 2 if (stage > 1 and b == 0) else 1
                 if self.bottleneck:
                     specs += [(f"{prefix}.conv1.weight", _conv_shape(width, in_ch, 1), "conv")]
                     specs += self._bn_specs(f"{prefix}.bn1", width)
@@ -116,7 +115,6 @@ class ResNet(SubjectModel):
                     ]
                     specs += self._bn_specs(f"{prefix}.downsample.1", out_ch)
                 in_ch = out_ch
-                del stride
         specs += [
             ("fc.weight", (512 * self.expansion, self.num_classes), "linear"),
             ("fc.bias", (self.num_classes,), "bias"),

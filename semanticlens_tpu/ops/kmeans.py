@@ -93,6 +93,19 @@ def _lloyd(x, centers, max_iters, tol):
     return centers, labels, counts, inertia
 
 
+def _best_of_n(key, x, k, n_init, max_iters, tol):
+    """n_init k-means++ restarts in parallel; best-inertia run wins."""
+    keys = jax.random.split(key, n_init)
+
+    def one_run(key):
+        init = _kmeanspp_init(key, x, k)
+        return _lloyd(x, init, max_iters, tol)
+
+    centers, labels, counts, inertias = jax.vmap(one_run)(keys)
+    best = jnp.argmin(inertias)
+    return centers[best], labels[best], counts[best]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_init", "max_iters"))
 def kmeans(x, k: int = 2, *, n_init: int = 10, max_iters: int = 300, seed: int = 123, tol: float = 1e-8):
     """Seeded k-means for a single point set.
@@ -109,16 +122,7 @@ def kmeans(x, k: int = 2, *, n_init: int = 10, max_iters: int = 300, seed: int =
     labels : (n,) int32
     counts : (k,) float32 — cluster sizes under the final assignment.
     """
-    x = x.astype(jnp.float32)
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_init)
-
-    def one_run(key):
-        init = _kmeanspp_init(key, x, k)
-        return _lloyd(x, init, max_iters, tol)
-
-    centers, labels, counts, inertias = jax.vmap(one_run)(keys)
-    best = jnp.argmin(inertias)
-    return centers[best], labels[best], counts[best]
+    return _best_of_n(jax.random.PRNGKey(seed), x.astype(jnp.float32), k, n_init, max_iters, tol)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_init", "max_iters"))
@@ -132,15 +136,7 @@ def batched_kmeans(V, k: int = 2, *, n_init: int = 10, max_iters: int = 300, see
     """
 
     def per_row(x, row_seed):
-        x = x.astype(jnp.float32)
-        keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(seed), row_seed), n_init)
-
-        def one_run(key):
-            init = _kmeanspp_init(key, x, k)
-            return _lloyd(x, init, max_iters, 1e-8)
-
-        centers, labels, counts, inertias = jax.vmap(one_run)(keys)
-        best = jnp.argmin(inertias)
-        return centers[best], labels[best], counts[best]
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), row_seed)
+        return _best_of_n(key, x.astype(jnp.float32), k, n_init, max_iters, 1e-8)
 
     return jax.vmap(per_row)(V, jnp.arange(V.shape[0]))

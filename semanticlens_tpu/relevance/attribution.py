@@ -11,6 +11,7 @@ to one XLA program per (layer, batch-shape).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -48,7 +49,7 @@ def make_attribution_fn(
         return jnp.sum(agg[:, component])
 
     def heatmaps(params, images, component):
-        with lrp_composite(composite) if composite != "gradient" else _nullcontext():
+        with lrp_composite(composite) if composite != "gradient" else contextlib.nullcontext():
             grads = jax.grad(target, argnums=1)(params, images, component)
         heat = jnp.sum(grads.astype(jnp.float32), axis=-1)  # channels → (B, H, W)
         if abs_norm:
@@ -64,13 +65,6 @@ def make_attribution_fn(
 
     return jitted
 
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 def component_heatmaps(model, params, images, layer_name, component, **kwargs):

@@ -55,10 +55,12 @@ def test_openclip_rn50_tower():
 
 
 def test_openclip_determinism():
-    fm = OpenClip("ViT-B-32", dtype=jnp.float32, seed=0)
-    imgs = np.random.default_rng(2).integers(0, 255, size=(1, 224, 224, 3), dtype=np.uint8)
-    e1 = np.asarray(fm.encode_image(fm.preprocess(imgs)))
-    e2 = np.asarray(fm.encode_image(fm.preprocess(imgs)))
+    # Tiny config: determinism is a property of the functional towers, not
+    # of the preset size (full presets are covered by the shape tests).
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    imgs = jnp.asarray(np.random.default_rng(2).normal(size=(1, 16, 16, 3)).astype(np.float32))
+    e1 = np.asarray(vit_encode_image(params, TINY, imgs))
+    e2 = np.asarray(vit_encode_image(params, TINY, imgs))
     np.testing.assert_array_equal(e1, e2)
 
 
