@@ -27,7 +27,7 @@ import numpy as np
 from semanticlens_tpu.collect.activation_caching import ActMaxCache
 from semanticlens_tpu.collect.base import AbstractComponentVisualizer
 from semanticlens_tpu.collect.engine import CollectEngine
-from semanticlens_tpu.data.dataset import get_image, iter_batches, prefetch_batches
+from semanticlens_tpu.data.dataset import _extract_image, iter_batches, prefetch_batches
 from semanticlens_tpu.models.base import SubjectModel, validate_layers
 from semanticlens_tpu.ops import aggregators
 from semanticlens_tpu.utils.helper import get_fallback_name
@@ -322,7 +322,9 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         pics = []
         for component_id in component_ids:
             ids = self.get_max_reference(layer_name)[int(component_id)][:n_samples]
-            imgs = [np.asarray(post_process(get_image(self.dataset, int(i)))) for i in ids]
+            # post_process receives the RAW dataset item (may be a PIL image,
+            # like the reference's denormalization path) — np conversion after.
+            imgs = [np.asarray(post_process(_extract_image(self.dataset[int(i)]))) for i in ids]
             pics.append(_make_grid(imgs, nrow=nrows))
 
         n_pics = len(pics)

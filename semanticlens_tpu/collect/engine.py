@@ -289,7 +289,9 @@ class CollectEngine:
         state threaded through the scan carry.
 
         ``images``: (N, H, W, C) device array, N divisible by ``batch_size``.
-        Returns ``({layer: TopKState}, n)``.
+        **The images buffer is donated** (freed for reuse inside the sweep so
+        the dataset is not held twice in HBM) — it is invalid after this call;
+        re-stage it if you need it again. Returns ``({layer: TopKState}, n)``.
 
         Perf note (measured, v5e via the axon runtime): the dispatched
         ``run()`` loop reaches ~9300 imgs/s on ResNet-50 while this scan

@@ -179,7 +179,11 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             ]
 
         data_end = len(self.dataset) if data_end is None else data_end
-        ckpt_dir = self.storage_dir / "_checkpoint" if checkpoint else None
+        # Keyed by slice: a checkpoint from a different (data_start, data_end)
+        # sweep holds incompatible slice-local ids and must not be resumed.
+        ckpt_dir = (
+            self.storage_dir / f"_checkpoint-{data_start}-{data_end}" if checkpoint else None
+        )
         states, n_seen = self.engine.run(
             self.params,
             _Slice(self.dataset, data_start, data_end),

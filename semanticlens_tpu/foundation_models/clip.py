@@ -528,14 +528,20 @@ def _resolve_preset(url: str) -> str | None:
     stripped = stripped.split("/")[-1]
     if "siglip" in stripped.lower():
         raise ValueError(f"'{url}' is a SigLIP model — use foundation_models.SigLipV2")
-    # Exact match, or preset followed by a '-'-separated tag (quickgelu,
-    # laion2b, …). A bare prefix like 'RN50x4' must NOT resolve to 'RN50':
-    # scaled variants are different architectures.
+    # Exact match, or preset followed only by pretraining/activation tags.
+    # Architecture-modifying suffixes (RN50x4, ViT-B-16-plus-240,
+    # ViT-B-32-256, …) are DIFFERENT towers and must not resolve here.
+    harmless = ("quickgelu", "laion", "openai", "datacomp", "dfn", "metaclip", "commonpool", "2b", "400m", "80m")
     best = None
     for preset in CLIP_PRESETS:
-        if stripped == preset or stripped.startswith(preset + "-"):
-            if best is None or len(preset) > len(best):
-                best = preset
+        if stripped == preset:
+            return preset
+        if stripped.startswith(preset + "-"):
+            rest = stripped[len(preset) + 1 :].lower()
+            tokens = rest.split("-")
+            if all(any(t.startswith(h) or h.startswith(t) for h in harmless) for t in tokens if t):
+                if best is None or len(preset) > len(best):
+                    best = preset
     return best
 
 

