@@ -36,10 +36,12 @@ from semanticlens_tpu.utils.render import crop_and_mask_images
 
 logger = logging.getLogger(__name__)
 
+# Rank-dispatching reducers: the relevance CV serves conv (4D) AND
+# transformer (3D) taps with the same max_target names.
 _AGG_BY_NAME = {
-    "sum": aggregators.aggregate_conv_sum,
-    "mean": aggregators.aggregate_conv_mean,
-    "max": aggregators.aggregate_conv_max,
+    "sum": aggregators.aggregate_sum_auto,
+    "mean": aggregators.aggregate_mean_auto,
+    "max": aggregators.aggregate_max_auto,
 }
 
 

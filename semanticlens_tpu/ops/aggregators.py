@@ -71,6 +71,37 @@ def aggregate_transformer_absmax(tensor):
     return jnp.max(jnp.abs(tensor), axis=1)
 
 
+def aggregate_sum_auto(tensor):
+    """Rank-dispatching spatial/token sum: (B,H,W,C)→(B,C) or (B,T,D)→(B,D).
+
+    Used by the relevance visualizer, whose attribution targets are defined
+    for both conv and transformer taps (crp's ``max_target="sum"``).
+    """
+    if tensor.ndim == 4:
+        return jnp.sum(tensor, axis=(1, 2))
+    if tensor.ndim == 3:
+        return jnp.sum(tensor, axis=1)
+    raise ValueError("Input tensor should be 3D or 4D. \n" + _ERROR_MESSAGE)
+
+
+def aggregate_mean_auto(tensor):
+    """Rank-dispatching spatial/token mean (see :func:`aggregate_sum_auto`)."""
+    if tensor.ndim == 4:
+        return jnp.mean(tensor, axis=(1, 2))
+    if tensor.ndim == 3:
+        return jnp.mean(tensor, axis=1)
+    raise ValueError("Input tensor should be 3D or 4D. \n" + _ERROR_MESSAGE)
+
+
+def aggregate_max_auto(tensor):
+    """Rank-dispatching spatial/token max (see :func:`aggregate_sum_auto`)."""
+    if tensor.ndim == 4:
+        return jnp.max(tensor, axis=(1, 2))
+    if tensor.ndim == 3:
+        return jnp.max(tensor, axis=1)
+    raise ValueError("Input tensor should be 3D or 4D. \n" + _ERROR_MESSAGE)
+
+
 def get_aggregate_transformer_special_token(token_position: int):
     """Factory: extract one token position, e.g. 0 for a CLS token.
 

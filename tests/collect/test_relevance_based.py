@@ -227,3 +227,24 @@ def test_checkpoint_dir_keyed_by_slice(tmp_path):
     d2 = cv.storage_dir / "_checkpoint-8-16"
     assert not d1.exists() or True  # cleaned after completion
     assert d1 != d2
+
+
+def test_relevance_on_vit_transformer_taps(tmp_path):
+    """The relevance CV serves transformer (3D) taps: ViT attribution E2E."""
+    from semanticlens_tpu.models import VisionTransformer
+
+    model = VisionTransformer(image_size=32, patch_size=8, width=32, depth=2,
+                              heads=2, num_classes=4, dtype=jnp.float32)
+    model.params = model.init(jax.random.PRNGKey(7))
+    model.name = "vit-rel"
+    ds = ArrayDataset(np.random.default_rng(7).random((12, 32, 32, 3)).astype(np.float32), name="v12")
+    cv = RelevanceComponentVisualizer(model=model, dataset=ds, layer_names=["blocks.1.mlp.fc2"],
+                                      num_samples=3, storage_dir=str(tmp_path))
+    cv.run(batch_size=4)
+    ids = cv.get_act_max_sample_ids("blocks.1.mlp.fc2")
+    assert ids.shape == (32, 3)
+
+    refs = cv.get_max_reference([0, 3], "blocks.1.mlp.fc2", n_ref=2, batch_size=4)
+    from PIL import Image
+
+    assert all(isinstance(p, Image.Image) for pils in refs.values() for p in pils)
