@@ -61,7 +61,9 @@ def make_attribution_fn(
     # the context: re-enter the context per trace via a custom lowering.
     @functools.partial(jax.jit, static_argnames=())
     def jitted(params, images, component):
-        return heatmaps(params, images, component)
+        # Gradients require inexact inputs: uint8 datasets (the recommended
+        # transport format) cast at the boundary; grads are wrt float pixels.
+        return heatmaps(params, images.astype(jnp.float32), component)
 
     return jitted
 

@@ -248,3 +248,23 @@ def test_relevance_on_vit_transformer_taps(tmp_path):
     from PIL import Image
 
     assert all(isinstance(p, Image.Image) for pils in refs.values() for p in pils)
+
+
+def test_attribution_on_uint8_dataset(tmp_path):
+    """Regression: uint8 datasets (the recommended transport) must work for
+    LRP attribution — jax.grad needs the cast at the boundary."""
+    model = ResNet(depth=18, num_classes=10, dtype=jnp.float32)
+    model.params = model.init(jax.random.PRNGKey(8))
+    model.name = "r18u8"
+    raw = np.random.default_rng(8).integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    ds = ArrayDataset(raw, name="u8")
+    cv = RelevanceComponentVisualizer(
+        model=model, dataset=ds, layer_names=["layer4"], num_samples=2,
+        storage_dir=str(tmp_path),
+        preprocess_fn=lambda x: x.astype(jnp.float32) / 255.0,
+    )
+    cv.run(batch_size=4)
+    ids = cv.get_act_max_sample_ids("layer4")
+    cid = int(np.where((ids >= 0).any(axis=1))[0][0])
+    refs = cv.get_max_reference([cid], "layer4", n_ref=2)
+    assert refs[cid], "expected rendered reference images"
