@@ -61,6 +61,38 @@ def make_preprocess_fn(
     return preprocess
 
 
+def to_transforms_compose(instance):
+    """Convert a torchvision ``ImageClassification`` preset to a device fn.
+
+    Direct API analogue of the reference helper (reference
+    semanticlens/utils/helper.py:21-35): reads ``resize_size`` /
+    ``crop_size`` / ``mean`` / ``std`` / ``interpolation`` off the preset
+    object and returns the equivalent fused on-device pipeline
+    (:func:`make_preprocess_fn`). Works with any object exposing those
+    attributes — torchvision need not be installed.
+    """
+
+    def _scalar(v, default):
+        if v is None:
+            return default
+        if isinstance(v, (list, tuple)):
+            return int(v[0])
+        return int(v)
+
+    size = _scalar(getattr(instance, "resize_size", None), 256)
+    crop = _scalar(getattr(instance, "crop_size", None), size)
+    interp = str(getattr(instance, "interpolation", "bicubic")).split(".")[-1].lower()
+    if interp not in ("bilinear", "bicubic", "nearest"):
+        interp = "bicubic"
+    return make_preprocess_fn(
+        size=size,
+        crop=crop,
+        mean=tuple(getattr(instance, "mean", (0.485, 0.456, 0.406))),
+        std=tuple(getattr(instance, "std", (0.229, 0.224, 0.225))),
+        interpolation=interp,
+    )
+
+
 def get_denormalization_transform(
     mean: Sequence[float] = (0.485, 0.456, 0.406),
     std: Sequence[float] = (0.229, 0.224, 0.225),

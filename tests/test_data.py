@@ -139,3 +139,21 @@ def test_grain_adapter_protocol():
     # Host shard ranges tile the dataset without overlap.
     ranges = [host_shard_range(10, process_index=i, process_count=3) for i in range(3)]
     assert ranges == [(0, 4), (4, 8), (8, 10)]
+
+
+def test_to_transforms_compose_from_preset_like():
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.utils import to_transforms_compose
+
+    class PresetLike:  # mimics torchvision ImageClassification attributes
+        resize_size = [48]
+        crop_size = [32]
+        mean = (0.5, 0.5, 0.5)
+        std = (0.25, 0.25, 0.25)
+        interpolation = "InterpolationMode.BICUBIC"
+
+    fn = to_transforms_compose(PresetLike())
+    out = fn(jnp.zeros((2, 64, 96, 3), jnp.uint8))
+    assert out.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], (0.0 - 0.5) / 0.25, rtol=1e-5)
