@@ -95,3 +95,19 @@ def test_load_torch_state_dict_roundtrip():
     out1, _ = model.apply(params, x)
     out2, _ = model.apply(params2, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+@pytest.mark.parametrize("depth,blocks,expansion", [(34, (3, 4, 6, 3), 1), (101, (3, 4, 23, 3), 4)])
+def test_deeper_variants_specs(depth, blocks, expansion):
+    model = ResNet(depth=depth, num_classes=10, dtype=jnp.float32)
+    assert model.stage_blocks == blocks
+    assert model.expansion == expansion
+    specs = dict((n, s) for n, s, _ in model._param_specs())
+    assert specs["fc.weight"] == (512 * expansion, 10)
+    assert f"layer4.{blocks[3]-1}.conv2.weight" in specs
+    assert "layer3.0.downsample.0.weight" in specs
+
+
+def test_unsupported_depth_raises():
+    with pytest.raises(ValueError):
+        ResNet(depth=77)

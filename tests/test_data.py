@@ -157,3 +157,37 @@ def test_to_transforms_compose_from_preset_like():
     out = fn(jnp.zeros((2, 64, 96, 3), jnp.uint8))
     assert out.shape == (2, 32, 32, 3)
     np.testing.assert_allclose(np.asarray(out)[0, 0, 0], (0.0 - 0.5) / 0.25, rtol=1e-5)
+
+
+def test_engine_checkpoint_resume_with_mesh(tmp_path):
+    """Checkpoint/resume must also work for mesh-sharded states (D, C, k)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.models.base import SubjectModel, TapCollector
+    from semanticlens_tpu.models.layers import conv2d
+    from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+
+    class OneConv(SubjectModel):
+        module_names = ("c",)
+
+        def apply(self, params, x, tap_names=()):
+            tap = TapCollector(tap_names)
+            return tap("c", conv2d(x, params["w"])), tap.taps
+
+    mesh = Mesh(np.array(__import__("jax").devices()[:8]), axis_names=("data",))
+    model = OneConv()
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 3, 6)).astype(np.float32))}
+    ds = ArrayDataset(np.random.default_rng(1).normal(size=(32, 8, 8, 3)).astype(np.float32), name="d")
+
+    def mk():
+        return CollectEngine(model=model, layer_names=("c",),
+                             aggregation_fn=aggregate_conv_mean, n_collect=5, mesh=mesh)
+
+    ref, _ = mk().run(params, ds, 16)
+    half = ArrayDataset(ds.images[:16], name="d")
+    mk().run(params, half, 16, checkpoint_dir=tmp_path, checkpoint_every=1)
+    resumed, _ = mk().run(params, ds, 16, checkpoint_dir=tmp_path, checkpoint_every=1)
+    np.testing.assert_array_equal(np.asarray(resumed["c"].ids), np.asarray(ref["c"].ids))
