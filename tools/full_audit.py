@@ -20,6 +20,15 @@ systems path is identical; only the semantics of the embeddings change.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# Allow running as `python tools/<tool>.py` from a source checkout.
+_repo = Path(__file__).resolve().parent.parent
+if str(_repo) not in sys.path:
+    sys.path.insert(0, str(_repo))
+
+
 import argparse
 import json
 

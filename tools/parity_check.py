@@ -15,8 +15,16 @@ embeddings (``--reference-embeds ref.npy``). Target: cosine ≥ 0.999
 
 from __future__ import annotations
 
-import argparse
 import sys
+from pathlib import Path
+
+# Allow running as `python tools/<tool>.py` from a source checkout.
+_repo = Path(__file__).resolve().parent.parent
+if str(_repo) not in sys.path:
+    sys.path.insert(0, str(_repo))
+
+
+import argparse
 
 import numpy as np
 
