@@ -161,7 +161,10 @@ class ActMaxCache:
 
         agg_fn_name = getattr(aggregation_fn, "__name__", None)
         if agg_fn_name is None or agg_fn_name == "<lambda>":
-            raise ValueError("Aggregation function must be a defined function, not a lambda.")
+            raise ValueError(
+                "aggregation_fn needs a stable __name__ (it is serialized into cache "
+                "filenames); pass a module-level function rather than a lambda"
+            )
         self.agg_fn_name = agg_fn_name
 
         self.cache: dict[str, ActMax] = {name: ActMax(n_collect=n_collect) for name in self.layer_names}
@@ -210,9 +213,10 @@ class ActMaxCache:
         directory = Path(directory)
         directory.mkdir(parents=True, exist_ok=True)
 
+        n_written = 0
         for layer_name, act_max in self.cache.items():
             if not act_max.is_setup:
-                logger.warning(f"Skipping layer '{layer_name}' as it has no data.")
+                logger.warning("layer '%s' never received activations — nothing to write", layer_name)
                 continue
             metadata = {
                 "aggregation_fn_name": self.agg_fn_name,
@@ -221,7 +225,8 @@ class ActMaxCache:
                 "layer_name": layer_name,
             }
             act_max.store(directory / self._layer_fname(layer_name), metadata=metadata)
-        logger.info(f"Cache saved successfully to {directory}")
+            n_written += 1
+        logger.info("wrote %d layer file(s) under %s", n_written, directory)
 
     def load(self, directory: Path | str):
         """Load and validate per-layer files; raises FileNotFoundError on any miss.
@@ -232,37 +237,37 @@ class ActMaxCache:
         """
         directory = Path(directory)
         if not directory.is_dir():
-            raise FileNotFoundError(f"Cache directory not found: {directory}")
+            raise FileNotFoundError(f"no cache directory at {directory}")
 
-        logger.info(f"Loading cache for aggregation fn: '{self.agg_fn_name}'")
-        loaded_count = 0
+        logger.info("looking for '%s' caches under %s", self.agg_fn_name, directory)
+        loaded: dict[str, ActMax] = {}
         for layer_name in self.layer_names:
             fpath = directory / self._layer_fname(layer_name)
-            if not fpath.exists():
-                logger.warning(f"File not found for layer '{layer_name}': {fpath}")
-                raise FileNotFoundError(f"Expected file not found: {fpath}")
-            try:
-                with safe_open(str(fpath), framework="numpy") as f:
-                    metadata = f.metadata()
-                if metadata.get("aggregation_fn_name") != self.agg_fn_name:
-                    raise ValueError(
-                        f"Mismatch in aggregation function for layer '{layer_name}'. "
-                        f"Expected '{self.agg_fn_name}', but file has "
-                        f"'{metadata.get('aggregation_fn_name')}'."
-                    )
-                if int(metadata.get("n_collect")) != self.n_collect:
-                    raise ValueError(
-                        f"Mismatch in n_collect for layer '{layer_name}'. "
-                        f"Expected '{self.n_collect}', but file has '{metadata.get('n_collect')}'."
-                    )
-            except ValueError as e:
-                logger.warning(f"Validation failed for layer '{layer_name}': {e}")
-                raise FileNotFoundError(f"Expected file not found: {fpath}")
+            problem = self._check_layer_file(fpath)
+            if problem is not None:
+                logger.warning("cache miss for layer '%s': %s", layer_name, problem)
+                # Callers treat FileNotFoundError as "recompute the sweep", so
+                # a stale/incompatible file is reported the same way as a
+                # missing one.
+                raise FileNotFoundError(f"unusable cache file {fpath}: {problem}")
+            loaded[layer_name] = ActMax.load(fpath)
 
-            self.cache[layer_name] = ActMax.load(fpath)
-            loaded_count += 1
+        self.cache.update(loaded)
+        logger.info("restored %d layer(s) from %s", len(loaded), directory)
 
-        if loaded_count == 0:
-            logger.warning(f"No matching cache files were found and loaded from {directory}")
-        else:
-            logger.info(f"Successfully loaded data for {loaded_count} layer(s) from {directory}")
+    def _check_layer_file(self, fpath: Path) -> str | None:
+        """Return a human-readable reason the file is unusable, or None if OK."""
+        if not fpath.exists():
+            return "file does not exist"
+        with safe_open(str(fpath), framework="numpy") as f:
+            metadata = f.metadata() or {}
+        found_agg = metadata.get("aggregation_fn_name")
+        if found_agg != self.agg_fn_name:
+            return f"written with aggregation_fn '{found_agg}', this cache expects '{self.agg_fn_name}'"
+        try:
+            found_k = int(metadata.get("n_collect"))
+        except (TypeError, ValueError):
+            return f"corrupt n_collect metadata: {metadata.get('n_collect')!r}"
+        if found_k != self.n_collect:
+            return f"written with n_collect={found_k}, this cache expects {self.n_collect}"
+        return None

@@ -19,55 +19,54 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_ERROR_MESSAGE = f"(Select or implement a different aggregation function in {__file__}.)"
+def _expect_rank(tensor, ranks: tuple[int, ...], layout: str):
+    if tensor.ndim not in ranks:
+        raise ValueError(
+            f"aggregator expects a rank-{'/'.join(map(str, ranks))} {layout} tensor, "
+            f"got rank {tensor.ndim} with shape {tuple(tensor.shape)}; pick an "
+            f"aggregation function matching this layer's output layout"
+        )
 
 
 def aggregate_conv_mean(tensor):
     """(B, H, W, C) → (B, C) by spatial mean."""
-    if tensor.ndim != 4:
-        raise ValueError("Input tensor should be 4D (B, H, W, C). \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (4,), "(B, H, W, C)")
     return jnp.mean(tensor, axis=(1, 2))
 
 
 def aggregate_conv_sum(tensor):
     """(B, H, W, C) → (B, C) by spatial sum (the relevance CV's "sum" target)."""
-    if tensor.ndim != 4:
-        raise ValueError("Input tensor should be 4D (B, H, W, C). \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (4,), "(B, H, W, C)")
     return jnp.sum(tensor, axis=(1, 2))
 
 
 def aggregate_conv_max(tensor):
     """(B, H, W, C) → (B, C) by spatial max."""
-    if tensor.ndim != 4:
-        raise ValueError("Input tensor should be 4D (B, H, W, C). \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (4,), "(B, H, W, C)")
     return jnp.max(tensor, axis=(1, 2))
 
 
 def aggregate_transformer_mean(tensor):
     """(B, T, D) → (B, D) by token mean."""
-    if tensor.ndim != 3:
-        raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (3,), "(B, T, D)")
     return jnp.mean(tensor, axis=1)
 
 
 def aggregate_transformer_absmean(tensor):
     """(B, T, D) → (B, D) by mean of absolute values over tokens."""
-    if tensor.ndim != 3:
-        raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (3,), "(B, T, D)")
     return jnp.mean(jnp.abs(tensor), axis=1)
 
 
 def aggregate_transformer_max(tensor):
     """(B, T, D) → (B, D) by token max."""
-    if tensor.ndim != 3:
-        raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (3,), "(B, T, D)")
     return jnp.max(tensor, axis=1)
 
 
 def aggregate_transformer_absmax(tensor):
     """(B, T, D) → (B, D) by max of absolute values over tokens."""
-    if tensor.ndim != 3:
-        raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (3,), "(B, T, D)")
     return jnp.max(jnp.abs(tensor), axis=1)
 
 
@@ -81,7 +80,7 @@ def aggregate_sum_auto(tensor):
         return jnp.sum(tensor, axis=(1, 2))
     if tensor.ndim == 3:
         return jnp.sum(tensor, axis=1)
-    raise ValueError("Input tensor should be 3D or 4D. \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (3, 4), "conv or transformer")
 
 
 def aggregate_mean_auto(tensor):
@@ -90,7 +89,7 @@ def aggregate_mean_auto(tensor):
         return jnp.mean(tensor, axis=(1, 2))
     if tensor.ndim == 3:
         return jnp.mean(tensor, axis=1)
-    raise ValueError("Input tensor should be 3D or 4D. \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (3, 4), "conv or transformer")
 
 
 def aggregate_max_auto(tensor):
@@ -99,7 +98,7 @@ def aggregate_max_auto(tensor):
         return jnp.max(tensor, axis=(1, 2))
     if tensor.ndim == 3:
         return jnp.max(tensor, axis=1)
-    raise ValueError("Input tensor should be 3D or 4D. \n" + _ERROR_MESSAGE)
+    _expect_rank(tensor, (3, 4), "conv or transformer")
 
 
 def get_aggregate_transformer_special_token(token_position: int):

@@ -1,78 +1,108 @@
-"""Logging configuration for the semanticlens_tpu package.
+"""Console logging for ``semanticlens_tpu``.
 
-Provides opt-in colored console logging under the ``semanticlens_tpu``
-logger hierarchy with a ``SEMANTICLENS_LOG_LEVEL`` environment override and a
-NullHandler default, matching the observability contract of the reference
-(semanticlens/utils/log_setup.py:35-93).
+Library-friendly observability: the package logger ships with a
+``NullHandler`` so importing the library never prints, and applications
+opt in via :func:`setup_colored_logging` (same entry-point name and
+``SEMANTICLENS_LOG_LEVEL`` override as the reference's observability
+contract, semanticlens/utils/log_setup.py — implementation is this
+project's own).
+
+Color handling follows the informal community conventions: ANSI styling
+is applied only when the target stream is a TTY, ``NO_COLOR`` (any value)
+disables it, and ``FORCE_COLOR`` re-enables it for piped output.
 """
 
 from __future__ import annotations
 
 import logging
 import os
+import sys
+from typing import IO
 
 PACKAGE = "semanticlens_tpu"
 
+_DEFAULT_FMT = "%(asctime)s %(levelname)-8s %(name)s :: %(message)s"
+_DEFAULT_DATEFMT = "%H:%M:%S"
+
+# levelno thresholds -> ANSI SGR parameters for the level token.
+# Checked in order; first entry with threshold <= levelno wins.
+_LEVEL_STYLES: tuple[tuple[int, str], ...] = (
+    (logging.CRITICAL, "1;97;41"),  # bold white on red
+    (logging.ERROR, "31"),  # red
+    (logging.WARNING, "33"),  # yellow
+    (logging.INFO, "32"),  # green
+    (0, "36"),  # cyan (debug and below)
+)
+
+
+def _style_for(levelno: int) -> str:
+    for threshold, sgr in _LEVEL_STYLES:
+        if levelno >= threshold:
+            return sgr
+    return ""
+
 
 class ColorFormatter(logging.Formatter):
-    """Formatter that colorizes records by level for TTY streams."""
+    """Formatter that wraps the *level token* of each record in ANSI color.
 
-    COLOR_MAP = {
-        "DEBUG": "\033[90m",
-        "INFO": "\033[92m",
-        "WARNING": "\033[38;5;208m",
-        "ERROR": "\033[91m",
-        "CRITICAL": "\033[91m",
-    }
-    RESET_SEQ = "\033[0m"
+    Unlike whole-line coloring, this keeps multi-line payloads (tracebacks,
+    dumped configs) readable while still making severity scannable.
+    """
 
-    def __init__(self, fmt, use_color: bool = True):
-        super().__init__(fmt)
+    def __init__(self, fmt: str = _DEFAULT_FMT, datefmt: str = _DEFAULT_DATEFMT, *, use_color: bool = True):
+        super().__init__(fmt, datefmt)
         self.use_color = use_color
 
-    def format(self, record):
-        record.short_filename = os.path.basename(record.pathname)
-        message = super().format(record)
-        if self.use_color:
-            color = self.COLOR_MAP.get(record.levelname, "")
-            return f"{color}{message}{self.RESET_SEQ}"
-        return message
+    def format(self, record: logging.LogRecord) -> str:
+        if not self.use_color:
+            return super().format(record)
+        original = record.levelname
+        try:
+            record.levelname = f"\033[{_style_for(record.levelno)}m{original}\033[0m"
+            return super().format(record)
+        finally:
+            record.levelname = original
 
 
-def setup_colored_logging(log_level: str = "INFO", file_path: str | None = None):
-    """Attach a colored stream handler to the package logger.
+def _color_wanted(stream: IO | None) -> bool:
+    if os.environ.get("NO_COLOR"):
+        return False
+    if os.environ.get("FORCE_COLOR"):
+        return True
+    return bool(stream is not None and hasattr(stream, "isatty") and stream.isatty())
 
-    ``SEMANTICLENS_LOG_LEVEL`` overrides ``log_level``. When ``file_path`` is
-    given, an uncolored file handler is added as well.
+
+def resolve_level(requested: str) -> int:
+    """Resolve the effective level: ``SEMANTICLENS_LOG_LEVEL`` wins over the arg."""
+    name = os.environ.get("SEMANTICLENS_LOG_LEVEL", requested).strip().upper()
+    resolved = logging.getLevelName(name)
+    return resolved if isinstance(resolved, int) else logging.INFO
+
+
+def setup_colored_logging(log_level: str = "INFO", file_path: str | None = None) -> logging.Logger:
+    """Opt the package logger into console (and optionally file) output.
+
+    Replaces any handlers from a previous call, so it is safe to invoke
+    repeatedly (e.g. from notebooks). Returns the configured logger.
     """
+    level = resolve_level(log_level)
     logger = logging.getLogger(PACKAGE)
-    effective_level_str = os.environ.get("SEMANTICLENS_LOG_LEVEL", log_level).upper()
-    effective_level = getattr(logging, effective_level_str, logging.INFO)
-    logger.setLevel(effective_level)
+    logger.setLevel(level)
+    logger.handlers.clear()
 
-    if logger.hasHandlers():
-        logger.handlers.clear()
-    handler = logging.StreamHandler()
-    handler.setLevel(effective_level)
-    use_color = hasattr(handler.stream, "isatty") and handler.stream.isatty()
+    console = logging.StreamHandler()
+    console.setLevel(level)
+    console.setFormatter(ColorFormatter(use_color=_color_wanted(getattr(console, "stream", sys.stderr))))
+    logger.addHandler(console)
 
-    formatter = ColorFormatter(
-        "[%(asctime)s|%(name)s|%(levelname)s]: %(message)s",
-        use_color=use_color,
-    )
-    handler.setFormatter(formatter)
-    logger.addHandler(handler)
+    if file_path is not None:
+        sink = logging.FileHandler(file_path)
+        sink.setLevel(level)
+        sink.setFormatter(ColorFormatter(use_color=False))
+        logger.addHandler(sink)
 
-    if file_path:
-        file_handler = logging.FileHandler(file_path)
-        file_handler.setLevel(effective_level)
-        file_handler.setFormatter(
-            ColorFormatter(
-                "[%(asctime)s|%(name)s|%(levelname)s]: %(message)s",
-                use_color=False,
-            )
-        )
-        logger.addHandler(file_handler)
+    return logger
 
 
+# Importing the library must never emit "no handler" warnings.
 logging.getLogger(PACKAGE).addHandler(logging.NullHandler())

@@ -161,9 +161,9 @@ def vis_lighten_img_border(
 
     if not any_masked:
         raise AssertionError(
-            "No masking or cropping was applied to any image in the batch. "
-            "This may indicate that the visibility threshold (vis_th) is too high "
-            "or that there's an issue with the heatmaps."
+            "every heatmap in the batch fell entirely below vis_th — no pixel "
+            "survived masking. Lower vis_th or check that the heatmaps are "
+            "non-degenerate."
         )
     return imgs
 
