@@ -80,6 +80,16 @@ def topk_merge(states: TopKState) -> TopKState:
     path (and the reference's stable CPU topk over [state, batch]) always
     prefers earlier samples on equal values, so the cross-shard merge must
     too — otherwise sharded and unsharded runs diverge on bf16 ties.
+
+    Sentinel semantics (deliberate, pinned by tests/ops/test_topk.py): an
+    unfilled slot is (value 0.0, id −1), and −1 sorts before every real id,
+    so **a sentinel wins an exact-0.0 tie against a real sample**. This
+    matches the single-device streaming path, where the state (sentinels
+    included) precedes the batch in the stable top-k concat — i.e. a real
+    activation of exactly 0.0 never displaces an empty slot there either,
+    which is the reference's behavior as well (its values also start at 0.0
+    and its stored state comes first). Sharded and unsharded sweeps therefore
+    produce identical ids even on degenerate all-zero latents.
     """
     d, c, k = states.values.shape
     all_vals = jnp.transpose(states.values, (1, 0, 2)).reshape(c, d * k)
