@@ -216,7 +216,7 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
             logger.debug(f"Stored activation maximization cache at {self.storage_dir}")
         return self.actmax_cache.cache
 
-    def _compute_concept_db(self, fm, batch_size: int = 32, **kwargs):
+    def _compute_concept_db(self, fm, batch_size: int = 32, checkpoint: int = 512, **kwargs):
         """Collect, embed the full FM dataset, gather per-component embeddings.
 
         Embed-all-then-gather matches the reference semantics and cache shape
@@ -230,7 +230,7 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         image).
         """
         if self.dataset_fm is self.dataset and not self._has_collect_cache():
-            embeds = self._run_fused(fm, batch_size)
+            embeds = self._run_fused(fm, batch_size, checkpoint=checkpoint)
         else:
             self.run(batch_size=batch_size, **kwargs)
             embeds = self._embed_vision_dataset(fm, batch_size, **kwargs)
@@ -247,15 +247,34 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
             for name in self.layer_names
         )
 
-    def _run_fused(self, fm, batch_size: int) -> np.ndarray:
-        """One pass over the raw dataset: collect top-k AND embed every image."""
+    def _run_fused(self, fm, batch_size: int, checkpoint: int = 0) -> np.ndarray:
+        """One pass over the raw dataset: collect top-k AND embed every image.
+
+        ``checkpoint`` (samples between flushes, crp-style) makes the sweep
+        crash-safe when a cache root is configured: top-k states and the
+        embedding table persist under ``storage_dir/_checkpoint-fused`` and an
+        interrupted audit resumes instead of restarting. Cleared on success —
+        the actmax + concept-db caches supersede it.
+        """
 
         def embed_fn(raw_device_batch):
             return fm.encode_image(fm.preprocess(raw_device_batch))
 
-        states, embeds, n_seen = self.engine.run_fused(
-            self.params, self.dataset, batch_size, embed_fn
+        ckpt_dir = (
+            self.storage_dir / "_checkpoint-fused"
+            if (checkpoint and self._cache_root is not None)
+            else None
         )
+        states, embeds, n_seen = self.engine.run_fused(
+            self.params,
+            self.dataset,
+            batch_size,
+            embed_fn,
+            checkpoint_dir=ckpt_dir,
+            checkpoint_every=max(1, checkpoint // batch_size) if ckpt_dir else 0,
+        )
+        if ckpt_dir is not None:
+            self.engine.clear_checkpoint(ckpt_dir)
         for name, state in states.items():
             act_max = self.actmax_cache[name]
             act_max.n_latents = int(state.values.shape[0])

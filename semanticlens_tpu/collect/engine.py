@@ -224,6 +224,61 @@ class CollectEngine:
             states[name] = TopKState(values=values, ids=ids)
         return states, int(meta["next_start"])
 
+    def _store_embed_chunk(self, directory, row_start: int, chunk: np.ndarray) -> None:
+        """Persist embedding rows [row_start, row_start + len(chunk))."""
+        from safetensors.numpy import save_file
+
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        save_file(
+            {"embeds": np.ascontiguousarray(chunk, dtype=np.float32)},
+            str(directory / f"embeds-{row_start:012d}.safetensors"),
+        )
+
+    def _load_embed_chunks(self, directory, n_rows: int) -> list[np.ndarray]:
+        """Load persisted embedding chunks covering exactly [0, n_rows).
+
+        Chunks are written before ``progress.json`` commits ``next_start``, so
+        a checkpoint that references ``n_rows`` must have contiguous coverage;
+        anything else means the directory was tampered with or mixes sweeps.
+        """
+        from safetensors.numpy import load_file
+
+        directory = Path(directory)
+        chunks, covered = [], 0
+        for fpath in sorted(directory.glob("embeds-*.safetensors")):
+            row_start = int(fpath.stem.split("-")[1])
+            if row_start != covered:
+                raise RuntimeError(
+                    f"embedding checkpoint gap: expected rows from {covered}, "
+                    f"found {fpath.name} in {directory}"
+                )
+            chunk = load_file(str(fpath))["embeds"]
+            chunks.append(chunk)
+            covered += chunk.shape[0]
+        if covered < n_rows:
+            raise RuntimeError(
+                f"embedding checkpoint covers {covered} rows but progress says "
+                f"{n_rows} were collected ({directory})"
+            )
+        return chunks
+
+    @staticmethod
+    def clear_checkpoint(directory) -> None:
+        """Remove a finished sweep's checkpoint artifacts (state + embeds)."""
+        directory = Path(directory)
+        if not directory.is_dir():
+            return
+        for fpath in list(directory.glob("state-*.safetensors")) + list(
+            directory.glob("embeds-*.safetensors")
+        ):
+            fpath.unlink(missing_ok=True)
+        (directory / "progress.json").unlink(missing_ok=True)
+        try:
+            directory.rmdir()
+        except OSError:
+            pass  # non-checkpoint files present — leave the directory
+
     def _probe_shape(self, dataset, batch_size):
         fast = getattr(dataset, "images", None)
         probe = np.asarray(fast[0]) if fast is not None else get_image(dataset, 0)
@@ -334,6 +389,8 @@ class CollectEngine:
         embed_fn: Callable,
         *,
         prefetch: int = 2,
+        checkpoint_dir=None,
+        checkpoint_every: int = 0,
     ):
         """Single-pass Collect + Embed: one upload per image feeds both.
 
@@ -341,7 +398,17 @@ class CollectEngine:
         foundation model's own device-side preprocessing + encoder).
 
         Returns ``({layer: TopKState}, embeds (N, D) float32 numpy, n)``.
-        Embeddings accumulate on device and come back in one readback.
+        Without checkpointing, embeddings accumulate on device and come back
+        in one readback.
+
+        With ``checkpoint_dir`` + ``checkpoint_every`` (batches), both halves
+        of the sweep persist periodically — the running top-k states AND the
+        embedding rows produced so far — and an interrupted sweep resumes from
+        the last flush with bit-identical final output (tested). Embedding
+        chunks are written before ``progress.json`` commits the new
+        ``next_start``, so a crash between the two just re-does one flush
+        interval. Reference analogue: cache-as-resume
+        (activation_based.py:331-339) + crp's ``checkpoint=500``.
         """
         n = len(dataset)
         if n == 0:
@@ -352,16 +419,39 @@ class CollectEngine:
             )
         self._check_batch(batch_size)
 
-        shape, dtype = self._probe_shape(dataset, batch_size)
-        n_latents = self.infer_n_latents(params, shape, dtype)
-        states = self._init_states(n_latents)
+        resume_start = 0
+        states = None
+        host_chunks: list[np.ndarray] = []
+        if checkpoint_dir is not None:
+            loaded = self.load_checkpoint(checkpoint_dir)
+            if loaded is not None:
+                states, resume_start = loaded
+                host_chunks = self._load_embed_chunks(checkpoint_dir, resume_start)
+                logger.info(f"Resuming fused sweep from sample {resume_start}")
+
+        if states is None:
+            shape, dtype = self._probe_shape(dataset, batch_size)
+            n_latents = self.infer_n_latents(params, shape, dtype)
+            states = self._init_states(n_latents)
         step = self._get_step()
 
-        embed_chunks = []
-        for images, start_index, _ in self._batches(dataset, batch_size, prefetch):
+        pending = []  # device-resident embed chunks since the last flush
+        flushed_rows = resume_start
+        batches_done = 0
+        for images, start_index, _ in self._batches(dataset, batch_size, prefetch, resume_start):
             states = step(states, params, images, np.int32(start_index), np.int32(n))
-            embed_chunks.append(embed_fn(images))
+            pending.append(embed_fn(images))
+            batches_done += 1
+            if checkpoint_dir is not None and checkpoint_every and batches_done % checkpoint_every == 0:
+                chunk = np.asarray(jnp.concatenate(pending, axis=0), np.float32)
+                self._store_embed_chunk(checkpoint_dir, flushed_rows, chunk)
+                host_chunks.append(chunk)
+                pending = []
+                flushed_rows = start_index + batch_size
+                self.save_checkpoint(checkpoint_dir, states, flushed_rows)
 
-        embeds = np.asarray(jnp.concatenate(embed_chunks, axis=0), np.float32)[:n]
+        if pending:
+            host_chunks.append(np.asarray(jnp.concatenate(pending, axis=0), np.float32))
+        embeds = np.concatenate(host_chunks, axis=0)[:n]
         return self._finalize(states), embeds, n
 

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from semanticlens_tpu.data import ArrayDataset, ImageFolder, iter_batches, prefetch_batches
+from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
 
 
 def test_iter_batches_padding():
@@ -191,3 +192,111 @@ def test_engine_checkpoint_resume_with_mesh(tmp_path):
     mk().run(params, half, 16, checkpoint_dir=tmp_path, checkpoint_every=1)
     resumed, _ = mk().run(params, ds, 16, checkpoint_dir=tmp_path, checkpoint_every=1)
     np.testing.assert_array_equal(np.asarray(resumed["c"].ids), np.asarray(ref["c"].ids))
+
+
+def _one_conv_fixture():
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.models.base import SubjectModel, TapCollector
+    from semanticlens_tpu.models.layers import conv2d
+
+    class OneConv(SubjectModel):
+        module_names = ("c",)
+
+        def apply(self, params, x, tap_names=()):
+            tap = TapCollector(tap_names)
+            return tap("c", conv2d(x, params["w"])), tap.taps
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 3, 6)).astype(np.float32))}
+    ds = ArrayDataset(np.random.default_rng(1).normal(size=(40, 8, 8, 3)).astype(np.float32), name="d")
+    return OneConv(), params, ds
+
+
+def _mean_embed(batch):
+    import jax.numpy as jnp
+
+    return jnp.mean(batch.astype(jnp.float32), axis=(1, 2))
+
+
+def test_run_fused_checkpoint_resume_after_crash(tmp_path):
+    """Kill a fused sweep mid-flight; the rerun must reproduce an
+    uninterrupted run bit-for-bit (states AND embedding table)."""
+    from semanticlens_tpu.collect.engine import CollectEngine
+
+    model, params, ds = _one_conv_fixture()
+
+    def mk():
+        return CollectEngine(model=model, layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5)
+
+    ref_states, ref_embeds, n = mk().run_fused(params, ds, 8, _mean_embed)
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_embed(batch):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise Boom("simulated preemption")
+        return _mean_embed(batch)
+
+    ckpt = tmp_path / "fused"
+    with pytest.raises(Boom):
+        mk().run_fused(params, ds, 8, crashing_embed, checkpoint_dir=ckpt, checkpoint_every=1)
+    assert (ckpt / "progress.json").exists()
+    assert list(ckpt.glob("embeds-*.safetensors")), "no embed chunks persisted before crash"
+
+    resumed_states, resumed_embeds, n2 = mk().run_fused(
+        params, ds, 8, _mean_embed, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    assert n2 == n
+    np.testing.assert_array_equal(resumed_embeds, ref_embeds)
+    np.testing.assert_array_equal(np.asarray(resumed_states["c"].ids), np.asarray(ref_states["c"].ids))
+    np.testing.assert_array_equal(
+        np.asarray(resumed_states["c"].values, np.float32),
+        np.asarray(ref_states["c"].values, np.float32),
+    )
+
+    CollectEngine.clear_checkpoint(ckpt)
+    assert not ckpt.exists()
+
+
+def test_run_fused_checkpoint_gap_detection(tmp_path):
+    """A missing embed chunk must fail loudly, not silently mis-index rows."""
+    from semanticlens_tpu.collect.engine import CollectEngine
+
+    model, params, ds = _one_conv_fixture()
+    eng = CollectEngine(model=model, layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5)
+    ckpt = tmp_path / "fused"
+    eng.run_fused(params, ds, 8, _mean_embed, checkpoint_dir=ckpt, checkpoint_every=1)
+    chunks = sorted(ckpt.glob("embeds-*.safetensors"))
+    chunks[1].unlink()
+    eng2 = CollectEngine(model=model, layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5)
+    with pytest.raises(RuntimeError, match="gap"):
+        eng2.run_fused(params, ds, 8, _mean_embed, checkpoint_dir=ckpt, checkpoint_every=1)
+
+
+def test_run_fused_checkpoint_resume_with_mesh(tmp_path):
+    """Fused checkpoint/resume with mesh-sharded (D, C, k) states."""
+    import jax
+    from jax.sharding import Mesh
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+
+    model, params, ds = _one_conv_fixture()
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+
+    def mk():
+        return CollectEngine(model=model, layer_names=("c",),
+                             aggregation_fn=aggregate_conv_mean, n_collect=5, mesh=mesh)
+
+    ref_states, ref_embeds, _ = mk().run_fused(params, ds, 16, _mean_embed)
+    half = ArrayDataset(ds.images[:16], name="d")
+    ckpt = tmp_path / "fused-mesh"
+    mk().run_fused(params, half, 16, _mean_embed, checkpoint_dir=ckpt, checkpoint_every=1)
+    resumed, resumed_embeds, _ = mk().run_fused(
+        params, ds, 16, _mean_embed, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    np.testing.assert_array_equal(np.asarray(resumed["c"].ids), np.asarray(ref_states["c"].ids))
+    np.testing.assert_array_equal(resumed_embeds, ref_embeds)
