@@ -10,15 +10,23 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "imgs/s/chip", "vs_baseline": N}
 
 The reference publishes no numbers (BASELINE.md: "this repo establishes the
-number"); ``vs_baseline`` is computed against REFERENCE_IMGS_PER_SEC, a
-conservative estimate of the reference's torch host-top-k pipeline on one
-accelerator.
+number"), so ``vs_baseline`` is a MEASURED ratio against the reference's own
+pipeline (its ActMaxCache hook machinery driving torch ResNet-50 + a torch
+CLIP ViT-B/32 sweep, tools/ref_baseline.py) run on this host's only torch
+device — the CPU. The ratio therefore folds in the TPU-vs-1-core-CPU hardware
+gap, not just framework overheads; the detail dict labels it as such and
+carries the raw baseline measurement. The measurement is cached in
+REF_BASELINE.json so repeat bench runs don't re-pay the torch sweep.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -27,7 +35,77 @@ import jax.numpy as jnp
 
 from semanticlens_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
 
-REFERENCE_IMGS_PER_SEC = 100.0
+_REF_CACHE = Path(__file__).resolve().parent / "REF_BASELINE.json"
+_REF_N, _REF_BATCH = 64, 16
+
+
+def measure_reference_baseline() -> dict:
+    """Measured reference-pipeline throughput on this host (cached)."""
+    if _REF_CACHE.exists():
+        try:
+            cached = json.loads(_REF_CACHE.read_text())
+            if cached.get("n_images") == _REF_N and cached.get("ref_imgs_per_s", 0) > 0:
+                return cached
+        except (json.JSONDecodeError, OSError):
+            pass
+    tool = Path(__file__).resolve().parent / "tools" / "ref_baseline.py"
+    proc = subprocess.run(
+        [sys.executable, str(tool), "--n-images", str(_REF_N), "--batch", str(_REF_BATCH)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},  # the baseline never needs the TPU
+    )
+    if proc.returncode != 0:
+        return {"ref_imgs_per_s": None, "error": proc.stderr[-500:]}
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    _REF_CACHE.write_text(json.dumps(result))
+    return result
+
+
+def real_data_bench(engine, params, embed_fn, images: np.ndarray, batch: int) -> dict:
+    """ImageFolder path: JPEGs on disk → decode → upload → fused pass.
+
+    Attributes the wall time between host decode and the device pipeline by
+    also timing a decode-only sweep (same iterator, no device work).
+    """
+    import tempfile
+
+    from PIL import Image
+
+    from semanticlens_tpu.data import ImageFolder, iter_batches
+
+    n = images.shape[0]
+    tmp = Path(tempfile.mkdtemp(prefix="bench-jpegs-"))
+    for i in range(n):
+        Image.fromarray(images[i]).save(tmp / f"img{i:05d}.jpg", quality=90)
+    ds = ImageFolder(tmp, image_size=images.shape[1])
+
+    # decode-only sweep: host cost of the real-data path
+    t0 = time.perf_counter()
+    for _ in iter_batches(ds, batch):
+        pass
+    decode_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    states, embeds, n_seen = engine.run_fused(params, ds, batch, embed_fn)
+    np.asarray(states[next(iter(states))].values)
+    e2e_s = time.perf_counter() - t0
+
+    for f in tmp.iterdir():
+        f.unlink()
+    tmp.rmdir()
+
+    bound = "decode" if decode_s > 0.7 * e2e_s else "device-pipeline"
+    return {
+        "n_images": n,
+        "decode_imgs_per_s": round(n / decode_s, 1),
+        "e2e_imgs_per_s": round(n_seen / e2e_s, 1),
+        "decode_s": round(decode_s, 3),
+        "e2e_s": round(e2e_s, 3),
+        "bound": bound,
+    }
+
 
 N_IMAGES = 2048
 BATCH = 256
@@ -106,6 +184,12 @@ def main():
     embed_compute_s = time.perf_counter() - t0
     del bufs, es, states
 
+    # Real-data path: JPEGs on disk through ImageFolder decode + fused pass
+    # (reference DataLoader-pipeline analogue, activation_based.py:344-349).
+    real_data = real_data_bench(
+        cv.engine, model.params, embed_fn, images[: min(512, N_IMAGES)], BATCH
+    )
+
     # End-to-end pipeline, best of 2 (host→device transport on shared links
     # is noisy; compute is deterministic).
     walls = []
@@ -118,12 +202,23 @@ def main():
     total_s = min(walls)
     imgs_per_sec = N_IMAGES / total_s
 
+    ref = measure_reference_baseline()
+    ref_rate = ref.get("ref_imgs_per_s")
+
     result = {
         "metric": "concept-DB build imgs/sec/chip (fused ResNet-50 collect + CLIP ViT-B/32 embed)",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/s/chip",
-        "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(imgs_per_sec / ref_rate, 3) if ref_rate else None,
         "detail": {
+            "baseline": {
+                **ref,
+                "note": (
+                    "measured: reference pipeline (its ActMaxCache hooks, torch "
+                    "ResNet-50 + CLIP ViT-B/32 two-sweep) on this host's only "
+                    "torch device (CPU); ratio folds in TPU-vs-CPU hardware"
+                ),
+            },
             "backend": jax.default_backend(),
             "n_images": N_IMAGES,
             "batch": BATCH,
@@ -133,6 +228,7 @@ def main():
             "uploaded_mb": round(images.nbytes / 2**20, 1),
             "collect_compute_imgs_per_s": round(N_IMAGES / collect_compute_s, 1),
             "embed_compute_imgs_per_s": round(N_IMAGES / embed_compute_s, 1),
+            "real_data": real_data,
             "db_shapes": {k: list(np.asarray(v).shape) for k, v in concept_db.items()},
         },
     }
