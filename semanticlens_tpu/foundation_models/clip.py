@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+from pathlib import Path
 from typing import Literal
 
 import jax
@@ -458,6 +459,10 @@ class OpenClip(AbstractVLM):
             logger.warning("No weights provided for %s — using random init.", url)
             self.params = init_clip_params(jax.random.PRNGKey(seed), self.cfg)
 
+        if bpe_path is None:
+            from semanticlens_tpu.foundation_models.assets import find_clip_bpe
+
+            bpe_path = find_clip_bpe(near=checkpoint if isinstance(checkpoint, (str, Path)) else None)
         if bpe_path is not None:
             self.tokenizer = ClipBpeTokenizer(bpe_path, self.cfg.text.context_length)
         else:

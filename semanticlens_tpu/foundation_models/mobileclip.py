@@ -244,6 +244,10 @@ class ClipMobile(AbstractVLM):
             logger.warning("No weights provided for %s — using random init.", self.url)
             self.params = init_mobileclip_params(jax.random.PRNGKey(seed), self.cfg)
 
+        if bpe_path is None:
+            from semanticlens_tpu.foundation_models.assets import find_clip_bpe
+
+            bpe_path = find_clip_bpe()
         if bpe_path is not None:
             self.tokenizer = ClipBpeTokenizer(bpe_path, self.cfg.text.context_length)
         else:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -224,6 +225,7 @@ class SigLipV2(AbstractVLM):
         params=None,
         checkpoint=None,
         tokenizer=None,
+        tokenizer_path=None,
         dtype=jnp.bfloat16,
         mesh=None,
         seed: int = 0,
@@ -243,8 +245,20 @@ class SigLipV2(AbstractVLM):
             logger.warning("No weights provided for %s — using random init.", self.URL)
             self.params = init_siglip_params(jax.random.PRNGKey(seed), self.cfg)
 
-        # SigLIP uses a SentencePiece tokenizer (file-gated like CLIP's BPE);
-        # callers pass one, otherwise the testing fallback engages.
+        # SigLIP uses a SentencePiece tokenizer. Resolution order: an explicit
+        # tokenizer object, an explicit .model path, a locally discovered
+        # .model (assets.find_sentencepiece), then the testing fallback.
+        if tokenizer is None:
+            if tokenizer_path is None:
+                from semanticlens_tpu.foundation_models.assets import find_sentencepiece
+
+                tokenizer_path = find_sentencepiece(
+                    near=checkpoint if isinstance(checkpoint, (str, Path)) else None
+                )
+            if tokenizer_path is not None:
+                from semanticlens_tpu.foundation_models.sentencepiece import SigLipTokenizer
+
+                tokenizer = SigLipTokenizer(tokenizer_path, self.cfg.context_length)
         self.tokenizer = tokenizer or HashTokenizer(self.cfg.vocab_size, self.cfg.context_length)
 
         @functools.partial(jax.jit)

@@ -96,12 +96,41 @@ def _split_numeric_runs(tokens):
     return out
 
 
+def _load_clip_merges(bpe_path: Path) -> list[tuple[str, str]]:
+    """Merge list from any distributed format.
+
+    - open_clip ``bpe_simple_vocab_16e6.txt[.gz]`` (comment line, then merges;
+      only the canonical first 48,894 are used — same slice as SimpleTokenizer);
+    - HF ``merges.txt`` (``#version`` header, then the same 48,894 merges);
+    - HF ``tokenizer.json`` (``model.merges`` as strings or pairs).
+    """
+    import json
+
+    if bpe_path.suffix == ".json":
+        data = json.loads(bpe_path.read_text("utf-8"))
+        model = data.get("model", data)
+        raw = model.get("merges")
+        if raw is None:
+            raise ValueError(
+                f"{bpe_path} has no merges — pass merges.txt/tokenizer.json, "
+                f"not a bare vocab.json"
+            )
+        return [tuple(m.split()) if isinstance(m, str) else tuple(m) for m in raw]
+    if str(bpe_path).endswith(".gz"):
+        merges_raw = gzip.open(bpe_path).read().decode("utf-8")
+    else:
+        merges_raw = bpe_path.read_text("utf-8")
+    lines = merges_raw.split("\n")
+    lines = lines[1 : 49152 - 256 - 2 + 1]
+    return [tuple(m.split()) for m in lines if m]
+
+
 class ClipBpeTokenizer:
     """CLIP's SimpleTokenizer (BPE over byte-unicode), vocab 49408.
 
     Parameters
     ----------
-    bpe_path : path to the merges file (``bpe_simple_vocab_16e6.txt[.gz]``).
+    bpe_path : merges in any supported format (see :func:`_load_clip_merges`).
     context_length : default framing length (SOT + tokens + EOT, padded 0).
     """
 
@@ -109,14 +138,7 @@ class ClipBpeTokenizer:
 
     def __init__(self, bpe_path: str | Path, context_length: int = 77):
         self.context_length = context_length
-        bpe_path = Path(bpe_path)
-        if str(bpe_path).endswith(".gz"):
-            merges_raw = gzip.open(bpe_path).read().decode("utf-8")
-        else:
-            merges_raw = bpe_path.read_text("utf-8")
-        merges = merges_raw.split("\n")
-        merges = merges[1 : 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges]
+        merges = _load_clip_merges(Path(bpe_path))
 
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
