@@ -10,12 +10,13 @@ ConvFFN) → attention stage → GAP → projection. The text tower is the
 standard CLIP 12-layer transformer (MobileCLIP-S1/S2 use the base text
 encoder).
 
-Weight conversion from Apple's release checkpoints is best-effort: the
-inference-form parameter layout is implemented (see
-:func:`mobileclip_param_specs`), but upstream ``.pt`` files must first be
-reparameterized (``model.reparameterize()`` in the mobileclip repo) and
-renamed; a converter for that layout can be added when checkpoints are
-available in the environment (zero-egress here).
+Weight conversion: :func:`load_mobileclip_state_dict` converts torch state
+dicts in deployed form (``reparam_conv``) AND raw train form (MobileOne
+``rbr_*`` branch sets, RepMixer ``mixer``/``norm`` pairs, conv+BN pairs) by
+folding the branches natively (:mod:`.reparam`) — no upstream
+``model.reparameterize()`` step needed. Parity of the folding math and of
+the full tower conversion is tested against torch mini-models
+(tests/foundation_models/test_reparam.py, test_mobileclip.py).
 """
 
 from __future__ import annotations
@@ -87,6 +88,7 @@ def _conv_ffn(params, prefix, x):
 def _rep_mixer_block(params, prefix, x):
     """RepMixer (fused): residual depthwise 3×3 token mixing, then ConvFFN."""
     mixed = _dw_conv(x, params[f"{prefix}.mixer.weight"], padding=1)
+    mixed = mixed + params[f"{prefix}.mixer.bias"].astype(x.dtype)
     x = x + mixed
     return _conv_ffn(params, f"{prefix}.ffn", x)
 
@@ -107,6 +109,7 @@ def _attention_block(params, prefix, x, heads):
 def _downsample(params, prefix, x):
     """Fused patch embed between stages: 7×7 depthwise s2 + 1×1 pointwise."""
     h = _dw_conv(x, params[f"{prefix}.dw.weight"], stride=2, padding=3)
+    h = h + params[f"{prefix}.dw.bias"].astype(x.dtype)
     return conv2d(h, params[f"{prefix}.pw.weight"], params[f"{prefix}.pw.bias"])
 
 
@@ -169,13 +172,17 @@ def mobileclip_param_specs(cfg: MobileCLIPConfig):
         if stage > 0:
             specs += [
                 (f"visual.stage{stage}.downsample.dw.weight", (7, 7, 1, cfg.dims[stage - 1]), "dw"),
+                (f"visual.stage{stage}.downsample.dw.bias", (cfg.dims[stage - 1],), "zeros"),
                 (f"visual.stage{stage}.downsample.pw.weight", (1, 1, cfg.dims[stage - 1], c), "conv"),
                 (f"visual.stage{stage}.downsample.pw.bias", (c,), "zeros"),
             ]
         for b in range(depth):
             prefix = f"visual.stage{stage}.blocks.{b}"
             if mixer == "rep":
-                specs += [(f"{prefix}.mixer.weight", (3, 3, 1, c), "dw")]
+                specs += [
+                    (f"{prefix}.mixer.weight", (3, 3, 1, c), "dw"),
+                    (f"{prefix}.mixer.bias", (c,), "zeros"),
+                ]
             else:
                 specs += [
                     (f"{prefix}.norm.weight", (c,), "ones"),
@@ -207,6 +214,79 @@ def init_mobileclip_params(rng, cfg: MobileCLIPConfig):
     return init_from_specs(rng, mobileclip_param_specs(cfg))
 
 
+# --------------------------------------------------------------------------- #
+# Checkpoint conversion (raw train-form or deployed)
+# --------------------------------------------------------------------------- #
+def load_mobileclip_state_dict(cfg: MobileCLIPConfig, state_dict, *, eps: float = 1e-5):
+    """Convert a torch MobileCLIP state dict into the fused JAX layout.
+
+    Handles three source forms per conv site, in priority order:
+
+    1. already in this layout (our own exports) — relayout only;
+    2. deployed/reparameterized (``<site>.reparam_conv.weight``);
+    3. **raw train-form**: MobileOne-style branch sets
+       (``rbr_conv.{i}``/``rbr_scale``/``rbr_skip`` conv+BN branches) and
+       RepMixer pairs (``mixer``/``norm``), folded with
+       :mod:`semanticlens_tpu.foundation_models.reparam` — the
+       ``model.reparameterize()`` step the reference relies on upstream
+       (reference clip.py:214-247) happens natively here. Plain
+       ``<site>.conv.weight`` + ``<site>.bn.*`` pairs fuse too.
+
+    Apple's release files nest the image tower under ``image_encoder.model.``
+    — strip/rename outer prefixes to this module grammar before calling (pure
+    renaming; the block-level names are the conventions handled here).
+    Linear weights transpose (out,in)→(in,out), convs OIHW→HWIO (depthwise
+    (C,1,k,k)→(k,k,1,C)); biases produced by folding fill the matching
+    ``.bias`` slots.
+    """
+    from semanticlens_tpu.foundation_models.reparam import (
+        fuse_conv_bn,
+        fuse_mobileone_block,
+        fuse_repmixer,
+    )
+
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in state_dict.items()
+    }
+
+    def fuse_site(prefix: str, hwio_shape):
+        k, in_ch, c = hwio_shape[0], hwio_shape[2], hwio_shape[3]
+        groups = c if in_ch == 1 else 1
+        if prefix.endswith(".mixer"):
+            w, b = fuse_repmixer(sd, prefix, channels=c, k=k, eps=eps)
+        elif f"{prefix}.conv.weight" in sd and f"{prefix}.bn.weight" in sd:
+            w, b = fuse_conv_bn(
+                sd[f"{prefix}.conv.weight"],
+                sd[f"{prefix}.bn.weight"],
+                sd[f"{prefix}.bn.bias"],
+                sd[f"{prefix}.bn.running_mean"],
+                sd[f"{prefix}.bn.running_var"],
+                bias=sd.get(f"{prefix}.conv.bias"),
+                eps=eps,
+            )
+        else:
+            w, b = fuse_mobileone_block(sd, prefix, channels=c, groups=groups, k=k, eps=eps)
+        sd[f"{prefix}.weight"] = w  # OIHW; relayout happens below
+        sd[f"{prefix}.bias"] = b
+
+    out = {}
+    for name, shape, _kind in mobileclip_param_specs(cfg):
+        if name not in sd and name.endswith(".weight") and len(shape) == 4:
+            fuse_site(name[: -len(".weight")], shape)
+        if name not in sd:
+            raise KeyError(f"checkpoint provides no source for '{name}'")
+        arr = np.asarray(sd[name], np.float64)
+        if arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO (dw: (C,1,k,k) → (k,k,1,C))
+        elif name.endswith("weight") and arr.ndim == 2 and "embedding" not in name:
+            arr = arr.T
+        if tuple(arr.shape) != tuple(shape):
+            raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
+        out[name] = jnp.asarray(arr, jnp.float32)
+    return out
+
+
 class ClipMobile(AbstractVLM):
     """MobileCLIP foundation model (reference API: clip.py:214-247).
 
@@ -224,6 +304,7 @@ class ClipMobile(AbstractVLM):
         version: str = "s1",
         *,
         params=None,
+        checkpoint=None,
         bpe_path=None,
         dtype=jnp.bfloat16,
         mesh=None,
@@ -240,6 +321,8 @@ class ClipMobile(AbstractVLM):
 
         if params is not None:
             self.params = params
+        elif checkpoint is not None:
+            self.params = load_mobileclip_state_dict(self.cfg, checkpoint)
         else:
             logger.warning("No weights provided for %s — using random init.", self.url)
             self.params = init_mobileclip_params(jax.random.PRNGKey(seed), self.cfg)
