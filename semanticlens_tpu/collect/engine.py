@@ -300,6 +300,7 @@ class CollectEngine:
         prefetch: int = 2,
         checkpoint_dir=None,
         checkpoint_every: int = 0,
+        id_offset: int = 0,
     ):
         """Stream the dataset; returns ``{layer: TopKState}`` globally merged,
         plus the number of samples seen.
@@ -307,6 +308,11 @@ class CollectEngine:
         With ``checkpoint_dir`` + ``checkpoint_every`` (batches), the running
         state flushes periodically and an interrupted sweep resumes from the
         last flush.
+
+        ``id_offset`` shifts the recorded sample ids — a multi-host sweep
+        feeds each host its :class:`~semanticlens_tpu.data.dataset.Subset`
+        shard with ``id_offset=shard_start`` so ids stay global dataset
+        indices (see :mod:`semanticlens_tpu.parallel.multihost`).
         """
         n = len(dataset)
         if n == 0:
@@ -329,7 +335,9 @@ class CollectEngine:
 
         batches_done = 0
         for images, start_index, _ in self._batches(dataset, batch_size, prefetch, resume_start):
-            states = step(states, params, images, np.int32(start_index), np.int32(n))
+            states = step(
+                states, params, images, np.int32(start_index + id_offset), np.int32(n + id_offset)
+            )
             batches_done += 1
             if checkpoint_dir is not None and checkpoint_every and batches_done % checkpoint_every == 0:
                 self.save_checkpoint(checkpoint_dir, states, start_index + batch_size)

@@ -55,6 +55,37 @@ class ArrayDataset:
         return f"ArrayDataset(n={len(self.images)}, shape={self.images.shape[1:]})"
 
 
+class Subset:
+    """Contiguous [start, stop) view of a dataset (multi-host shard view).
+
+    Keeps the parent's fast-path ``images`` attribute when available so
+    sliced sweeps stay zero-copy. Cache identity appends the range — a shard
+    is not the full dataset.
+    """
+
+    def __init__(self, dataset, start: int, stop: int):
+        n = len(dataset)
+        if not (0 <= start <= stop <= n):
+            raise ValueError(f"invalid subset range [{start}, {stop}) for dataset of {n}")
+        self.dataset = dataset
+        self.start, self.stop = start, stop
+        if hasattr(dataset, "images"):
+            self.images = dataset.images[start:stop]
+        if hasattr(dataset, "name"):
+            self.name = f"{dataset.name}[{start}:{stop}]"
+
+    def __len__(self):
+        return self.stop - self.start
+
+    def __getitem__(self, idx: int):
+        if idx < 0 or idx >= len(self):
+            raise IndexError(idx)
+        return self.dataset[self.start + idx]
+
+    def __repr__(self):
+        return f"Subset({self.dataset!r}, [{self.start}:{self.stop}))"
+
+
 def get_image(dataset, idx: int) -> np.ndarray:
     """Image at ``idx`` regardless of whether items are bare or (image, label)."""
     return np.asarray(_extract_image(dataset[idx]))

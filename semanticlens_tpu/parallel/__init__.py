@@ -1,9 +1,19 @@
 """Multi-chip parallelism: parameter sharding rules and mesh execution."""
 
+from semanticlens_tpu.parallel.multihost import (
+    collect_multihost,
+    merge_states_across_processes,
+)
 from semanticlens_tpu.parallel.tensor_parallel import (
     clip_param_specs_2d,
     shard_clip_params,
     siglip_param_specs_2d,
 )
 
-__all__ = ["shard_clip_params", "clip_param_specs_2d", "siglip_param_specs_2d"]
+__all__ = [
+    "shard_clip_params",
+    "clip_param_specs_2d",
+    "siglip_param_specs_2d",
+    "collect_multihost",
+    "merge_states_across_processes",
+]

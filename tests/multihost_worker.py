@@ -1,0 +1,59 @@
+"""Worker process for the real 2-process multi-host collect test.
+
+Launched by tests/test_multihost.py: initializes jax.distributed on a local
+coordinator, runs collect_multihost over a deterministic dataset, and prints
+the merged per-layer ids/values as JSON (both processes must agree).
+"""
+
+import json
+import sys
+
+
+def main():
+    coordinator, num_processes, process_id = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.data import ArrayDataset
+    from semanticlens_tpu.models.base import SubjectModel, TapCollector
+    from semanticlens_tpu.models.layers import conv2d
+    from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+    from semanticlens_tpu.parallel import collect_multihost
+
+    class OneConv(SubjectModel):
+        module_names = ("c",)
+
+        def apply(self, params, x, tap_names=()):
+            tap = TapCollector(tap_names)
+            return tap("c", conv2d(x, params["w"])), tap.taps
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 3, 6)).astype(np.float32))}
+    ds = ArrayDataset(
+        np.random.default_rng(1).normal(size=(24, 8, 8, 3)).astype(np.float32), name="mh"
+    )
+    engine = CollectEngine(
+        model=OneConv(), layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5
+    )
+    states, n = collect_multihost(engine, params, ds, batch_size=4)
+    out = {
+        "process": process_id,
+        "n": n,
+        "ids": np.asarray(states["c"].ids).tolist(),
+        "values": np.asarray(states["c"].values, np.float32).tolist(),
+    }
+    print("RESULT " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
