@@ -344,51 +344,6 @@ class CollectEngine:
 
         return self._finalize(states), n
 
-    def run_device_resident(self, params, images, batch_size: int):
-        """Collect over a dataset already staged in HBM, as ONE ``lax.scan``.
-
-        Zero per-batch dispatch — the entire sweep (reshape → forward →
-        aggregate → top-k merge per batch) is a single XLA program with the
-        state threaded through the scan carry.
-
-        ``images``: (N, H, W, C) device array, N divisible by ``batch_size``.
-        **The images buffer is donated** (freed for reuse inside the sweep so
-        the dataset is not held twice in HBM) — it is invalid after this call;
-        re-stage it if you need it again. Returns ``({layer: TopKState}, n)``.
-
-        Perf note (measured, v5e via the axon runtime): the dispatched
-        ``run()`` loop reaches ~9300 imgs/s on ResNet-50 while this scan
-        path reaches only ~270 — the while-loop body appears to lose weight
-        prefetch pipelining on that runtime. Prefer ``run()`` unless
-        dispatch overhead dominates in your deployment; results are
-        bit-identical either way (tested).
-        """
-        n = int(images.shape[0])
-        if n % batch_size:
-            raise ValueError(f"N={n} must be divisible by batch_size={batch_size} for the scan path")
-        if self.mesh is not None:
-            raise NotImplementedError("device-resident scan path is single-chip; use run() with a mesh")
-
-        n_latents = self.infer_n_latents(params, (batch_size, *images.shape[1:]), images.dtype)
-        states = self._init_states(n_latents)
-        n_batches = n // batch_size
-
-        @functools.partial(jax.jit, donate_argnums=(0, 2))
-        def sweep(states, params, images):
-            batched = images.reshape(n_batches, batch_size, *images.shape[1:])
-
-            def body(carry, inp):
-                batch_idx, batch = inp
-                start = batch_idx * batch_size
-                ids = start + jnp.arange(batch_size, dtype=jnp.int32)
-                valid = ids < n
-                return self._local_step(carry, params, batch, ids, valid), None
-
-            states, _ = jax.lax.scan(body, states, (jnp.arange(n_batches, dtype=jnp.int32), batched))
-            return states
-
-        return sweep(states, params, images), n
-
     def run_fused(
         self,
         params,

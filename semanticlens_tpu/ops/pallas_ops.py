@@ -11,12 +11,18 @@ MXU directly.
 Falls back to interpreter mode off-TPU, so the same code path is exercised by
 the CPU test suite.
 
-Status note (measured on v5e, 4096×512 × 8192×512 f32): XLA's
-matmul-then-rescale formulation currently beats this kernel ~10× — the XLA
-dot emitter pipelines f32 HIGHEST passes better than this Mosaic schedule.
-The kernel is kept as an optional backend and a base for fused epilogues XLA
-cannot express (masked top-k-per-row similarity); the production scores path
-uses the XLA formulation (see semanticlens_tpu.scores).
+Status note (REVISED round 2; see docs/PERF_NOTES.md for methodology):
+measured on v5e with dispatch latency amortized (16 calls chained in one
+program, device-side reduction instead of full-matrix readback), 4096×512 ×
+8192×512 f32: this kernel runs 0.70 ms/call = **49.4 TF/s — the fp32
+HIGHEST speed-of-light on v5e** — vs XLA's matmul-then-rescale at
+0.75 ms (45.6 TF/s). Round 1's "10× slower" verdict was a measurement
+artifact: the timing read the 128 MB result back through the ~15 MB/s
+tunnel, measuring transport, not the kernel. At score-stage sizes both
+formulations are dispatch-latency-bound anyway, so the production scores
+path keeps the backend-agnostic XLA formulation; this kernel is the
+drop-in for audit-scale similarity sweeps and a base for fused epilogues
+XLA cannot express (masked per-row top-k similarity).
 """
 
 from __future__ import annotations

@@ -236,39 +236,6 @@ def test_visualize_components(tiny_setup, tmp_path):
     assert fpath is not None and fpath.exists()
 
 
-def test_device_resident_scan_matches_streamed(tiny_setup):
-    """The lax.scan sweep must equal the streamed host-loop result."""
-    model, ds = tiny_setup
-    from semanticlens_tpu.collect.engine import CollectEngine
-
-    def mk():
-        return CollectEngine(model=model, layer_names=("0", "2"),
-                             aggregation_fn=aggregate_conv_mean, n_collect=5)
-
-    images = ds.images[:48]  # divisible by 16
-    ref_states, _ = mk().run(model.params, ArrayDataset(images, name="x"), 16)
-    scan_states, n = mk().run_device_resident(model.params, jnp.asarray(images), 16)
-    assert n == 48
-    for layer in ("0", "2"):
-        np.testing.assert_array_equal(
-            np.asarray(scan_states[layer].ids), np.asarray(ref_states[layer].ids)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(scan_states[layer].values, np.float32),
-            np.asarray(ref_states[layer].values, np.float32),
-        )
-
-
-def test_device_resident_rejects_ragged(tiny_setup):
-    model, ds = tiny_setup
-    from semanticlens_tpu.collect.engine import CollectEngine
-
-    eng = CollectEngine(model=model, layer_names=("0",),
-                        aggregation_fn=aggregate_conv_mean, n_collect=5)
-    with pytest.raises(ValueError):
-        eng.run_device_resident(model.params, jnp.asarray(ds.images), 16)  # 50 % 16 != 0
-
-
 def test_fused_path_with_mesh_matches_single_device(tiny_setup):
     """run_fused under a data mesh: states AND embeddings match 1-device."""
     model, ds = tiny_setup
