@@ -1,4 +1,4 @@
-.PHONY: test lint bench dryrun
+.PHONY: test lint bench dryrun native
 
 test:
 	python -m pytest tests/ -q
@@ -11,3 +11,7 @@ bench:
 
 dryrun:
 	python __graft_entry__.py
+
+native:
+	mkdir -p native/build
+	$(or $(CXX),g++) -O3 -march=native -shared -fPIC -o native/build/libsldecode.so native/decoder.cpp -ljpeg -lpthread

@@ -71,6 +71,8 @@ class Subset:
         self.start, self.stop = start, stop
         if hasattr(dataset, "images"):
             self.images = dataset.images[start:stop]
+        if hasattr(dataset, "get_batch"):
+            self.get_batch = lambda s, e: dataset.get_batch(start + s, start + e)
         if hasattr(dataset, "name"):
             self.name = f"{dataset.name}[{start}:{stop}]"
 
@@ -110,11 +112,14 @@ def iter_batches(
     """
     n = len(dataset)
     fast_images = getattr(dataset, "images", None)
+    get_batch = getattr(dataset, "get_batch", None)  # native threaded decode
 
     for start in range(start_index, n, batch_size):
         stop = min(start + batch_size, n)
         if fast_images is not None:
             block = np.asarray(fast_images[start:stop])
+        elif get_batch is not None:
+            block = np.asarray(get_batch(start, stop))
         else:
             block = np.stack([np.asarray(_extract_image(dataset[i])) for i in range(start, stop)])
         valid = np.ones(batch_size, bool)
