@@ -37,6 +37,7 @@ __all__ = [
     "similarity_score",
     "cosine_probe",
     "polysemanticity_score",
+    "topk_cosine_search",
 ]
 
 
@@ -180,3 +181,63 @@ def polysemanticity_score(V, replace_empty_clusters: bool = True, random_state: 
         fallback = 1.0 - clarity_not / num_samples
         poly = jnp.where(degenerate, fallback, poly)
     return poly
+
+
+@functools.lru_cache(maxsize=None)
+def _topk_merge_step(k: int):
+    """Jitted chunk step for :func:`topk_cosine_search`, memoized per k."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=5)
+    def step(best_vals, best_idx, qn, chunk, chunk_start, chunk_rows):
+        sim = jnp.matmul(
+            qn, _normalize(chunk).T, precision=jax.lax.Precision.HIGHEST
+        )  # (Q, C)
+        col = chunk_start + jnp.arange(sim.shape[1], dtype=jnp.int32)
+        sim = jnp.where(col[None, :] < chunk_start + chunk_rows, sim, -jnp.inf)
+        all_vals = jnp.concatenate([best_vals, sim], axis=1)
+        all_idx = jnp.concatenate(
+            [best_idx, jnp.broadcast_to(col[None, :], sim.shape)], axis=1
+        )
+        new_vals, sel = jax.lax.top_k(all_vals, k)
+        return new_vals, jnp.take_along_axis(all_idx, sel, axis=1)
+
+    return step
+
+
+def topk_cosine_search(queries, components, k: int, *, chunk_size: int = 65536):
+    """Per-query top-k most-similar components WITHOUT materializing (Q, N).
+
+    The full-audit configuration probes every layer's component bank — up to
+    millions of rows — where the dense (Q, N) similarity matrix would blow
+    HBM. This streams ``components`` through a jitted
+    [normalize → matmul → running-top-k] step: peak memory is
+    O(Q·(k + chunk_size)), one pass, state donated between chunks.
+
+    Returns ``(values (Q, k) float32 desc, indices (Q, k) int32)`` — indices
+    are global component row numbers. Exact (not approximate): equal to
+    ``top_k(cosine_matrix(queries, components))`` (tested).
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    components = jnp.asarray(components, jnp.float32)
+    q = queries.shape[0]
+    n = components.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds component count {n}")
+    chunk_size = min(chunk_size, max(n, 1))
+
+    qn = _normalize(queries)
+    best_vals = jnp.full((q, k), -jnp.inf, jnp.float32)
+    best_idx = jnp.full((q, k), -1, jnp.int32)
+    step = _topk_merge_step(k)
+
+    for start in range(0, n, chunk_size):
+        stop = min(start + chunk_size, n)
+        chunk = components[start:stop]
+        if stop - start < chunk_size:  # static-shape pad for the jitted step
+            chunk = jnp.concatenate(
+                [chunk, jnp.ones((chunk_size - (stop - start), chunk.shape[1]), chunk.dtype)]
+            )
+        best_vals, best_idx = step(
+            best_vals, best_idx, qn, chunk, jnp.int32(start), stop - start
+        )
+    return best_vals, best_idx

@@ -187,3 +187,36 @@ def test_cosine_probe_square_db_unambiguous():
 def test_cosine_probe_dim_mismatch_raises():
     with pytest.raises(ValueError):
         scores.cosine_probe(np.zeros((2, 8), np.float32), np.zeros((4, 6), np.float32))
+
+
+def test_topk_cosine_search_matches_dense():
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.scores import topk_cosine_search
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(7, 32)).astype(np.float32)
+    comp = rng.normal(size=(1000, 32)).astype(np.float32)
+
+    vals, idx = topk_cosine_search(q, comp, k=9, chunk_size=128)  # ragged last chunk
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cn = comp / np.linalg.norm(comp, axis=1, keepdims=True)
+    dense = qn @ cn.T
+    want_idx = np.argsort(-dense, axis=1)[:, :9]
+    want_vals = np.take_along_axis(dense, want_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_topk_cosine_search_single_chunk_and_validation():
+    import pytest as _pytest
+
+    from semanticlens_tpu.scores import topk_cosine_search
+
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    comp = rng.normal(size=(5, 8)).astype(np.float32)
+    vals, idx = topk_cosine_search(q, comp, k=5, chunk_size=4096)
+    assert vals.shape == (2, 5) and sorted(np.asarray(idx)[0].tolist()) == [0, 1, 2, 3, 4]
+    with _pytest.raises(ValueError):
+        topk_cosine_search(q, comp, k=6)
