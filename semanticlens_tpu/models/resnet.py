@@ -29,8 +29,14 @@ from semanticlens_tpu.models.layers import (
     max_pool,
 )
 
-_STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
-_BOTTLENECK = {50, 101}
+_STAGE_BLOCKS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+_BOTTLENECK = {50, 101, 152}
 
 
 def _conv_shape(out_ch, in_ch, k):
@@ -38,11 +44,11 @@ def _conv_shape(out_ch, in_ch, k):
 
 
 class ResNet(SubjectModel):
-    """ResNet-18/34/50/101, channels-last, torch-compatible names.
+    """ResNet-18/34/50/101/152, channels-last, torch-compatible names.
 
     Parameters
     ----------
-    depth : one of 18, 34, 50, 101.
+    depth : one of 18, 34, 50, 101, 152.
     num_classes : classifier width.
     dtype : activation dtype (bfloat16 by default — the MXU-native dtype).
     """

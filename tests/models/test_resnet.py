@@ -111,3 +111,16 @@ def test_deeper_variants_specs(depth, blocks, expansion):
 def test_unsupported_depth_raises():
     with pytest.raises(ValueError):
         ResNet(depth=77)
+
+
+def test_resnet152_spec():
+    import jax
+
+    from semanticlens_tpu.models.resnet import ResNet
+
+    m = ResNet(depth=152, num_classes=10)
+    assert m.stage_blocks == (3, 8, 36, 3) and m.bottleneck
+    assert "layer3.35" in " ".join(m.module_names)
+    # spec-level check only (full init of 152 layers is slow on CPU):
+    specs = {name: shape for name, shape, _ in m._param_specs()}
+    assert specs["layer3.35.conv3.weight"] == (1, 1, 256, 1024)
