@@ -165,24 +165,55 @@ def main():
     np.asarray(warm_states["layer4"].values), warm_embeds
 
     # Device-resident compute throughput — the design's ceiling where the
-    # host→device link is not the bottleneck (real TPU hosts). Measured
-    # BEFORE the end-to-end run: the tunnel's remote executor degrades
-    # under transfer backlog and would pollute a post-pipeline measurement.
-    bufs = [jax.device_put(images[i * BATCH : (i + 1) * BATCH]) for i in range(N_IMAGES // BATCH)]
+    # host→device link is not the bottleneck (real TPU hosts). Methodology
+    # (docs/PERF_NOTES.md): the tunnel imposes a ~32 ms dispatch+readback
+    # floor per program, so all N_CHAIN batches are processed inside ONE
+    # jitted program (unrolled chain threading the top-k state) and the
+    # result is reduced on device — best of 3. Measured BEFORE the
+    # end-to-end run: the tunnel's remote executor degrades under transfer
+    # backlog and would pollute a post-pipeline measurement.
+    N_CHAIN = 8
+    bufs = [jax.device_put(images[i * BATCH : (i + 1) * BATCH]) for i in range(N_CHAIN)]
     for b in bufs:  # sync EVERY upload — in-flight transfers would pollute timing
         np.asarray(b[:1, :1, :1])
-    states, _ = cv.engine.run(model.params, warm_ds, BATCH)
-    step = cv.engine._get_step()
-    t0 = time.perf_counter()
-    for i, b in enumerate(bufs):
-        states = step(states, model.params, b, np.int32(i * BATCH), np.int32(N_IMAGES))
-    np.asarray(states["layer4"].values)
-    collect_compute_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    es = [embed_fn(b) for b in bufs]
-    np.asarray(es[-1][:1])
-    embed_compute_s = time.perf_counter() - t0
-    del bufs, es, states
+    n_latents = cv.engine.infer_n_latents(
+        model.params, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), images.dtype
+    )
+
+    @jax.jit
+    def collect_chain(states, params, *batches):
+        for i, b in enumerate(batches):
+            ids = np.int32(i * BATCH) + jnp.arange(BATCH, dtype=jnp.int32)
+            states = cv.engine._local_step(
+                states, params, b, ids, jnp.ones((BATCH,), bool)
+            )
+        return jnp.sum(states["layer4"].values.astype(jnp.float32))
+
+    @jax.jit
+    def embed_chain(params, *batches):
+        acc = jnp.zeros((), jnp.float32)
+        for b in batches:
+            acc = acc + jnp.sum(fm._encode_image(params, b))
+        return acc
+
+    def best_of(fn, *args, n=3):
+        np.asarray(fn(*args))  # compile + warm
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    pre_bufs = [fm.preprocess(b) for b in bufs]
+    for b in pre_bufs:
+        np.asarray(b[:1, :1, :1])
+    collect_compute_s = best_of(
+        lambda *bs: collect_chain(cv.engine._init_states(n_latents), model.params, *bs), *bufs
+    )
+    embed_compute_s = best_of(lambda *bs: embed_chain(fm.params, *bs), *pre_bufs)
+    chain_imgs = N_CHAIN * BATCH
+    del bufs, pre_bufs
 
     # Real-data path: JPEGs on disk through ImageFolder decode + fused pass
     # (reference DataLoader-pipeline analogue, activation_based.py:344-349).
@@ -190,11 +221,11 @@ def main():
         cv.engine, model.params, embed_fn, images[: min(512, N_IMAGES)], BATCH
     )
 
-    # End-to-end pipeline, best of 2 (host→device transport on shared links
-    # is noisy; compute is deterministic).
+    # End-to-end pipeline, best of 3 (host→device transport on shared links
+    # is noisy with multi-x swings between phases; compute is deterministic).
     walls = []
     concept_db = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
         _force(concept_db)  # host materialization = honest end-to-end timing
@@ -226,8 +257,9 @@ def main():
             "layers": list(LAYERS),
             "n_collect": N_COLLECT,
             "uploaded_mb": round(images.nbytes / 2**20, 1),
-            "collect_compute_imgs_per_s": round(N_IMAGES / collect_compute_s, 1),
-            "embed_compute_imgs_per_s": round(N_IMAGES / embed_compute_s, 1),
+            "collect_compute_imgs_per_s": round(chain_imgs / collect_compute_s, 1),
+            "embed_compute_imgs_per_s": round(chain_imgs / embed_compute_s, 1),
+            "compute_ceiling_method": f"{N_CHAIN} batches chained in one program, best of 3",
             "real_data": real_data,
             "db_shapes": {k: list(np.asarray(v).shape) for k, v in concept_db.items()},
         },
