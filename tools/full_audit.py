@@ -145,6 +145,18 @@ def main():
                 q: int(sim[i].argmax()) for i, q in enumerate(args.queries)
             }
 
+    # streaming exact top-5 per query over every layer's bank (memory-bounded
+    # path for audit-scale component counts)
+    top5 = {}
+    with timer.stage("topk-search"):
+        from semanticlens_tpu.scores import topk_cosine_search
+
+        queries = np.asarray(fm.encode_text(fm.tokenize(list(args.queries))), np.float32)
+        for layer, bank in agg_db.items():
+            k = min(5, bank.shape[0])
+            _vals, idx = topk_cosine_search(queries, bank, k=k)
+            top5[layer] = {q: np.asarray(idx)[i].tolist() for i, q in enumerate(args.queries)}
+
     report = {
         "dataset": getattr(dataset, "name", "?"),
         "n_images": n,
@@ -153,6 +165,7 @@ def main():
         "db_shapes": {k: list(np.asarray(v).shape) for k, v in concept_db.items()},
         "scores": scores_out,
         "top_neuron_per_query": search_out,
+        "top5_per_query": top5,
         "stages": timer.summary(),
     }
     print(json.dumps(report))
