@@ -255,10 +255,13 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         embedding table persist under ``storage_dir/_checkpoint-fused`` and an
         interrupted audit resumes instead of restarting. Cleared on success —
         the actmax + concept-db caches supersede it.
-        """
 
-        def embed_fn(raw_device_batch):
-            return fm.encode_image(fm.preprocess(raw_device_batch))
+        When the FM exposes its raw pieces (``params`` + ``_encode_image``,
+        true for every built-in FM) the collect step and the FM tower compile
+        into ONE program per batch (engine ``_get_fused_step``); otherwise
+        (e.g. mock FMs) the embed runs as its own dispatch.
+        """
+        embed_fn, embed_params = self._fused_embed(fm)
 
         ckpt_dir = (
             self.storage_dir / "_checkpoint-fused"
@@ -270,11 +273,41 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
             self.dataset,
             batch_size,
             embed_fn,
+            embed_params=embed_params,
             checkpoint_dir=ckpt_dir,
             checkpoint_every=max(1, checkpoint // batch_size) if ckpt_dir else 0,
         )
         if ckpt_dir is not None:
             self.engine.clear_checkpoint(ckpt_dir)
+        self._ingest_fused(states, embeds, n_seen)
+        return embeds
+
+    def _fused_embed(self, fm):
+        """(embed_fn, embed_params) for run_fused, stable across repeat calls.
+
+        The engine memoizes its compiled combined step per embed_fn object,
+        so the function is cached per (visualizer, fm) — rebuilding a lambda
+        every call would recompile the big fused program each sweep.
+        """
+        cached = getattr(self, "_fused_embed_cache", None)
+        if cached is not None and cached[0] is fm:
+            return cached[1], cached[2]
+        if hasattr(fm, "_encode_image") and hasattr(fm, "params"):
+
+            def embed_fn(fm_params, raw_device_batch):
+                return fm._encode_image(fm_params, fm.preprocess(raw_device_batch))
+
+            embed_params = fm.params
+        else:  # mock/duck-typed FM: opaque per-batch dispatch
+
+            def embed_fn(raw_device_batch):
+                return fm.encode_image(fm.preprocess(raw_device_batch))
+
+            embed_params = None
+        self._fused_embed_cache = (fm, embed_fn, embed_params)
+        return embed_fn, embed_params
+
+    def _ingest_fused(self, states, embeds, n_seen):
         for name, state in states.items():
             act_max = self.actmax_cache[name]
             act_max.n_latents = int(state.values.shape[0])

@@ -78,6 +78,7 @@ class CollectEngine:
         self.n_shards = mesh.shape["data"] if mesh is not None else 1
         self.input_preprocess = input_preprocess or (lambda x: x.astype(jnp.float32))
         self._step = None  # memoized jitted step — rebuilt closures would recompile
+        self._fused_steps: dict[int, Callable] = {}  # id(embed_fn) → combined step
 
     # ----------------------------------------------------------------- shapes
     def infer_n_latents(self, params, batch_shape, dtype=jnp.float32) -> dict[str, int]:
@@ -146,6 +147,57 @@ class CollectEngine:
         )
         self._step = jax.jit(step_sharded, donate_argnums=0)
         return self._step
+
+    def _get_fused_step(self, embed_fn):
+        """Combined Collect+Embed step: both networks in ONE XLA program.
+
+        ``embed_fn(embed_params, raw_images) -> (B, D)`` must be traceable.
+        Measured on v5e (docs/PERF_NOTES.md): XLA interleaves the subject
+        model and the FM tower ~1.3× better than two back-to-back programs,
+        on top of saving one dispatch per batch. Memoized per ``embed_fn``
+        object — callers must reuse a stable function object or eat a
+        recompile.
+        """
+        key = id(embed_fn)
+        if key in self._fused_steps:
+            return self._fused_steps[key]
+
+        if self.mesh is None:
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def step(states, params, embed_params, images, start, n_total):
+                b = images.shape[0]
+                sample_ids = start + jnp.arange(b, dtype=jnp.int32)
+                valid = sample_ids < n_total
+                new_states = self._local_step(states, params, images, sample_ids, valid)
+                return new_states, embed_fn(embed_params, images)
+
+        else:
+            mesh = self.mesh
+
+            def sharded(states, params, embed_params, images, start, n_total):
+                local = jax.tree.map(lambda a: a[0], states)
+                b_local = images.shape[0]
+                shard = jax.lax.axis_index("data").astype(jnp.int32)
+                sample_ids = start + shard * b_local + jnp.arange(b_local, dtype=jnp.int32)
+                valid = sample_ids < n_total
+                new_local = self._local_step(local, params, images, sample_ids, valid)
+                emb = embed_fn(embed_params, images)
+                return jax.tree.map(lambda a: a[None], new_local), emb
+
+            step = jax.jit(
+                jax.shard_map(
+                    sharded,
+                    mesh=mesh,
+                    in_specs=(P("data"), P(), P(), P("data"), P(), P()),
+                    out_specs=(P("data"), P("data")),
+                    check_vma=False,
+                ),
+                donate_argnums=0,
+            )
+
+        self._fused_steps[key] = step
+        return step
 
     def _init_states(self, n_latents: dict[str, int]):
         if self.mesh is None:
@@ -351,14 +403,22 @@ class CollectEngine:
         batch_size: int,
         embed_fn: Callable,
         *,
+        embed_params=None,
         prefetch: int = 2,
         checkpoint_dir=None,
         checkpoint_every: int = 0,
     ):
         """Single-pass Collect + Embed: one upload per image feeds both.
 
-        ``embed_fn(raw_device_batch) -> (B, D)`` embeddings on device (the
-        foundation model's own device-side preprocessing + encoder).
+        Two embed contracts:
+
+        - ``embed_params=None`` (legacy): ``embed_fn(raw_device_batch) ->
+          (B, D)`` runs as its own dispatch after each collect step;
+        - ``embed_params`` given: ``embed_fn(embed_params, raw_device_batch)
+          -> (B, D)`` must be traceable and BOTH networks compile into one
+          XLA program per batch (``_get_fused_step`` — measured ~1.3× over
+          separate programs on v5e). Pass a stable ``embed_fn`` object to
+          reuse the compiled step across sweeps.
 
         Returns ``({layer: TopKState}, embeds (N, D) float32 numpy, n)``.
         Without checkpointing, embeddings accumulate on device and come back
@@ -396,14 +456,23 @@ class CollectEngine:
             shape, dtype = self._probe_shape(dataset, batch_size)
             n_latents = self.infer_n_latents(params, shape, dtype)
             states = self._init_states(n_latents)
-        step = self._get_step()
+        if embed_params is not None:
+            fused_step = self._get_fused_step(embed_fn)
+        else:
+            step = self._get_step()
 
         pending = []  # device-resident embed chunks since the last flush
         flushed_rows = resume_start
         batches_done = 0
         for images, start_index, _ in self._batches(dataset, batch_size, prefetch, resume_start):
-            states = step(states, params, images, np.int32(start_index), np.int32(n))
-            pending.append(embed_fn(images))
+            if embed_params is not None:
+                states, emb = fused_step(
+                    states, params, embed_params, images, np.int32(start_index), np.int32(n)
+                )
+                pending.append(emb)
+            else:
+                states = step(states, params, images, np.int32(start_index), np.int32(n))
+                pending.append(embed_fn(images))
             batches_done += 1
             if checkpoint_dir is not None and checkpoint_every and batches_done % checkpoint_every == 0:
                 chunk = np.asarray(jnp.concatenate(pending, axis=0), np.float32)

@@ -300,3 +300,63 @@ def test_run_fused_checkpoint_resume_with_mesh(tmp_path):
     )
     np.testing.assert_array_equal(np.asarray(resumed["c"].ids), np.asarray(ref_states["c"].ids))
     np.testing.assert_array_equal(resumed_embeds, ref_embeds)
+
+
+def test_run_fused_combined_program_matches_legacy(tmp_path):
+    """embed_params path (one XLA program/batch) == legacy two-dispatch path."""
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+
+    model, params, ds = _one_conv_fixture()
+
+    def mk():
+        return CollectEngine(model=model, layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5)
+
+    proj = jnp.asarray(np.random.default_rng(5).normal(size=(3, 7)).astype(np.float32))
+
+    def legacy_embed(batch):
+        return jnp.mean(batch.astype(jnp.float32), axis=(1, 2)) @ proj
+
+    def fused_embed(p, batch):
+        return jnp.mean(batch.astype(jnp.float32), axis=(1, 2)) @ p
+
+    ref_states, ref_embeds, n = mk().run_fused(params, ds, 8, legacy_embed)
+    eng = mk()
+    states, embeds, n2 = eng.run_fused(params, ds, 8, fused_embed, embed_params=proj)
+    assert n == n2
+    np.testing.assert_allclose(embeds, ref_embeds, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(states["c"].ids), np.asarray(ref_states["c"].ids))
+    # the combined step is memoized per embed_fn object
+    assert len(eng._fused_steps) == 1
+    eng.run_fused(params, ds, 8, fused_embed, embed_params=proj)
+    assert len(eng._fused_steps) == 1
+
+
+def test_run_fused_combined_with_mesh_and_checkpoint(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+
+    model, params, ds = _one_conv_fixture()
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    proj = jnp.asarray(np.random.default_rng(5).normal(size=(3, 7)).astype(np.float32))
+
+    def fused_embed(p, batch):
+        return jnp.mean(batch.astype(jnp.float32), axis=(1, 2)) @ p
+
+    def mk():
+        return CollectEngine(model=model, layer_names=("c",),
+                             aggregation_fn=aggregate_conv_mean, n_collect=5, mesh=mesh)
+
+    ref_states, ref_embeds, _ = mk().run_fused(params, ds, 8, fused_embed, embed_params=proj)
+    half = ArrayDataset(ds.images[:16], name="d")
+    ckpt = tmp_path / "fused-combined"
+    mk().run_fused(params, half, 8, fused_embed, embed_params=proj,
+                   checkpoint_dir=ckpt, checkpoint_every=1)
+    resumed, embeds, _ = mk().run_fused(params, ds, 8, fused_embed, embed_params=proj,
+                                        checkpoint_dir=ckpt, checkpoint_every=1)
+    np.testing.assert_array_equal(np.asarray(resumed["c"].ids), np.asarray(ref_states["c"].ids))
+    np.testing.assert_array_equal(embeds, ref_embeds)
