@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import logging
 
-import numpy as np
-
 logger = logging.getLogger(__name__)
 
 

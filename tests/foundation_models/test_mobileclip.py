@@ -1,7 +1,5 @@
 """MobileCLIP smoke tests (random weights, reference test strategy)."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 
@@ -249,7 +247,7 @@ def test_deployed_form_passthrough_equals_trainform_fold():
     """reparam_conv checkpoints and train-form checkpoints land on identical params."""
     torch = pytest.importorskip("torch")
     from semanticlens_tpu.foundation_models.mobileclip import load_mobileclip_state_dict
-    from semanticlens_tpu.foundation_models.reparam import fuse_mobileone_block, identity_kernel
+    from semanticlens_tpu.foundation_models.reparam import fuse_mobileone_block
 
     c = TINY.dims[0]
     block = _build_torch_trainform(TINY).stem[0]

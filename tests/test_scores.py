@@ -190,8 +190,6 @@ def test_cosine_probe_dim_mismatch_raises():
 
 
 def test_topk_cosine_search_matches_dense():
-    import jax.numpy as jnp
-
     from semanticlens_tpu.scores import topk_cosine_search
 
     rng = np.random.default_rng(0)
