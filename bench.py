@@ -39,12 +39,24 @@ _REF_CACHE = Path(__file__).resolve().parent / "REF_BASELINE.json"
 _REF_N, _REF_BATCH = 64, 16
 
 
+def _host_id() -> str:
+    import platform
+
+    return f"{platform.machine()}-{os.cpu_count()}cpu"
+
+
 def measure_reference_baseline() -> dict:
-    """Measured reference-pipeline throughput on this host (cached)."""
+    """Measured reference-pipeline throughput on this host (cached per host —
+    a committed cache from a different machine must not masquerade as a local
+    measurement)."""
     if _REF_CACHE.exists():
         try:
             cached = json.loads(_REF_CACHE.read_text())
-            if cached.get("n_images") == _REF_N and cached.get("ref_imgs_per_s", 0) > 0:
+            if (
+                cached.get("n_images") == _REF_N
+                and cached.get("ref_imgs_per_s", 0) > 0
+                and cached.get("host") == _host_id()
+            ):
                 return cached
         except (json.JSONDecodeError, OSError):
             pass
@@ -59,6 +71,7 @@ def measure_reference_baseline() -> dict:
     if proc.returncode != 0:
         return {"ref_imgs_per_s": None, "error": proc.stderr[-500:]}
     result = json.loads(proc.stdout.strip().splitlines()[-1])
+    result["host"] = _host_id()
     _REF_CACHE.write_text(json.dumps(result))
     return result
 
@@ -80,6 +93,9 @@ def real_data_bench(engine, params, embed_fn, images: np.ndarray, batch: int) ->
     for i in range(n):
         Image.fromarray(images[i]).save(tmp / f"img{i:05d}.jpg", quality=90)
     ds = ImageFolder(tmp, image_size=images.shape[1])
+    # warm the decoder (first use may g++-build the native library) and the
+    # page cache so neither sweep pays one-time costs
+    ds.get_batch(0, min(batch, n))
 
     # decode-only sweep: host cost of the real-data path
     t0 = time.perf_counter()

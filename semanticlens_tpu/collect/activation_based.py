@@ -277,9 +277,11 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
             checkpoint_dir=ckpt_dir,
             checkpoint_every=max(1, checkpoint // batch_size) if ckpt_dir else 0,
         )
-        if ckpt_dir is not None:
-            self.engine.clear_checkpoint(ckpt_dir)
         self._ingest_fused(states, embeds, n_seen)
+        if ckpt_dir is not None:
+            # Only after the actmax cache is persisted: clearing first would
+            # reopen the crash window between sweep end and cache store.
+            self.engine.clear_checkpoint(ckpt_dir)
         return embeds
 
     def _fused_embed(self, fm):
@@ -287,25 +289,31 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
 
         The engine memoizes its compiled combined step per embed_fn object,
         so the function is cached per (visualizer, fm) — rebuilding a lambda
-        every call would recompile the big fused program each sweep.
+        every call would recompile the big fused program each sweep. Keyed by
+        fm identity so alternating between FMs on one visualizer reuses each
+        FM's compiled step instead of recompiling.
         """
-        cached = getattr(self, "_fused_embed_cache", None)
-        if cached is not None and cached[0] is fm:
-            return cached[1], cached[2]
-        if hasattr(fm, "_encode_image") and hasattr(fm, "params"):
+        cache = getattr(self, "_fused_embed_cache", None)
+        if cache is None:
+            cache = self._fused_embed_cache = {}
+        hit = cache.get(id(fm))
+        if hit is not None and hit[0] is fm:
+            _fm, embed_fn, fused_capable = hit
+            # params fetched fresh each sweep — the fm may have loaded new ones
+            return embed_fn, (fm.params if fused_capable else None)
+        fused_capable = hasattr(fm, "_encode_image") and hasattr(fm, "params")
+        if fused_capable:
 
             def embed_fn(fm_params, raw_device_batch):
                 return fm._encode_image(fm_params, fm.preprocess(raw_device_batch))
 
-            embed_params = fm.params
         else:  # mock/duck-typed FM: opaque per-batch dispatch
 
             def embed_fn(raw_device_batch):
                 return fm.encode_image(fm.preprocess(raw_device_batch))
 
-            embed_params = None
-        self._fused_embed_cache = (fm, embed_fn, embed_params)
-        return embed_fn, embed_params
+        cache[id(fm)] = (fm, embed_fn, fused_capable)
+        return embed_fn, (fm.params if fused_capable else None)
 
     def _ingest_fused(self, states, embeds, n_seen):
         for name, state in states.items():

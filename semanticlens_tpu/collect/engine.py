@@ -291,14 +291,20 @@ class CollectEngine:
         """Load persisted embedding chunks covering exactly [0, n_rows).
 
         Chunks are written before ``progress.json`` commits ``next_start``, so
-        a checkpoint that references ``n_rows`` must have contiguous coverage;
-        anything else means the directory was tampered with or mixes sweeps.
+        contiguous coverage up to ``n_rows`` must exist; a gap means the
+        directory was tampered with or mixes sweeps. Rows BEYOND ``n_rows``
+        are dropped: a crash between a chunk write and its progress commit
+        leaves a stale trailing chunk whose samples the resumed sweep
+        recomputes — keeping it would duplicate those rows in the final table.
         """
         from safetensors.numpy import load_file
 
         directory = Path(directory)
         chunks, covered = [], 0
         for fpath in sorted(directory.glob("embeds-*.safetensors")):
+            if covered >= n_rows:
+                logger.warning("dropping uncommitted embedding chunk %s (rows >= %d)", fpath.name, n_rows)
+                break
             row_start = int(fpath.stem.split("-")[1])
             if row_start != covered:
                 raise RuntimeError(
@@ -306,6 +312,13 @@ class CollectEngine:
                     f"found {fpath.name} in {directory}"
                 )
             chunk = load_file(str(fpath))["embeds"]
+            if covered + chunk.shape[0] > n_rows:
+                logger.warning(
+                    "truncating embedding chunk %s to the committed row count %d",
+                    fpath.name,
+                    n_rows,
+                )
+                chunk = chunk[: n_rows - covered]
             chunks.append(chunk)
             covered += chunk.shape[0]
         if covered < n_rows:

@@ -43,6 +43,10 @@ def _build() -> Path | None:
     if not _SRC.exists():
         return so if so.exists() else None
     so.parent.mkdir(parents=True, exist_ok=True)
+    # Compile to a per-process temp name and rename atomically: concurrent
+    # processes (multi-host on one machine) must never dlopen a half-written
+    # file, and rename makes last-writer-wins safe.
+    tmp = so.with_name(f".{so.name}.{os.getpid()}.tmp")
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O3",
@@ -50,7 +54,7 @@ def _build() -> Path | None:
         "-shared",
         "-fPIC",
         "-o",
-        str(so),
+        str(tmp),
         str(_SRC),
         "-ljpeg",
         "-lpthread",
@@ -62,7 +66,9 @@ def _build() -> Path | None:
         return None
     if proc.returncode != 0:
         logger.info("native decoder build failed:\n%s", proc.stderr[-2000:])
+        tmp.unlink(missing_ok=True)
         return None
+    os.replace(tmp, so)
     return so
 
 

@@ -253,7 +253,8 @@ class SigLipV2(AbstractVLM):
                 from semanticlens_tpu.foundation_models.assets import find_sentencepiece
 
                 tokenizer_path = find_sentencepiece(
-                    near=checkpoint if isinstance(checkpoint, (str, Path)) else None
+                    near=checkpoint if isinstance(checkpoint, (str, Path)) else None,
+                    expected_vocab=self.cfg.vocab_size,
                 )
             if tokenizer_path is not None:
                 from semanticlens_tpu.foundation_models.sentencepiece import SigLipTokenizer

@@ -56,6 +56,24 @@ def merge_states_across_processes(states: dict[str, TopKState]) -> dict[str, Top
     return merged
 
 
+def local_shard_sweep(engine, params, dataset, batch_size: int, start: int, stop: int, **run_kwargs):
+    """One host's sweep over dataset rows [start, stop) with global ids.
+
+    An empty shard (small dataset, many hosts) still returns states of the
+    full (n_latents, k) shape — every process must contribute identically
+    shaped tensors to the cross-host allgather, and ``engine.run``'s
+    empty-dataset early return uses a (1, k) placeholder that would wreck it.
+    """
+    if stop == start:
+        shape, dtype = engine._probe_shape(dataset, batch_size)
+        states = engine._init_states(engine.infer_n_latents(params, shape, dtype))
+        return engine._finalize(states), 0
+    local = Subset(dataset, start, stop)
+    states, seen = engine.run(params, local, batch_size, id_offset=start, **run_kwargs)
+    assert seen == stop - start, f"host swept {seen} samples, shard holds {stop - start}"
+    return states, seen
+
+
 def collect_multihost(engine, params, dataset, batch_size: int, **run_kwargs):
     """Full multi-host Collect sweep; returns (merged states, global n).
 
@@ -68,7 +86,5 @@ def collect_multihost(engine, params, dataset, batch_size: int, **run_kwargs):
         "process %d/%d collecting shard [%d, %d) of %d",
         jax.process_index(), jax.process_count(), start, stop, n,
     )
-    local = Subset(dataset, start, stop)
-    states, seen = engine.run(params, local, batch_size, id_offset=start, **run_kwargs)
-    assert seen == stop - start, f"host swept {seen} samples, shard holds {stop - start}"
+    states, _seen = local_shard_sweep(engine, params, dataset, batch_size, start, stop, **run_kwargs)
     return merge_states_across_processes(states), n

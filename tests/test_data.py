@@ -360,3 +360,34 @@ def test_run_fused_combined_with_mesh_and_checkpoint(tmp_path):
                                         checkpoint_dir=ckpt, checkpoint_every=1)
     np.testing.assert_array_equal(np.asarray(resumed["c"].ids), np.asarray(ref_states["c"].ids))
     np.testing.assert_array_equal(embeds, ref_embeds)
+
+
+def test_run_fused_resume_drops_uncommitted_chunk(tmp_path):
+    """Crash between a chunk write and its progress commit must not duplicate
+    rows: the stale trailing chunk is dropped and its samples recomputed."""
+    from safetensors.numpy import load_file, save_file
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+
+    model, params, ds = _one_conv_fixture()
+
+    def mk():
+        return CollectEngine(model=model, layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5)
+
+    ref_states, ref_embeds, n = mk().run_fused(params, ds, 8, _mean_embed)
+
+    # build a checkpoint: sweep half the data committed...
+    half = ArrayDataset(ds.images[:16], name="d")
+    ckpt = tmp_path / "fused"
+    mk().run_fused(params, half, 8, _mean_embed, checkpoint_dir=ckpt, checkpoint_every=1)
+    # ...then simulate the crash window: a chunk written beyond the committed
+    # progress (progress.json still says 16)
+    stale = load_file(str(sorted(ckpt.glob("embeds-*.safetensors"))[0]))["embeds"]
+    save_file({"embeds": np.full_like(stale, 777.0)}, str(ckpt / f"embeds-{16:012d}.safetensors"))
+
+    resumed_states, resumed_embeds, _ = mk().run_fused(
+        params, ds, 8, _mean_embed, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    assert resumed_embeds.shape == ref_embeds.shape, "stale chunk duplicated rows"
+    np.testing.assert_array_equal(resumed_embeds, ref_embeds)
+    np.testing.assert_array_equal(np.asarray(resumed_states["c"].ids), np.asarray(ref_states["c"].ids))

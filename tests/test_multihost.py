@@ -147,3 +147,25 @@ def test_real_two_process_collect(fixture, tmp_path):
     ds24 = ArrayDataset(np.random.default_rng(1).normal(size=(24, 8, 8, 3)).astype(np.float32), name="mh")
     ref, _ = mk().run(params, ds24, 4)
     np.testing.assert_array_equal(np.asarray(ref["c"].ids), np.asarray(outs[0]["ids"]))
+
+
+def test_empty_shard_produces_full_shape_states(fixture):
+    """Hosts with empty shards must still contribute (n_latents, k) states."""
+    from semanticlens_tpu.parallel.multihost import local_shard_sweep
+
+    params, ds, mk = fixture
+    eng = mk()
+    full_states, seen = local_shard_sweep(eng, params, ds, 4, 0, 8)
+    empty_states, seen0 = local_shard_sweep(mk(), params, ds, 4, 8, 8)
+    assert seen == 8 and seen0 == 0
+    assert np.asarray(empty_states["c"].values).shape == np.asarray(full_states["c"].values).shape
+    assert (np.asarray(empty_states["c"].ids) == -1).all()
+
+    # merging an empty shard's sentinels must not perturb the result
+    merged = topk_merge(
+        TopKState(
+            values=jnp.stack([full_states["c"].values, empty_states["c"].values]),
+            ids=jnp.stack([full_states["c"].ids, empty_states["c"].ids]),
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(merged.ids), np.asarray(full_states["c"].ids))
