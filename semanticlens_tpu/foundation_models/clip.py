@@ -399,6 +399,22 @@ def load_openclip_state_dict(cfg: CLIPConfig, state_dict) -> dict[str, jax.Array
     return out
 
 
+def _maybe_shard_tp(params, cfg, mesh):
+    """Tensor-shard the towers when the mesh has a ``model`` axis (> 1).
+
+    Megatron-style column/row placements from
+    :mod:`semanticlens_tpu.parallel.tensor_parallel`; with a 1-D data mesh (or
+    no mesh) parameters stay as-is and XLA replicates them per the encode's
+    batch sharding.
+    """
+    if mesh is None or "model" not in mesh.axis_names or mesh.shape["model"] <= 1:
+        return params
+    from semanticlens_tpu.parallel import clip_param_specs_2d, shard_clip_params
+
+    logger.info("tensor-sharding FM params over %d-way 'model' axis", mesh.shape["model"])
+    return shard_clip_params(params, mesh, clip_param_specs_2d(cfg))
+
+
 # --------------------------------------------------------------------------- #
 # User-facing foundation-model class
 # --------------------------------------------------------------------------- #
@@ -458,6 +474,7 @@ class OpenClip(AbstractVLM):
         else:
             logger.warning("No weights provided for %s — using random init.", url)
             self.params = init_clip_params(jax.random.PRNGKey(seed), self.cfg)
+        self.params = _maybe_shard_tp(self.params, self.cfg, mesh)
 
         if bpe_path is None:
             from semanticlens_tpu.foundation_models.assets import find_clip_bpe

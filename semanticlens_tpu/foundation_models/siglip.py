@@ -244,6 +244,11 @@ class SigLipV2(AbstractVLM):
         else:
             logger.warning("No weights provided for %s — using random init.", self.URL)
             self.params = init_siglip_params(jax.random.PRNGKey(seed), self.cfg)
+        if mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1:
+            from semanticlens_tpu.parallel import shard_clip_params, siglip_param_specs_2d
+
+            logger.info("tensor-sharding SigLIP params over %d-way 'model' axis", mesh.shape["model"])
+            self.params = shard_clip_params(self.params, mesh, siglip_param_specs_2d(self.cfg))
 
         # SigLIP uses a SentencePiece tokenizer. Resolution order: an explicit
         # tokenizer object, an explicit .model path, a locally discovered

@@ -73,3 +73,40 @@ def test_non_divisible_dims_fall_back_to_replication(mesh2d):
     # 3·30=90 not divisible by 4 → replicated, not an error.
     w = sharded["transformer.resblocks.0.attn.in_proj_weight"]
     assert w.sharding.spec == P()
+
+
+def test_auto_tp_sharding_via_model_axis():
+    """FMs tensor-shard automatically when the mesh has a 'model' axis."""
+    import jax
+    from jax.sharding import Mesh
+
+    from semanticlens_tpu.foundation_models.clip import (
+        CLIPConfig,
+        TextCfg,
+        VisionCfg,
+        _maybe_shard_tp,
+        init_clip_params,
+        vit_encode_image,
+    )
+
+    tiny = CLIPConfig(
+        embed_dim=16,
+        vision=VisionCfg(kind="vit", image_size=16, patch_size=8, width=16, layers=2, heads=2),
+        text=TextCfg(context_length=12, vocab_size=64, width=16, heads=2, layers=2),
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16, 16, 3)).astype(np.float32))
+    want = np.asarray(vit_encode_image(params, tiny, x))
+
+    mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), axis_names=("data", "model"))
+    sharded = _maybe_shard_tp(params, tiny, mesh2d)
+    key = "visual.transformer.resblocks.0.mlp.c_fc.weight"
+    spec = sharded[key].sharding.spec
+    assert tuple(spec) == (None, "model"), spec
+    got = np.asarray(jax.jit(lambda p, x: vit_encode_image(p, tiny, x))(sharded, x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # 1-D data mesh or model axis of size 1: no-op
+    mesh1d = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    assert _maybe_shard_tp(params, tiny, mesh1d) is params
+    assert _maybe_shard_tp(params, tiny, None) is params
