@@ -391,3 +391,33 @@ def test_run_fused_resume_drops_uncommitted_chunk(tmp_path):
     assert resumed_embeds.shape == ref_embeds.shape, "stale chunk duplicated rows"
     np.testing.assert_array_equal(resumed_embeds, ref_embeds)
     np.testing.assert_array_equal(np.asarray(resumed_states["c"].ids), np.asarray(ref_states["c"].ids))
+
+
+def test_real_grain_mapdataset_through_engine():
+    """A genuine grain.MapDataset drives the collect engine end to end."""
+    grain = pytest.importorskip("grain")
+
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.data import GrainDataset
+
+    rng = np.random.default_rng(0)
+    records = [{"img": rng.normal(size=(8, 8, 3)).astype(np.float32), "label": i % 3} for i in range(20)]
+    source = grain.MapDataset.source(records).map(lambda r: (r["img"], r["label"]))
+    ds = GrainDataset(source, name="grain-real")
+    assert len(ds) == 20 and ds[3][1] == 0
+
+    model, params, _ = _one_conv_fixture()
+    eng = CollectEngine(model=model, layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=4)
+    states, seen = eng.run(params, ds, 8)
+    assert seen == 20
+    ids = np.asarray(states["c"].ids)
+    assert (ids[ids >= 0] < 20).all()
+
+    # identical result from the equivalent ArrayDataset
+    arr = ArrayDataset(np.stack([r["img"] for r in records]), name="arr")
+    eng2 = CollectEngine(model=model, layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=4)
+    ref, _ = eng2.run(params, arr, 8)
+    np.testing.assert_array_equal(ids, np.asarray(ref["c"].ids))
