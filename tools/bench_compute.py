@@ -8,8 +8,11 @@ deployments with local hosts):
 - fused Collect step (ResNet-50 fwd + 4-stage aggregation + top-k merge),
 - CLIP ViT-B/32 preprocess + encode,
 
-on pre-staged uint8 buffers, timed with forced host readback of the final
-result only.
+plus the production combined path (both networks in ONE program per
+batch), on pre-staged distinct uint8 buffers. Methodology per
+docs/PERF_NOTES.md: all steps chained inside one jitted program with a
+device-side reduction (the tunneled runtime adds a ~32 ms floor per program
+invocation), best of 3.
 
 Usage: python tools/bench_compute.py [--batch 256] [--steps 8]
 """
@@ -73,34 +76,53 @@ def main():
     for buf in bufs:
         np.asarray(buf[:1, :1, :1])
 
-    # Warm both programs.
     n_latents = engine.infer_n_latents(params, (b, s, s, 3), np.uint8)
-    states = engine._init_states(n_latents)
-    step = engine._get_step()
-    states = step(states, params, bufs[0], np.int32(0), np.int32(n))
-    np.asarray(states["layer4"].values[:1])
-    np.asarray(fm.encode_image(fm.preprocess(bufs[0]))[:1])
 
-    t0 = time.perf_counter()
-    for i, buf in enumerate(bufs):
-        states = step(states, params, buf, np.int32(i * b), np.int32(n))
-    np.asarray(states["layer4"].values)
-    collect_s = time.perf_counter() - t0
+    def best_of(fn, *args, reps=3):
+        np.asarray(fn(*args))  # compile + warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
-    t0 = time.perf_counter()
-    embeds = [fm.encode_image(fm.preprocess(buf)) for buf in bufs]
-    np.asarray(embeds[-1][:1])
-    embed_s = time.perf_counter() - t0
+    @jax.jit
+    def collect_chain(states, params, *batches):
+        for i, buf in enumerate(batches):
+            ids = jnp.int32(i * b) + jnp.arange(b, dtype=jnp.int32)
+            states = engine._local_step(states, params, buf, ids, jnp.ones((b,), bool))
+        return jnp.sum(states["layer4"].values.astype(jnp.float32))
+
+    @jax.jit
+    def embed_chain(fm_params, *batches):
+        return sum(jnp.sum(fm._encode_image(fm_params, fm.preprocess(buf))) for buf in batches)
+
+    @jax.jit
+    def fused_chain(states, params, fm_params, *batches):
+        acc = jnp.zeros((), jnp.float32)
+        for i, buf in enumerate(batches):
+            ids = jnp.int32(i * b) + jnp.arange(b, dtype=jnp.int32)
+            states = engine._local_step(states, params, buf, ids, jnp.ones((b,), bool))
+            acc = acc + jnp.sum(fm._encode_image(fm_params, fm.preprocess(buf)))
+        return acc + jnp.sum(states["layer4"].values.astype(jnp.float32))
+
+    collect_s = best_of(lambda *bs: collect_chain(engine._init_states(n_latents), params, *bs), *bufs)
+    embed_s = best_of(lambda *bs: embed_chain(fm.params, *bs), *bufs)
+    fused_s = best_of(
+        lambda *bs: fused_chain(engine._init_states(n_latents), params, fm.params, *bs), *bufs
+    )
 
     print(
         json.dumps(
             {
-                "metric": "device-resident compute throughput",
+                "metric": "device-resident compute throughput (chained, best of 3)",
                 "backend": jax.default_backend(),
                 "batch": b,
                 "n_images": n,
                 "collect_imgs_per_s": round(n / collect_s, 1),
                 "embed_imgs_per_s": round(n / embed_s, 1),
+                "fused_one_program_imgs_per_s": round(n / fused_s, 1),
             }
         )
     )
