@@ -192,9 +192,10 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         Returns ``{layer: ActMax}``, loading from the safetensors cache when
         a valid one exists (reference activation_based.py:309-339).
         """
+        checkpoint = kwargs.get("checkpoint", 512)
         if self._cache_root is None:
             logger.debug("No cache root provided, running computation...")
-            return self._run(batch_size=batch_size)
+            return self._run(batch_size=batch_size, checkpoint=checkpoint)
         try:
             self.actmax_cache.load(self.storage_dir)
             return self.actmax_cache.cache
@@ -202,10 +203,21 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
             logger.debug(
                 f"Activation maximization cache not found at {self.storage_dir}. Running computation..."
             )
-            return self._run(batch_size=batch_size)
+            return self._run(batch_size=batch_size, checkpoint=checkpoint)
 
-    def _run(self, batch_size: int = 64):
-        states, n_seen = self.engine.run(self.params, self.dataset, batch_size)
+    def _run(self, batch_size: int = 64, checkpoint: int = 512):
+        ckpt_dir = (
+            self.storage_dir / "_checkpoint-collect"
+            if (checkpoint and self._cache_root is not None)
+            else None
+        )
+        states, n_seen = self.engine.run(
+            self.params,
+            self.dataset,
+            batch_size,
+            checkpoint_dir=ckpt_dir,
+            checkpoint_every=max(1, checkpoint // batch_size) if ckpt_dir else 0,
+        )
         for name, state in states.items():
             act_max = self.actmax_cache[name]
             act_max.n_latents = int(state.values.shape[0])
@@ -214,6 +226,8 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         if self._cache_root:
             self.actmax_cache.store(self.storage_dir)
             logger.debug(f"Stored activation maximization cache at {self.storage_dir}")
+        if ckpt_dir is not None:
+            self.engine.clear_checkpoint(ckpt_dir)
         return self.actmax_cache.cache
 
     def _compute_concept_db(self, fm, batch_size: int = 32, checkpoint: int = 512, **kwargs):
@@ -232,8 +246,8 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         if self.dataset_fm is self.dataset and not self._has_collect_cache():
             embeds = self._run_fused(fm, batch_size, checkpoint=checkpoint)
         else:
-            self.run(batch_size=batch_size, **kwargs)
-            embeds = self._embed_vision_dataset(fm, batch_size, **kwargs)
+            self.run(batch_size=batch_size, checkpoint=checkpoint, **kwargs)
+            embeds = self._embed_vision_dataset(fm, batch_size, checkpoint=checkpoint, **kwargs)
         concept_db = {}
         for layer_name in self.layer_names:
             concept_db[layer_name] = embeds[self.get_max_reference(layer_name)]
@@ -326,18 +340,53 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         assert embeds.shape[0] == n_seen, "Number of embeddings does not match number of ids!"
         return embeds
 
-    def _embed_vision_dataset(self, fm, batch_size: int, **kwargs) -> np.ndarray:
+    def _embed_vision_dataset(self, fm, batch_size: int, checkpoint: int = 512, **kwargs) -> np.ndarray:
         """Embed every sample of ``dataset_fm`` once → (N, D) float32.
 
         Raw batches upload in host dtype (uint8 stays uint8); embeddings
-        accumulate on device and return in a single readback.
+        accumulate on device and return in a single readback. With a cache
+        root configured, finished rows persist every ``checkpoint`` samples
+        under ``storage_dir/_checkpoint-embed`` (same chunk format as the
+        fused sweep) so an interrupted embed of a large FM dataset resumes
+        instead of restarting.
         """
+        import json
+
         n = len(self.dataset_fm)
-        chunks = []
-        for batch in prefetch_batches(iter_batches(self.dataset_fm, batch_size)):
+        ckpt_dir = (
+            self.storage_dir / "_checkpoint-embed"
+            if (checkpoint and self._cache_root is not None)
+            else None
+        )
+        ckpt_every = max(1, checkpoint // batch_size) if ckpt_dir else 0
+
+        resume_start = 0
+        host_chunks: list[np.ndarray] = []
+        if ckpt_dir is not None and (ckpt_dir / "progress.json").exists():
+            resume_start = int(json.loads((ckpt_dir / "progress.json").read_text())["next_start"])
+            host_chunks = self.engine._load_embed_chunks(ckpt_dir, resume_start)
+            logger.info(f"Resuming FM embedding sweep from sample {resume_start}")
+
+        pending = []
+        flushed_rows = resume_start
+        batches_done = 0
+        for batch in prefetch_batches(iter_batches(self.dataset_fm, batch_size, start_index=resume_start)):
             inputs = fm.preprocess(jax.device_put(batch.images))
-            chunks.append(fm.encode_image(inputs))
-        embeds = np.asarray(jnp.concatenate(chunks, axis=0), np.float32)[:n]
+            pending.append(fm.encode_image(inputs))
+            batches_done += 1
+            if ckpt_every and batches_done % ckpt_every == 0:
+                chunk = np.asarray(jnp.concatenate(pending, axis=0), np.float32)
+                self.engine._store_embed_chunk(ckpt_dir, flushed_rows, chunk)
+                host_chunks.append(chunk)
+                pending = []
+                flushed_rows = batch.start_index + batch_size
+                (ckpt_dir / "progress.json").write_text(json.dumps({"next_start": int(flushed_rows)}))
+
+        if pending:
+            host_chunks.append(np.asarray(jnp.concatenate(pending, axis=0), np.float32))
+        embeds = np.concatenate(host_chunks, axis=0)[:n]
+        if ckpt_dir is not None:
+            self.engine.clear_checkpoint(ckpt_dir)
         assert embeds.shape[0] == n, "Number of embeddings does not match number of ids!"
         return embeds
 

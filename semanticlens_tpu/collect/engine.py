@@ -276,7 +276,8 @@ class CollectEngine:
             states[name] = TopKState(values=values, ids=ids)
         return states, int(meta["next_start"])
 
-    def _store_embed_chunk(self, directory, row_start: int, chunk: np.ndarray) -> None:
+    @staticmethod
+    def _store_embed_chunk(directory, row_start: int, chunk: np.ndarray) -> None:
         """Persist embedding rows [row_start, row_start + len(chunk))."""
         from safetensors.numpy import save_file
 
@@ -287,7 +288,8 @@ class CollectEngine:
             str(directory / f"embeds-{row_start:012d}.safetensors"),
         )
 
-    def _load_embed_chunks(self, directory, n_rows: int) -> list[np.ndarray]:
+    @staticmethod
+    def _load_embed_chunks(directory, n_rows: int) -> list[np.ndarray]:
         """Load persisted embedding chunks covering exactly [0, n_rows).
 
         Chunks are written before ``progress.json`` commits ``next_start``, so

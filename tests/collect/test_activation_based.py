@@ -296,3 +296,50 @@ def test_visualize_components_pil_denormalization(tiny_setup, tmp_path):
     cv.run(batch_size=4)
     fpath = cv.visualize_components(np.array([0]), layer_name="0", n_samples=2)
     assert fpath is not None and fpath.exists()
+
+
+def test_two_sweep_embed_checkpoint_resume(tiny_setup, tmp_path):
+    """Separate-datasets path: an interrupted FM embed sweep resumes from the
+    last flushed chunk with an identical final concept DB."""
+    model, ds = tiny_setup
+    fm_dataset = ArrayDataset(ds.images.copy(), name="fm-copy")  # distinct object → two-sweep path
+
+    def mk():
+        return ActivationComponentVisualizer(
+            model=model, dataset_model=ds, dataset_fm=fm_dataset,
+            layer_names=["0"], num_samples=5, aggregate_fn=aggregate_conv_mean,
+            cache_dir=str(tmp_path / "cache"),
+        )
+
+    fm = FakeVLM()
+    ref = mk()._compute_concept_db(fm, batch_size=10, checkpoint=10)
+    ref0 = np.asarray(ref["0"], np.float32)
+
+    # fresh cache root; crash the embed sweep partway through
+    cv = ActivationComponentVisualizer(
+        model=model, dataset_model=ds, dataset_fm=fm_dataset,
+        layer_names=["0"], num_samples=5, aggregate_fn=aggregate_conv_mean,
+        cache_dir=str(tmp_path / "cache2"),
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    real_encode = fm.encode_image
+
+    class CrashingVLM(FakeVLM):
+        def encode_image(self, img):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise Boom()
+            return real_encode(img)
+
+    with pytest.raises(Boom):
+        cv._compute_concept_db(CrashingVLM(), batch_size=10, checkpoint=10)
+    ckpt = cv.storage_dir / "_checkpoint-embed"
+    assert list(ckpt.glob("embeds-*.safetensors")), "no embed rows persisted before crash"
+
+    again = cv._compute_concept_db(FakeVLM(), batch_size=10, checkpoint=10)
+    np.testing.assert_array_equal(np.asarray(again["0"], np.float32), ref0)
+    assert not ckpt.exists(), "checkpoint must clear after success"
