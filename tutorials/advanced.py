@@ -1,0 +1,100 @@
+"""Advanced tour: real files, meshes, crash-safety, search, multi-host.
+
+Runs end-to-end on CPU (forces a virtual 8-device mesh) in ~2-3 minutes:
+
+    JAX_PLATFORMS=cpu python tutorials/advanced.py
+
+Covers what the quickstart skips: on-disk datasets through the native
+decoder, sharded fused Collect+Embed with mid-sweep checkpoints, streaming
+top-k text search, and the multi-host recipe.
+"""
+
+import tempfile
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+import jax
+
+# Self-provision a virtual 8-device CPU mesh when run on a small host (the
+# same switch the test conftest uses; must happen before any device is used).
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+if jax.device_count() < 8:
+    raise SystemExit(f"need >= 8 devices for the mesh demo, have {jax.device_count()}")
+
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import semanticlens_tpu as sl
+from semanticlens_tpu.collect import ActivationComponentVisualizer
+from semanticlens_tpu.data import ImageFolder
+from semanticlens_tpu.data.native_decoder import is_available as native_decoder_available
+from semanticlens_tpu.foundation_models import OpenClip
+from semanticlens_tpu.models import ResNet
+from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+from semanticlens_tpu.scores import topk_cosine_search
+
+# --- 1. A real on-disk dataset (JPEGs) -------------------------------------
+root = Path(tempfile.mkdtemp(prefix="sl-advanced-")) / "data"
+rng = np.random.default_rng(0)
+for cls in ("stripes", "blobs"):
+    (root / cls).mkdir(parents=True)
+    for i in range(16):
+        img = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+        Image.fromarray(img).save(root / cls / f"{i:03d}.jpg", quality=92)
+
+dataset = ImageFolder(root, image_size=64)  # native C++ decode when available
+print(f"dataset: {dataset} (native decoder: {native_decoder_available()})")
+
+# --- 2. Mesh-sharded fused pipeline with crash-safety -----------------------
+mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+model = ResNet(depth=18, num_classes=10, dtype=jnp.float32)
+model.params = model.init(jax.random.PRNGKey(0))
+model.name = "advanced-r18"
+
+cache = root.parent / "cache"
+cv = ActivationComponentVisualizer(
+    model=model,
+    dataset_model=dataset,
+    dataset_fm=dataset,  # same raw images → single fused pass
+    layer_names=["layer4"],
+    num_samples=5,
+    aggregate_fn=aggregate_conv_mean,
+    cache_dir=str(cache),
+    mesh=mesh,
+    model_preprocess=lambda x: x.astype(jnp.float32) / 255.0,
+)
+fm = OpenClip("ViT-B-32", dtype=jnp.float32)  # pass checkpoint=/bpe_path= for real weights
+lens = sl.Lens(fm)
+
+# checkpoint= flushes the running state + embedding rows every N samples;
+# an interrupted run resumes from the last flush (kill and re-run to see).
+concept_db = lens.compute_concept_db(cv, batch_size=8, checkpoint=16)
+print("concept DB:", {k: np.asarray(v).shape for k, v in concept_db.items()})
+
+# --- 3. Scores + streaming search -------------------------------------------
+agg_db = {k: np.asarray(v, np.float32).mean(1) for k, v in concept_db.items()}
+clarity = lens.eval_clarity(concept_db)
+print("clarity[layer4] mean:", float(np.asarray(clarity["layer4"]).mean()))
+
+q = np.asarray(fm.encode_text(fm.tokenize(["striped pattern"])), np.float32)
+vals, idx = topk_cosine_search(q, agg_db["layer4"], k=3)
+print("top-3 'striped pattern' neurons:", np.asarray(idx)[0].tolist())
+
+# --- 4. Multi-host (DCN) recipe ----------------------------------------------
+# On an N-process slice (after jax.distributed.initialize), replace the
+# engine sweep with:
+#
+#   from semanticlens_tpu.parallel import collect_multihost
+#   states, n = collect_multihost(cv.engine, model.params, dataset, batch_size)
+#
+# Each process streams only its own dataset shard; the single cross-host
+# exchange is the kilobyte-scale top-k state merge. See tests/test_multihost.py
+# for a real 2-process run.
+
+print("advanced tour OK")
