@@ -10,7 +10,8 @@ deploy-side tool):
 Reports per-image cosine similarity between this framework's embeddings and
 embeddings computed by torch open_clip (if importable) or stored reference
 embeddings (``--reference-embeds ref.npy``). Target: cosine ≥ 0.999
-(BASELINE.md).
+(BASELINE.md). Writes a ``PARITY.json`` result artifact next to the repo root
+(--out overrides) so deploy runs leave auditable evidence.
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ def main():
     ap.add_argument("--images", default=None, help=".npy uint8 (N,H,W,3); random if omitted")
     ap.add_argument("--reference-embeds", default=None, help=".npy (N,D) torch-computed embeddings")
     ap.add_argument("--texts", nargs="*", default=["a photo of a dog", "a diagram", "stripes"])
+    ap.add_argument("--out", default=str(_repo / "PARITY.json"))
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -65,12 +67,27 @@ def main():
             np.save("parity_ours.npy", ours_img)
             return 0
 
+    import json
+
     cos = _cosine(ours_img, ref)
     print(f"image-embedding cosine: min={cos.min():.6f} mean={cos.mean():.6f}")
     ok = bool(cos.min() >= 0.999)
     print("PASS" if ok else "FAIL", "(target ≥ 0.999)")
     if ours_txt is not None:
         print("text embeddings computed:", ours_txt.shape)
+    result = {
+        "model": args.model,
+        "checkpoint": str(args.checkpoint),
+        "n_images": int(ours_img.shape[0]),
+        "cosine_min": float(cos.min()),
+        "cosine_mean": float(cos.mean()),
+        "target": 0.999,
+        "pass": ok,
+        "reference": "open_clip-torch" if args.reference_embeds is None else str(args.reference_embeds),
+        "tokenizer": type(fm.tokenizer).__name__,
+    }
+    Path(args.out).write_text(json.dumps(result, indent=1))
+    print(f"wrote {args.out}")
     return 0 if ok else 1
 
 
