@@ -22,6 +22,7 @@ import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.layers import (
+    avg_pool,
     batch_norm,
     conv2d,
     global_avg_pool,
@@ -51,12 +52,23 @@ class ResNet(SubjectModel):
     depth : one of 18, 34, 50, 101, 152.
     num_classes : classifier width.
     dtype : activation dtype (bfloat16 by default — the MXU-native dtype).
+    variant : "" for torchvision ResNet-v1.5, or "d" for the timm -D
+        architecture (deep 3×3×3 stem with stem width 32, avg-pool
+        downsampling) — e.g. ``resnet50d`` checkpoints, the reference
+        quickstart's subject model. Parameter names follow timm
+        (``conv1.0`` … ``conv1.6``, ``downsample.1``/``downsample.2``) so
+        timm state dicts import by relayout.
     """
 
-    def __init__(self, depth: int = 18, num_classes: int = 1000, dtype=jnp.bfloat16):
+    STEM_WIDTH_D = 32  # timm resnet*d default
+
+    def __init__(self, depth: int = 18, num_classes: int = 1000, dtype=jnp.bfloat16, variant: str = ""):
         if depth not in _STAGE_BLOCKS:
             raise ValueError(f"Unsupported ResNet depth {depth}")
+        if variant not in ("", "d"):
+            raise ValueError(f"Unsupported ResNet variant {variant!r}; expected '' or 'd'")
         self.depth = depth
+        self.variant = variant
         self.num_classes = num_classes
         self.dtype = dtype
         self.bottleneck = depth in _BOTTLENECK
@@ -76,11 +88,18 @@ class ResNet(SubjectModel):
         names += [f"{prefix}.{n}" for n in convs]
         names.append(f"{prefix}.relu")
         if has_downsample:
-            names += [f"{prefix}.downsample", f"{prefix}.downsample.0", f"{prefix}.downsample.1"]
+            names.append(f"{prefix}.downsample")
+            if self.variant == "d":
+                names += [f"{prefix}.downsample.{i}" for i in (0, 1, 2)]
+            else:
+                names += [f"{prefix}.downsample.0", f"{prefix}.downsample.1"]
         return names
 
     def _enumerate_module_names(self):
-        names = ["conv1", "bn1", "relu", "maxpool"]
+        if self.variant == "d":
+            names = ["conv1"] + [f"conv1.{i}" for i in range(7)] + ["bn1", "relu", "maxpool"]
+        else:
+            names = ["conv1", "bn1", "relu", "maxpool"]
         in_ch = 64
         for stage, n_blocks in enumerate(self.stage_blocks, start=1):
             out_ch = 64 * (2 ** (stage - 1)) * self.expansion
@@ -95,8 +114,17 @@ class ResNet(SubjectModel):
     # ------------------------------------------------------------------ init
     def _param_specs(self):
         """Yield (name, shape, kind) for every parameter tensor."""
-        specs = [("conv1.weight", _conv_shape(64, 3, 7), "conv")]
-        specs += self._bn_specs("bn1", 64)
+        if self.variant == "d":
+            sw = self.STEM_WIDTH_D
+            specs = [("conv1.0.weight", _conv_shape(sw, 3, 3), "conv")]
+            specs += self._bn_specs("conv1.1", sw)
+            specs += [("conv1.3.weight", _conv_shape(sw, sw, 3), "conv")]
+            specs += self._bn_specs("conv1.4", sw)
+            specs += [("conv1.6.weight", _conv_shape(64, sw, 3), "conv")]
+            specs += self._bn_specs("bn1", 64)
+        else:
+            specs = [("conv1.weight", _conv_shape(64, 3, 7), "conv")]
+            specs += self._bn_specs("bn1", 64)
         in_ch = 64
         for stage, n_blocks in enumerate(self.stage_blocks, start=1):
             width = 64 * (2 ** (stage - 1))
@@ -116,10 +144,16 @@ class ResNet(SubjectModel):
                     specs += [(f"{prefix}.conv2.weight", _conv_shape(width, width, 3), "conv")]
                     specs += self._bn_specs(f"{prefix}.bn2", width)
                 if b == 0 and (stage > 1 or in_ch != out_ch):
-                    specs += [
-                        (f"{prefix}.downsample.0.weight", _conv_shape(out_ch, in_ch, 1), "conv")
-                    ]
-                    specs += self._bn_specs(f"{prefix}.downsample.1", out_ch)
+                    if self.variant == "d":  # [avgpool, conv, bn] → conv at .1
+                        specs += [
+                            (f"{prefix}.downsample.1.weight", _conv_shape(out_ch, in_ch, 1), "conv")
+                        ]
+                        specs += self._bn_specs(f"{prefix}.downsample.2", out_ch)
+                    else:
+                        specs += [
+                            (f"{prefix}.downsample.0.weight", _conv_shape(out_ch, in_ch, 1), "conv")
+                        ]
+                        specs += self._bn_specs(f"{prefix}.downsample.1", out_ch)
                 in_ch = out_ch
         specs += [
             ("fc.weight", (512 * self.expansion, self.num_classes), "linear"),
@@ -163,6 +197,26 @@ class ResNet(SubjectModel):
             params[f"{prefix}.running_var"],
         )
 
+    def _has_downsample(self, params, prefix):
+        key = ".downsample.1.weight" if self.variant == "d" else ".downsample.0.weight"
+        return f"{prefix}{key}" in params
+
+    def _downsample_path(self, params, prefix, x, stride, tap):
+        """Shortcut projection: strided 1×1 conv (v1.5) or avgpool + 1×1 (-D)."""
+        if self.variant == "d":
+            h = avg_pool(x, window=stride, stride=stride) if stride > 1 else x
+            tap(f"{prefix}.downsample.0", h)
+            h = tap(f"{prefix}.downsample.1", conv2d(h, params[f"{prefix}.downsample.1.weight"]))
+            h = tap(f"{prefix}.downsample.2", self._bn(params, f"{prefix}.downsample.2", h))
+        else:
+            h = tap(
+                f"{prefix}.downsample.0",
+                conv2d(x, params[f"{prefix}.downsample.0.weight"], stride=stride),
+            )
+            h = tap(f"{prefix}.downsample.1", self._bn(params, f"{prefix}.downsample.1", h))
+        tap(f"{prefix}.downsample", h)
+        return h
+
     def _basic_block(self, params, prefix, x, stride, tap):
         identity = x
         out = tap(f"{prefix}.conv1", conv2d(x, params[f"{prefix}.conv1.weight"], stride=stride, padding=1))
@@ -170,13 +224,8 @@ class ResNet(SubjectModel):
         out = jax.nn.relu(out)
         out = tap(f"{prefix}.conv2", conv2d(out, params[f"{prefix}.conv2.weight"], padding=1))
         out = tap(f"{prefix}.bn2", self._bn(params, f"{prefix}.bn2", out))
-        if f"{prefix}.downsample.0.weight" in params:
-            identity = tap(
-                f"{prefix}.downsample.0",
-                conv2d(x, params[f"{prefix}.downsample.0.weight"], stride=stride),
-            )
-            identity = tap(f"{prefix}.downsample.1", self._bn(params, f"{prefix}.downsample.1", identity))
-            tap(f"{prefix}.downsample", identity)
+        if self._has_downsample(params, prefix):
+            identity = self._downsample_path(params, prefix, x, stride, tap)
         out = jax.nn.relu(out + identity)
         tap(f"{prefix}.relu", out)
         return tap(prefix, out)
@@ -189,13 +238,8 @@ class ResNet(SubjectModel):
         out = jax.nn.relu(tap(f"{prefix}.bn2", self._bn(params, f"{prefix}.bn2", out)))
         out = tap(f"{prefix}.conv3", conv2d(out, params[f"{prefix}.conv3.weight"]))
         out = tap(f"{prefix}.bn3", self._bn(params, f"{prefix}.bn3", out))
-        if f"{prefix}.downsample.0.weight" in params:
-            identity = tap(
-                f"{prefix}.downsample.0",
-                conv2d(x, params[f"{prefix}.downsample.0.weight"], stride=stride),
-            )
-            identity = tap(f"{prefix}.downsample.1", self._bn(params, f"{prefix}.downsample.1", identity))
-            tap(f"{prefix}.downsample", identity)
+        if self._has_downsample(params, prefix):
+            identity = self._downsample_path(params, prefix, x, stride, tap)
         out = jax.nn.relu(out + identity)
         tap(f"{prefix}.relu", out)
         return tap(prefix, out)
@@ -205,7 +249,14 @@ class ResNet(SubjectModel):
         tap = TapCollector(tap_names)
         x = x.astype(self.dtype)
 
-        x = tap("conv1", conv2d(x, params["conv1.weight"], stride=2, padding=3))
+        if self.variant == "d":
+            x = tap("conv1.0", conv2d(x, params["conv1.0.weight"], stride=2, padding=1))
+            x = jax.nn.relu(tap("conv1.1", self._bn(params, "conv1.1", x)))
+            x = tap("conv1.3", conv2d(x, params["conv1.3.weight"], padding=1))
+            x = jax.nn.relu(tap("conv1.4", self._bn(params, "conv1.4", x)))
+            x = tap("conv1", tap("conv1.6", conv2d(x, params["conv1.6.weight"], padding=1)))
+        else:
+            x = tap("conv1", conv2d(x, params["conv1.weight"], stride=2, padding=3))
         x = tap("bn1", self._bn(params, "bn1", x))
         x = tap("relu", jax.nn.relu(x))
         x = tap("maxpool", max_pool(x, window=3, stride=2, padding=1))
@@ -241,4 +292,5 @@ class ResNet(SubjectModel):
         return params
 
     def __repr__(self):
-        return f"ResNet(depth={self.depth}, num_classes={self.num_classes})"
+        v = f", variant='{self.variant}'" if self.variant else ""
+        return f"ResNet(depth={self.depth}, num_classes={self.num_classes}{v})"

@@ -124,3 +124,96 @@ def test_resnet152_spec():
     # spec-level check only (full init of 152 layers is slow on CPU):
     specs = {name: shape for name, shape, _ in m._param_specs()}
     assert specs["layer3.35.conv3.weight"] == (1, 1, 256, 1024)
+
+
+def test_resnet_d_variant_torch_parity():
+    """timm-style ResNet-D (deep stem, avg-pool downsample): a torch model
+    with timm parameter names converts and matches numerically."""
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.models.resnet import ResNet
+
+    nn = torch.nn
+    g = torch.Generator().manual_seed(0)
+
+    def randn_(t, scale=0.1):
+        with torch.no_grad():
+            t.copy_(torch.randn(t.shape, generator=g) * scale)
+
+    def bn(c):
+        m = nn.BatchNorm2d(c).eval()
+        with torch.no_grad():
+            m.weight.copy_(torch.rand(c, generator=g) + 0.5)
+            m.bias.copy_(torch.randn(c, generator=g) * 0.1)
+            m.running_mean.copy_(torch.randn(c, generator=g) * 0.2)
+            m.running_var.copy_(torch.rand(c, generator=g) + 0.3)
+        return m
+
+    class BasicD(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+            self.bn1 = bn(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+            self.bn2 = bn(cout)
+            randn_(self.conv1.weight), randn_(self.conv2.weight)
+            if stride != 1 or cin != cout:
+                pool = nn.AvgPool2d(stride, stride) if stride > 1 else nn.Identity()
+                conv = nn.Conv2d(cin, cout, 1, bias=False)
+                randn_(conv.weight)
+                self.downsample = nn.Sequential(pool, conv, bn(cout))
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            h = torch.relu(self.bn1(self.conv1(x)))
+            h = self.bn2(self.conv2(h))
+            return torch.relu(h + idn)
+
+    class ResNet18D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            sw = 32
+            self.conv1 = nn.Sequential(
+                nn.Conv2d(3, sw, 3, stride=2, padding=1, bias=False), bn(sw), nn.ReLU(),
+                nn.Conv2d(sw, sw, 3, padding=1, bias=False), bn(sw), nn.ReLU(),
+                nn.Conv2d(sw, 64, 3, padding=1, bias=False),
+            )
+            for i in (0, 3, 6):
+                randn_(self.conv1[i].weight)
+            self.bn1 = bn(64)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = nn.Sequential(BasicD(64, 64, 1), BasicD(64, 64, 1))
+            self.layer2 = nn.Sequential(BasicD(64, 128, 2), BasicD(128, 128, 1))
+            self.layer3 = nn.Sequential(BasicD(128, 256, 2), BasicD(256, 256, 1))
+            self.layer4 = nn.Sequential(BasicD(256, 512, 2), BasicD(512, 512, 1))
+            self.fc = nn.Linear(512, 10)
+            randn_(self.fc.weight), randn_(self.fc.bias, 0.02)
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(x.mean(dim=(2, 3)))
+
+    tmodel = ResNet18D().eval()
+    x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        want = tmodel(x).numpy()
+
+    m = ResNet(depth=18, num_classes=10, dtype=jnp.float32, variant="d")
+    params = m.load_torch_state_dict(tmodel.state_dict())
+    got, taps = m.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), ("layer4",))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    assert taps["layer4"].shape == (2, 2, 2, 512)
+
+
+def test_resnet_d_variant_validation():
+    from semanticlens_tpu.models.resnet import ResNet
+
+    with pytest.raises(ValueError):
+        ResNet(variant="c")
