@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--n-synthetic", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--variant", default="", help="'' (torchvision) or 'd' (timm resnet*d)")
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
     ap.add_argument("--n-samples", type=int, default=25)
     ap.add_argument("--batch", type=int, default=256)
@@ -88,7 +89,7 @@ def main():
         mesh = data_mesh()
 
     # --- models ----------------------------------------------------------------
-    model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16)
+    model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, variant=args.variant)
     if args.model_checkpoint:
         import torch
 
@@ -97,7 +98,7 @@ def main():
         )
     else:
         model.params = model.init(jax.random.PRNGKey(0))
-    model.name = f"resnet{args.depth}-audit"
+    model.name = f"resnet{args.depth}{args.variant}-audit"
 
     fm = OpenClip(
         args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16, mesh=mesh
