@@ -27,6 +27,7 @@ from safetensors.numpy import save_file as _np_save_file
 
 from semanticlens_tpu.ops import aggregators
 from semanticlens_tpu.ops.topk import TopKState, init_topk, topk_update_jit
+from semanticlens_tpu.utils.helper import host_c_array
 
 logger = logging.getLogger(__name__)
 
@@ -61,15 +62,20 @@ class ActMax:
 
     @property
     def activations(self) -> np.ndarray:
-        """(n_latents, n_collect) bf16 numpy view of the collected values."""
+        """(n_latents, n_collect) bf16 numpy copy of the collected values.
+
+        C-contiguity is guaranteed: on TPU backends the device layout can
+        materialize F-ordered, which safetensors would serialize transposed
+        (see :func:`semanticlens_tpu.utils.helper.host_c_array`).
+        """
         assert self.state is not None
-        return np.asarray(self.state.values).astype(ml_dtypes.bfloat16)
+        return host_c_array(self.state.values, ml_dtypes.bfloat16)
 
     @property
     def sample_ids(self) -> np.ndarray:
-        """(n_latents, n_collect) int64 sample ids (−1 = unfilled)."""
+        """(n_latents, n_collect) int64 sample ids (−1 = unfilled); C-contiguous."""
         assert self.state is not None
-        return np.asarray(self.state.ids).astype(np.int64)
+        return host_c_array(self.state.ids, np.int64)
 
     def update(self, acts, sample_ids):
         """Merge a (B, n_latents) batch; infers n_latents on first call."""

@@ -41,6 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from semanticlens_tpu.data.dataset import device_prefetch_batches, get_image, iter_batches
 from semanticlens_tpu.models.base import SubjectModel
 from semanticlens_tpu.ops.topk import TopKState, init_topk, topk_merge, topk_update
+from semanticlens_tpu.utils.helper import host_c_array
 
 logger = logging.getLogger(__name__)
 
@@ -242,10 +243,12 @@ class CollectEngine:
         directory = Path(directory)
         directory.mkdir(parents=True, exist_ok=True)
         for name, st in states.items():
+            # host_c_array: TPU layouts can materialize F-ordered, which
+            # safetensors would serialize transposed.
             save_file(
                 {
-                    "values": np.asarray(st.values).astype(ml_dtypes.bfloat16),
-                    "ids": np.asarray(st.ids).astype(np.int32),
+                    "values": host_c_array(st.values, ml_dtypes.bfloat16),
+                    "ids": host_c_array(st.ids, np.int32),
                 },
                 str(directory / f"state-{name}.safetensors"),
             )

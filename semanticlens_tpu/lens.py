@@ -25,7 +25,7 @@ from semanticlens_tpu.scores import (
     polysemanticity_score,
     redundancy_score,
 )
-from semanticlens_tpu.utils.helper import get_fallback_name
+from semanticlens_tpu.utils.helper import get_fallback_name, host_c_array
 
 logger = logging.getLogger(__name__)
 
@@ -150,7 +150,9 @@ class Lens:
                 return load_file(filename=str(fpath))
             logger.debug("Computing concept DB and saving to cache")
             concept_db = cv._compute_concept_db(self.fm, **kwargs)
-            save_file({k: np.asarray(v, np.float32) for k, v in concept_db.items()}, str(fpath))
+            # host_c_array: TPU layouts can materialize F-ordered; safetensors
+            # would serialize the raw buffer transposed.
+            save_file({k: host_c_array(v, np.float32) for k, v in concept_db.items()}, str(fpath))
             logger.debug(f"Saved concept DB to cache {fpath}")
             return concept_db
         else:

@@ -19,6 +19,20 @@ def _string_hash(s: str) -> int:
     return int(hashlib.sha256(s.encode()).hexdigest(), 16)
 
 
+def host_c_array(x, dtype=None) -> np.ndarray:
+    """Materialize ``x`` on host as a C-contiguous numpy array.
+
+    Every array headed into raw-buffer serialization (safetensors) MUST pass
+    through here: on TPU backends ``np.asarray(jax_array)`` can hand back an
+    **F-contiguous** view of the device layout (minor dim first), and
+    ``astype``'s default ``order='K'`` preserves that — safetensors then
+    serializes the raw buffer as if C-ordered, silently writing transposed
+    data. numpy *math* on such arrays is fine (strides are respected); only
+    byte-level writers break.
+    """
+    return np.ascontiguousarray(np.asarray(x), dtype=dtype)
+
+
 def get_fallback_name(obj) -> str:
     """Fallback cache name: ``<ClassName>-<sha256(repr)>``.
 

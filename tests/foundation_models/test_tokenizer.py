@@ -89,3 +89,35 @@ def test_unicode_other_numbers_split_like_p_N(mini_bpe):
     from semanticlens_tpu.foundation_models.tokenizer import _split_numeric_runs
     toks = _split_numeric_runs(re.findall(mini_bpe.pat, "x²y ½"))
     assert toks == ["x", "²", "y", "½"]
+
+
+# --- golden open_clip ids (run only when a real merges asset is discovered) --
+
+_GOLDEN = {
+    # Recorded from open_clip SimpleTokenizer / official CLIP tokenizer.
+    "hello world!": [49406, 3306, 1002, 256, 49407],
+    "a photo of a dog": [49406, 320, 1125, 539, 320, 1929, 49407],
+    "": [49406, 49407],
+}
+
+
+@pytest.fixture(scope="module")
+def real_bpe():
+    from semanticlens_tpu.foundation_models.assets import find_clip_bpe
+
+    path = find_clip_bpe()
+    if path is None:
+        pytest.skip("no CLIP BPE asset on this machine (offline image)")
+    return ClipBpeTokenizer(path, context_length=77)
+
+
+def test_real_vocab_size(real_bpe):
+    assert len(real_bpe.encoder) == ClipBpeTokenizer.VOCAB_SIZE
+    assert real_bpe.sot_token == 49406 and real_bpe.eot_token == 49407
+
+
+@pytest.mark.parametrize("text", sorted(_GOLDEN))
+def test_golden_open_clip_ids(real_bpe, text):
+    arr = real_bpe([text])
+    ids = [int(t) for t in arr[0] if t != 0] if text else [49406, 49407]
+    assert ids == _GOLDEN[text]
