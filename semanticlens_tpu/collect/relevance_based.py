@@ -30,7 +30,10 @@ from semanticlens_tpu.collect.engine import CollectEngine
 from semanticlens_tpu.data.dataset import get_image
 from semanticlens_tpu.models.base import validate_layers
 from semanticlens_tpu.ops import aggregators
-from semanticlens_tpu.relevance.attribution import make_attribution_fn
+from semanticlens_tpu.relevance.attribution import (
+    make_attribution_fn,
+    make_batched_attribution_fn,
+)
 from semanticlens_tpu.utils.helper import get_fallback_name
 from semanticlens_tpu.utils.render import crop_and_mask_images
 
@@ -229,6 +232,18 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             )
         return self._attribution_fns[layer_name]
 
+    def _batched_attribution_fn(self, layer_name: str):
+        key = f"{layer_name}//batched"
+        if key not in self._attribution_fns:
+            self._attribution_fns[key] = make_batched_attribution_fn(
+                _Preprocessed(self.model, self.preprocess_fn),
+                layer_name,
+                composite=self.composite,
+                aggregation="sum" if self.aggregation_fn == "sum" else "max",
+                abs_norm=self.abs_norm,
+            )
+        return self._attribution_fns[key]
+
     def get_max_reference(
         self, concept_ids, layer_name: str, n_ref: int | None = None, batch_size: int = 32
     ) -> dict:
@@ -237,6 +252,13 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
         Returns ``{concept_id: [PIL.Image, ...]}`` — the reference's
         get_max_reference contract (relevance_based.py:202-246), computed
         with JAX LRP instead of crp/zennit.
+
+        Dispatch economics: K = max(1, batch_size // n_ref) components are
+        attributed per XLA program (each over its own top images, vmapped),
+        so a whole layer costs ⌈C/K⌉ dispatches instead of C. Components with
+        fewer than ``n_ref`` collected samples are padded in-program (repeat
+        of their first image) and trimmed on host; fully-empty components are
+        excluded from device work entirely.
         """
         if not self._ran:
             raise RuntimeError("Call run() first to collect maximally activating samples.")
@@ -244,17 +266,43 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             concept_ids = [int(concept_ids)]
         n_ref = n_ref or min(self.num_samples, 8)
 
-        fn = self._attribution_fn(layer_name)
         ids_table = self.get_act_max_sample_ids(layer_name)
-        out = {}
-        for cid in concept_ids:
-            ids = [int(i) for i in ids_table[int(cid)][:n_ref] if i >= 0]
-            if not ids:
-                out[int(cid)] = []
-                continue
-            raw = np.stack([get_image(self.dataset, i) for i in ids])
-            heat = np.asarray(fn(self.params, jnp.asarray(raw), jnp.int32(cid)))
-            out[int(cid)] = self.plot_fn(raw, heat)
+        per_cid_ids = {
+            int(cid): [int(i) for i in ids_table[int(cid)][:n_ref] if i >= 0]
+            for cid in concept_ids
+        }
+        out = {cid: [] for cid in per_cid_ids}
+        work = [(cid, ids) for cid, ids in per_cid_ids.items() if ids]
+        if not work:
+            return out
+
+        k_per_program = max(1, batch_size // n_ref)
+        if k_per_program == 1:
+            fn = self._attribution_fn(layer_name)
+            for cid, ids in work:
+                raw = np.stack([get_image(self.dataset, i) for i in ids])
+                heat = np.asarray(fn(self.params, jnp.asarray(raw), jnp.int32(cid)))
+                out[cid] = self.plot_fn(raw, heat)
+            return out
+
+        fn = self._batched_attribution_fn(layer_name)
+        for chunk_start in range(0, len(work), k_per_program):
+            chunk = work[chunk_start : chunk_start + k_per_program]
+            # Static shapes: pad the component axis by repeating the last
+            # entry and each image axis by repeating the first image.
+            padded = chunk + [chunk[-1]] * (k_per_program - len(chunk))
+            raws, comps = [], []
+            for cid, ids in padded:
+                imgs = [get_image(self.dataset, i) for i in ids]
+                imgs += [imgs[0]] * (n_ref - len(imgs))
+                raws.append(np.stack(imgs))
+                comps.append(cid)
+            heat = np.asarray(
+                fn(self.params, jnp.asarray(np.stack(raws)), jnp.asarray(comps, np.int32))
+            )
+            for row, (cid, ids) in enumerate(chunk):
+                n_valid = len(ids)
+                out[cid] = self.plot_fn(raws[row][:n_valid], heat[row][:n_valid])
         return out
 
     # ------------------------------------------------------------ concept DB
@@ -275,17 +323,27 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
             n_components = ids_table.shape[0]
             refs = self.get_max_reference(list(range(n_components)), layer_name, n_ref, batch_size)
 
-            # Encode non-empty components first so dead components (all-
-            # sentinel top-k) can be zero-padded with the right width.
-            encoded = {
-                cid: np.asarray(fm.encode_image(fm.preprocess(pils)), np.float32)
-                for cid, pils in refs.items()
-                if pils
-            }
-            embed_dim = next(iter(encoded.values())).shape[-1] if encoded else 1
+            # Encode ALL components' crops in flat fixed-size batches — one
+            # dispatch per batch_size crops rather than one per component
+            # (constant program shape, so no recompiles on ragged tails).
+            flat: list = []
+            spans: dict[int, tuple[int, int]] = {}
+            for cid, pils in refs.items():
+                spans[cid] = (len(flat), len(flat) + len(pils))
+                flat.extend(pils)
+            encoded_rows = None
+            if flat:
+                chunks = []
+                for s in range(0, len(flat), batch_size):
+                    chunk = flat[s : s + batch_size]
+                    chunk = chunk + [chunk[0]] * (batch_size - len(chunk))  # static shape
+                    chunks.append(np.asarray(fm.encode_image(fm.preprocess(chunk)), np.float32))
+                encoded_rows = np.concatenate(chunks, axis=0)[: len(flat)]
+            embed_dim = encoded_rows.shape[-1] if encoded_rows is not None else 1
             embeds = []
             for cid in range(n_components):
-                e = encoded.get(cid, np.zeros((0, embed_dim), np.float32))
+                lo, hi = spans.get(cid, (0, 0))
+                e = encoded_rows[lo:hi] if hi > lo else np.zeros((0, embed_dim), np.float32)
                 if e.shape[0] < n_ref:  # pad unfilled slots with zeros
                     e = np.concatenate([e, np.zeros((n_ref - e.shape[0], embed_dim), np.float32)])
                 embeds.append(e)

@@ -12,12 +12,37 @@ to one XLA program per (layer, batch-shape).
 from __future__ import annotations
 
 import contextlib
-import functools
 
 import jax
 import jax.numpy as jnp
 
 from semanticlens_tpu.models.layers import lrp_composite
+
+
+def _make_heatmap_core(model, layer_name, composite, aggregation, abs_norm):
+    """Traceable ``(params, images (B,H,W,C), component ()) → (B,H,W)`` core."""
+
+    def target(params, images, component):
+        _, taps = model.apply(params, images.astype(jnp.float32), (layer_name,))
+        act = taps[layer_name].astype(jnp.float32)
+        if act.ndim == 4:
+            agg = jnp.sum(act, axis=(1, 2)) if aggregation == "sum" else jnp.max(act, axis=(1, 2))
+        elif act.ndim == 3:
+            agg = jnp.sum(act, axis=1) if aggregation == "sum" else jnp.max(act, axis=1)
+        else:
+            agg = act
+        return jnp.sum(agg[:, component])
+
+    def heatmaps(params, images, component):
+        with lrp_composite(composite) if composite != "gradient" else contextlib.nullcontext():
+            grads = jax.grad(target, argnums=1)(params, images.astype(jnp.float32), component)
+        heat = jnp.sum(grads.astype(jnp.float32), axis=-1)  # channels → (B, H, W)
+        if abs_norm:
+            denom = jnp.max(jnp.abs(heat), axis=(1, 2), keepdims=True) + 1e-12
+            heat = heat / denom
+        return heat
+
+    return heatmaps
 
 
 def make_attribution_fn(
@@ -36,36 +61,34 @@ def make_attribution_fn(
     ``max_target``); the heatmap is the signed input relevance summed over
     channels, optionally abs-max-normalized per image.
     """
-
-    def target(params, images, component):
-        _, taps = model.apply(params, images.astype(jnp.float32), (layer_name,))
-        act = taps[layer_name].astype(jnp.float32)
-        if act.ndim == 4:
-            agg = jnp.sum(act, axis=(1, 2)) if aggregation == "sum" else jnp.max(act, axis=(1, 2))
-        elif act.ndim == 3:
-            agg = jnp.sum(act, axis=1) if aggregation == "sum" else jnp.max(act, axis=1)
-        else:
-            agg = act
-        return jnp.sum(agg[:, component])
-
-    def heatmaps(params, images, component):
-        with lrp_composite(composite) if composite != "gradient" else contextlib.nullcontext():
-            grads = jax.grad(target, argnums=1)(params, images, component)
-        heat = jnp.sum(grads.astype(jnp.float32), axis=-1)  # channels → (B, H, W)
-        if abs_norm:
-            denom = jnp.max(jnp.abs(heat), axis=(1, 2), keepdims=True) + 1e-12
-            heat = heat / denom
-        return heat
+    heatmaps = _make_heatmap_core(model, layer_name, composite, aggregation, abs_norm)
 
     # jit must trace INSIDE the composite context → wrap the traced fn, not
     # the context: re-enter the context per trace via a custom lowering.
-    @functools.partial(jax.jit, static_argnames=())
-    def jitted(params, images, component):
-        # Gradients require inexact inputs: uint8 datasets (the recommended
-        # transport format) cast at the boundary; grads are wrt float pixels.
-        return heatmaps(params, images.astype(jnp.float32), component)
+    # Gradients require inexact inputs: uint8 datasets (the recommended
+    # transport format) cast at the boundary; grads are wrt float pixels.
+    return jax.jit(heatmaps)
 
-    return jitted
+
+def make_batched_attribution_fn(
+    model,
+    layer_name: str,
+    *,
+    composite: str = "epsilon_plus_flat",
+    aggregation: str = "sum",
+    abs_norm: bool = True,
+):
+    """Jitted ``(params, images (K,S,H,W,C), components (K,)) → (K,S,H,W)``.
+
+    Attributes K components — each over its OWN image set — inside ONE XLA
+    program (vmap over the single-component core). The per-component concept-
+    example workload (reference get_max_reference, relevance_based.py:202-246)
+    is otherwise one dispatch per component; on a ~32 ms-latency runtime the
+    batched program amortizes that K× and keeps the MXU busy across the
+    K backward passes. Measured on v5e: see docs/PERF_NOTES.md.
+    """
+    heatmaps = _make_heatmap_core(model, layer_name, composite, aggregation, abs_norm)
+    return jax.jit(jax.vmap(heatmaps, in_axes=(None, 0, 0)))
 
 
 

@@ -268,3 +268,37 @@ def test_attribution_on_uint8_dataset(tmp_path):
     cid = int(np.where((ids >= 0).any(axis=1))[0][0])
     refs = cv.get_max_reference([cid], "layer4", n_ref=2)
     assert refs[cid], "expected rendered reference images"
+
+
+def test_batched_attribution_matches_single(rel_cv):
+    """K-components-per-program vmapped path == one-program-per-component."""
+    rel_cv.run(batch_size=8)
+    # batch_size >= 2*n_ref → K>=2 components per program (batched path);
+    # batch_size == n_ref → K=1 (single-dispatch path). Results must agree.
+    single = rel_cv.get_max_reference([0, 5, 9], "layer2", n_ref=3, batch_size=3)
+    batched = rel_cv.get_max_reference([0, 5, 9], "layer2", n_ref=3, batch_size=12)
+    assert set(single) == set(batched)
+    for cid in single:
+        assert len(single[cid]) == len(batched[cid])
+        for a, b in zip(single[cid], batched[cid]):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1.0
+            )
+
+
+def test_batched_attribution_fn_direct(rel_cv):
+    """make_batched_attribution_fn output equals per-component calls exactly."""
+    from semanticlens_tpu.relevance.attribution import make_batched_attribution_fn
+
+    rel_cv.run(batch_size=8)
+    imgs = np.stack([rel_cv.dataset.images[:3], rel_cv.dataset.images[3:6]])  # (2,3,32,32,3)
+    comps = np.asarray([1, 7], np.int32)
+    single_fn = rel_cv._attribution_fn("layer2")
+    batched_fn = make_batched_attribution_fn(
+        rel_cv.model, "layer2", composite=rel_cv.composite,
+        aggregation="sum", abs_norm=rel_cv.abs_norm,
+    )
+    got = np.asarray(batched_fn(rel_cv.params, jnp.asarray(imgs), jnp.asarray(comps)))
+    for k in range(2):
+        want = np.asarray(single_fn(rel_cv.params, jnp.asarray(imgs[k]), jnp.int32(comps[k])))
+        np.testing.assert_allclose(got[k], want, rtol=1e-4, atol=1e-5)
