@@ -1,5 +1,5 @@
 """Core device/mesh utilities and dtype policy."""
 
-from semanticlens_tpu.core.mesh import data_mesh, replicate, shard_batch
+from semanticlens_tpu.core.mesh import data_mesh, replicate, shard_batch, shard_concept_db
 
-__all__ = ["data_mesh", "replicate", "shard_batch"]
+__all__ = ["data_mesh", "replicate", "shard_batch", "shard_concept_db"]

@@ -34,3 +34,32 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (e.g. model params) across every mesh device."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def shard_concept_db(concept_db: dict, mesh: Mesh, *, axis_name: str = "data") -> dict:
+    """Shard a concept DB over the component axis for mesh-parallel Analyze.
+
+    Every score (clarity, redundancy-per-neuron, polysemanticity/k-means) is
+    independent per component, so splitting the leading (n_components) axis
+    across the mesh runs the whole Analyze stage data-parallel with zero
+    collectives — the jitted score fns consume sharded inputs as-is. Layers
+    whose component count does not divide the axis stay replicated (logged).
+    """
+    import logging
+
+    logger = logging.getLogger(__name__)
+    size = mesh.shape[axis_name]
+    out = {}
+    for name, v in concept_db.items():
+        arr = jax.numpy.asarray(v)
+        if arr.shape[0] % size == 0:
+            out[name] = jax.device_put(arr, NamedSharding(mesh, P(axis_name)))
+        else:
+            logger.info(
+                "layer %s: %d components not divisible by %d-way mesh; kept replicated",
+                name,
+                arr.shape[0],
+                size,
+            )
+            out[name] = jax.device_put(arr, NamedSharding(mesh, P()))
+    return out

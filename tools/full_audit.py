@@ -127,9 +127,16 @@ def main():
 
     scores_out = {}
     with timer.stage("scores"):
-        clarity = lens.eval_clarity(concept_db)
+        scored_db = concept_db
+        if mesh is not None:
+            # Component-axis sharding runs the whole Analyze stage
+            # data-parallel (scores are independent per component).
+            from semanticlens_tpu.core import shard_concept_db
+
+            scored_db = shard_concept_db(concept_db, mesh)
+        clarity = lens.eval_clarity(scored_db)
         redundancy = lens.eval_redundancy(agg_db)
-        poly = lens.eval_polysemanticity(concept_db)
+        poly = lens.eval_polysemanticity(scored_db)
         for layer in args.layers:
             scores_out[layer] = {
                 "clarity_mean": float(np.asarray(clarity[layer]).mean()),
