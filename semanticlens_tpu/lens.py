@@ -98,6 +98,47 @@ def _embed_text_probes(fm: AbstractVLM, query: list[str], templates, batch_size)
     return query_embed
 
 
+def label_components(
+    fm: AbstractVLM,
+    vocabulary: list[str],
+    aggregated_concept_db,
+    *,
+    top_m: int = 5,
+    templates: list[str] | None = None,
+    batch_size: int | None = None,
+):
+    """Name each component with its best-matching vocabulary words.
+
+    CLIP-Dissect-style automatic neuron description (Oikarinen & Weng,
+    arXiv:2204.10965): every word of ``vocabulary`` is embedded with the FM
+    (optionally through prompt ``templates`` with the same empty-template
+    bias correction as :func:`text_probing`), then each component's
+    aggregated concept vector is matched against the whole vocabulary by
+    cosine similarity. A capability extension over the reference, which only
+    supports the inverse direction (query → components, lens.py:59-121).
+
+    Returns ``{layer: (words (C, top_m) list-of-lists, scores (C, top_m)
+    float32)}`` — or a single tuple when a bare array is passed.
+    """
+    from semanticlens_tpu.scores import topk_cosine_search
+
+    if not vocabulary:
+        raise ValueError("vocabulary must be a non-empty list of words")
+    top_m = min(top_m, len(vocabulary))
+    vocab_embeds = _embed_text_probes(fm, list(vocabulary), templates, batch_size)
+
+    def one(bank):
+        bank = np.asarray(bank, np.float32)
+        vals, idx = topk_cosine_search(bank, vocab_embeds, k=top_m)
+        idx = np.asarray(idx)
+        words = [[vocabulary[j] for j in row] for row in idx]
+        return words, np.asarray(vals, np.float32)
+
+    if isinstance(aggregated_concept_db, dict):
+        return {key: one(value) for key, value in aggregated_concept_db.items()}
+    return one(aggregated_concept_db)
+
+
 def _probe(query, aggregated_concept_db):
     # cosine_probe, not similarity_score: the reference's shape dispatch
     # (scores.py:122) silently computes the wrong product whenever a layer's
@@ -167,26 +208,44 @@ class Lens:
         """Wrapper over the stateless :func:`image_probing` with the held FM."""
         return image_probing(self.fm, query, aggregated_concept_db)
 
+    def label_components(self, vocabulary, aggregated_concept_db, **kwargs):
+        """Wrapper over the stateless :func:`label_components` with the held FM."""
+        return label_components(self.fm, vocabulary, aggregated_concept_db, **kwargs)
+
+    @staticmethod
+    def _score_input(value):
+        """float32 array for the jitted scores — device placement preserved.
+
+        A jax.Array passes through untouched so mesh-sharded concept DBs
+        (:func:`semanticlens_tpu.core.shard_concept_db`) keep their sharding
+        and the Analyze stage runs data-parallel; host data converts once.
+        """
+        import jax
+
+        if isinstance(value, jax.Array):
+            return value
+        return np.asarray(value, np.float32)
+
     def eval_clarity(self, concept_db):
         """Clarity per component (reference lens.py:391-419)."""
         if isinstance(concept_db, dict):
-            return {key: clarity_score(np.asarray(value, np.float32)) for key, value in concept_db.items()}
-        return clarity_score(np.asarray(concept_db, np.float32))
+            return {key: clarity_score(self._score_input(value)) for key, value in concept_db.items()}
+        return clarity_score(self._score_input(concept_db))
 
     def eval_redundancy(self, aggregated_concept_db):
         """Redundancy across components (reference lens.py:421-449)."""
         if isinstance(aggregated_concept_db, dict):
             return {
-                key: redundancy_score(np.asarray(value, np.float32))
+                key: redundancy_score(self._score_input(value))
                 for key, value in aggregated_concept_db.items()
             }
-        return redundancy_score(np.asarray(aggregated_concept_db, np.float32))
+        return redundancy_score(self._score_input(aggregated_concept_db))
 
     def eval_polysemanticity(self, concept_db):
         """Polysemanticity per component (reference lens.py:451-480)."""
         if isinstance(concept_db, dict):
             return {
-                key: polysemanticity_score(np.asarray(value, np.float32))
+                key: polysemanticity_score(self._score_input(value))
                 for key, value in concept_db.items()
             }
-        return polysemanticity_score(np.asarray(concept_db, np.float32))
+        return polysemanticity_score(self._score_input(concept_db))

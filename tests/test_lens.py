@@ -139,3 +139,52 @@ def test_eval_dispatch_dict_and_tensor():
 
     p = lens.eval_polysemanticity({"l": V})
     assert np.asarray(p["l"]).shape == (4,)
+
+
+def test_label_components_clip_dissect_style():
+    from semanticlens_tpu.lens import label_components
+
+    fm = FakeFM(dim=16)
+    vocab = ["dog", "cat", "wheel", "stripe", "sky"]
+    vocab_embeds = fm.encode_text(fm.tokenize(vocab))
+    # Components built to align exactly with specific vocabulary words.
+    agg_db = {"layer4": np.stack([vocab_embeds[3], vocab_embeds[0], vocab_embeds[4]])}
+    out = label_components(fm, vocab, agg_db, top_m=2)
+    words, scores = out["layer4"]
+    assert [w[0] for w in words] == ["stripe", "dog", "sky"]
+    assert scores.shape == (3, 2)
+    np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-5)
+    assert (scores[:, 0] >= scores[:, 1]).all()
+
+
+def test_label_components_lens_method_and_bare_array():
+    fm = FakeFM(dim=16)
+    lens = Lens(fm)
+    vocab = ["a", "b", "c"]
+    bank = fm.encode_text(fm.tokenize(vocab))[:2]
+    words, scores = lens.label_components(vocab, bank, top_m=3)
+    assert words[0][0] == "a" and words[1][0] == "b"
+    assert scores.shape == (2, 3)
+
+    with pytest.raises(ValueError):
+        lens.label_components([], bank)
+
+
+def test_eval_scores_preserve_jax_input_sharding():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semanticlens_tpu.core import data_mesh
+
+    mesh = data_mesh(8)
+    V = jnp.asarray(np.random.default_rng(0).normal(size=(16, 5, 8)).astype(np.float32))
+    sharded = jax.device_put(V, NamedSharding(mesh, P("data")))
+    lens = Lens(FakeFM())
+    out = lens.eval_clarity({"l": sharded})["l"]
+    # the jitted score must have consumed the sharded array directly and the
+    # result shape follows the component axis
+    assert out.shape == (16,)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(lens.eval_clarity({"l": np.asarray(V)})["l"]), rtol=1e-5
+    )

@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--n-samples", type=int, default=25)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--queries", nargs="*", default=["dog", "car wheel", "striped pattern"])
+    ap.add_argument(
+        "--vocabulary",
+        nargs="*",
+        default=[],
+        help="words for CLIP-Dissect-style component naming (label_components)",
+    )
     ap.add_argument("--fm", default="ViT-B-32")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--model-checkpoint", default=None, help="torchvision ResNet state dict (.pt)")
@@ -165,6 +171,20 @@ def main():
             _vals, idx = topk_cosine_search(queries, bank, k=k)
             top5[layer] = {q: np.asarray(idx)[i].tolist() for i, q in enumerate(args.queries)}
 
+    labels_out = {}
+    if args.vocabulary:
+        # CLIP-Dissect-style naming: every component gets its best vocabulary
+        # word (arXiv:2204.10965); reported for the first N components/layer.
+        with timer.stage("label-components"):
+            named = lens.label_components(
+                list(args.vocabulary), agg_db, top_m=1, templates=["a photo of a {}"]
+            )
+            for layer, (words, vals) in named.items():
+                labels_out[layer] = {
+                    str(i): {"word": words[i][0], "score": float(vals[i][0])}
+                    for i in range(min(len(words), 16))
+                }
+
     report = {
         "dataset": getattr(dataset, "name", "?"),
         "n_images": n,
@@ -174,6 +194,7 @@ def main():
         "scores": scores_out,
         "top_neuron_per_query": search_out,
         "top5_per_query": top5,
+        "component_labels": labels_out,
         "stages": timer.summary(),
     }
     print(json.dumps(report))
