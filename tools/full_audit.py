@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--image-dir", default=None)
     ap.add_argument("--n-synthetic", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--variant", default="", help="'' (torchvision) or 'd' (timm resnet*d)")
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
@@ -70,7 +71,7 @@ def main():
     from semanticlens_tpu.data import ArrayDataset, ImageFolder
     from semanticlens_tpu.foundation_models import OpenClip
     from semanticlens_tpu.models import ResNet
-    from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+    from semanticlens_tpu.ops.aggregators import aggregate_conv_mean, aggregate_transformer_mean
     from semanticlens_tpu.utils import StageTimer, make_preprocess_fn, setup_colored_logging
 
     setup_colored_logging("INFO")
@@ -95,7 +96,20 @@ def main():
         mesh = data_mesh()
 
     # --- models ----------------------------------------------------------------
-    model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, variant=args.variant)
+    if args.arch == "vit":
+        # BASELINE.md config 3: transformer backbone, MLP/attention components.
+        from semanticlens_tpu.models import VisionTransformer
+
+        model = VisionTransformer(image_size=args.image_size, dtype=jnp.bfloat16)
+        default_vit_layers = [f"blocks.{i}.mlp" for i in range(0, model.depth, 3)]
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = default_vit_layers
+        aggregate_fn = aggregate_transformer_mean
+        model_name = f"vitb{args.image_size // model.grid}-audit"
+    else:
+        model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, variant=args.variant)
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"resnet{args.depth}{args.variant}-audit"
     if args.model_checkpoint:
         import torch
 
@@ -104,7 +118,7 @@ def main():
         )
     else:
         model.params = model.init(jax.random.PRNGKey(0))
-    model.name = f"resnet{args.depth}{args.variant}-audit"
+    model.name = model_name
 
     fm = OpenClip(
         args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16, mesh=mesh
@@ -117,7 +131,7 @@ def main():
         dataset_fm=dataset,
         layer_names=list(args.layers),
         num_samples=args.n_samples,
-        aggregate_fn=aggregate_conv_mean,
+        aggregate_fn=aggregate_fn,
         model_preprocess=make_preprocess_fn(size=args.image_size, crop=args.image_size),
         cache_dir=args.cache_dir,
         mesh=mesh,

@@ -9,8 +9,14 @@ decoder, sharded fused Collect+Embed with mid-sweep checkpoints, streaming
 top-k text search, and the multi-host recipe.
 """
 
+import sys
 import tempfile
 from pathlib import Path
+
+# Runnable from a source checkout without installation.
+_repo = Path(__file__).resolve().parent.parent
+if str(_repo) not in sys.path:
+    sys.path.insert(0, str(_repo))
 
 import numpy as np
 from PIL import Image

@@ -7,6 +7,14 @@ Mirror of the reference's tutorials/quickstart.ipynb, runnable offline
 Run:  python tutorials/quickstart.py
 """
 
+import sys
+from pathlib import Path
+
+# Runnable from a source checkout without installation.
+_repo = Path(__file__).resolve().parent.parent
+if str(_repo) not in sys.path:
+    sys.path.insert(0, str(_repo))
+
 import numpy as np
 
 import jax
