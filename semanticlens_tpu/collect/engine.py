@@ -425,8 +425,13 @@ class CollectEngine:
         prefetch: int = 2,
         checkpoint_dir=None,
         checkpoint_every: int = 0,
+        id_offset: int = 0,
     ):
         """Single-pass Collect + Embed: one upload per image feeds both.
+
+        ``id_offset`` shifts recorded sample ids exactly as in :meth:`run`
+        (multi-host shards keep global dataset indices; embedding rows stay
+        shard-local — row r embeds dataset sample ``id_offset + r``).
 
         Two embed contracts:
 
@@ -485,11 +490,18 @@ class CollectEngine:
         for images, start_index, _ in self._batches(dataset, batch_size, prefetch, resume_start):
             if embed_params is not None:
                 states, emb = fused_step(
-                    states, params, embed_params, images, np.int32(start_index), np.int32(n)
+                    states,
+                    params,
+                    embed_params,
+                    images,
+                    np.int32(start_index + id_offset),
+                    np.int32(n + id_offset),
                 )
                 pending.append(emb)
             else:
-                states = step(states, params, images, np.int32(start_index), np.int32(n))
+                states = step(
+                    states, params, images, np.int32(start_index + id_offset), np.int32(n + id_offset)
+                )
                 pending.append(embed_fn(images))
             batches_done += 1
             if checkpoint_dir is not None and checkpoint_every and batches_done % checkpoint_every == 0:

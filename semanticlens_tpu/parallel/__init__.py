@@ -2,6 +2,8 @@
 
 from semanticlens_tpu.parallel.multihost import (
     collect_multihost,
+    fused_multihost,
+    gather_selected_rows,
     merge_states_across_processes,
 )
 from semanticlens_tpu.parallel.tensor_parallel import (
@@ -15,5 +17,7 @@ __all__ = [
     "clip_param_specs_2d",
     "siglip_param_specs_2d",
     "collect_multihost",
+    "fused_multihost",
+    "gather_selected_rows",
     "merge_states_across_processes",
 ]

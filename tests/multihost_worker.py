@@ -54,6 +54,31 @@ def main():
     }
     print("RESULT " + json.dumps(out))
 
+    # fused Collect+Embed across both hosts: selected-rows-only exchange
+    from semanticlens_tpu.parallel import fused_multihost
+
+    proj = jnp.asarray(np.random.default_rng(2).normal(size=(3, 4)).astype(np.float32))
+
+    def embed_fn(raw):
+        return jnp.mean(raw.astype(jnp.float32), axis=(1, 2)) @ proj
+
+    fengine = CollectEngine(
+        model=OneConv(), layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5
+    )
+    fstates, concept_db, fn_total = fused_multihost(fengine, params, ds, 4, embed_fn)
+    print(
+        "FUSED "
+        + json.dumps(
+            {
+                "n": fn_total,
+                "ids": np.asarray(fstates["c"].ids).tolist(),
+                "db_shape": list(concept_db["c"].shape),
+                "db_sum": round(float(np.abs(concept_db["c"]).sum()), 4),
+                "db": np.round(concept_db["c"], 5).tolist(),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -137,16 +137,36 @@ def test_real_two_process_collect(fixture, tmp_path):
         assert p.returncode == 0, f"worker failed:\n{stderr[-3000:]}"
         line = [ln for ln in stdout.splitlines() if ln.startswith("RESULT ")][-1]
         outs.append(json.loads(line[len("RESULT ") :]))
+        fline = [ln for ln in stdout.splitlines() if ln.startswith("FUSED ")][-1]
+        outs[-1]["fused"] = json.loads(fline[len("FUSED ") :])
 
     assert outs[0]["n"] == outs[1]["n"] == 24
     assert outs[0]["ids"] == outs[1]["ids"], "processes disagree on merged ids"
     assert outs[0]["values"] == outs[1]["values"]
+
+    # fused Collect+Embed: both processes return the same concept DB
+    assert outs[0]["fused"]["db_shape"] == outs[1]["fused"]["db_shape"] == [6, 5, 4]
+    assert outs[0]["fused"]["ids"] == outs[1]["fused"]["ids"]
+    assert outs[0]["fused"]["db"] == outs[1]["fused"]["db"]
 
     # and the 2-process result equals an in-process single-host sweep over the
     # same deterministic 24-sample dataset
     ds24 = ArrayDataset(np.random.default_rng(1).normal(size=(24, 8, 8, 3)).astype(np.float32), name="mh")
     ref, _ = mk().run(params, ds24, 4)
     np.testing.assert_array_equal(np.asarray(ref["c"].ids), np.asarray(outs[0]["ids"]))
+
+    # single-host fused + gather reproduces the 2-process fused concept DB
+    from semanticlens_tpu.parallel import fused_multihost
+
+    proj = jnp.asarray(np.random.default_rng(2).normal(size=(3, 4)).astype(np.float32))
+
+    def embed_fn(raw):
+        return jnp.mean(raw.astype(jnp.float32), axis=(1, 2)) @ proj
+
+    _, ref_db, _ = fused_multihost(mk(), params, ds24, 4, embed_fn)
+    np.testing.assert_allclose(
+        np.asarray(outs[0]["fused"]["db"], np.float32), np.round(ref_db["c"], 5), atol=2e-5
+    )
 
 
 def test_empty_shard_produces_full_shape_states(fixture):
@@ -169,3 +189,54 @@ def test_empty_shard_produces_full_shape_states(fixture):
         )
     )
     np.testing.assert_array_equal(np.asarray(merged.ids), np.asarray(full_states["c"].ids))
+
+
+def test_fused_multihost_single_process_equals_plain(fixture):
+    """P=1 fused_multihost == run_fused + local gather (full code path)."""
+    from semanticlens_tpu.parallel import fused_multihost
+
+    params, ds, mk = fixture
+    proj = jnp.asarray(np.random.default_rng(2).normal(size=(3, 4)).astype(np.float32))
+
+    def embed_fn(raw):
+        return jnp.mean(raw.astype(jnp.float32), axis=(1, 2)) @ proj
+
+    states, db, n = fused_multihost(mk(), params, ds, 4, embed_fn)
+    assert n == len(ds)
+
+    ref_states, ref_embeds, _ = mk().run_fused(params, ds, 4, embed_fn)
+    ids = np.asarray(ref_states["c"].ids)
+    want = np.zeros((*ids.shape, 4), np.float32)
+    want[ids >= 0] = ref_embeds[ids[ids >= 0]]
+    np.testing.assert_array_equal(np.asarray(states["c"].ids), ids)
+    np.testing.assert_allclose(db["c"], want, rtol=1e-6)
+
+
+def test_gather_selected_rows_ownership_sum():
+    """Two simulated shards: per-owner fills sum to the exact selected table."""
+    from semanticlens_tpu.parallel import gather_selected_rows
+
+    rng = np.random.default_rng(0)
+    full = rng.normal(size=(20, 6)).astype(np.float32)
+    needed = np.asarray([0, 3, 9, 10, 17, 19])
+    t0 = gather_selected_rows(needed, full[0:10], 0, 10)   # host 0 owns [0, 10)
+    t1 = gather_selected_rows(needed, full[10:20], 10, 20)  # host 1 owns [10, 20)
+    np.testing.assert_allclose(t0 + t1, full[needed], rtol=0, atol=0)
+    # no overlap: each row filled by exactly one host
+    assert ((np.abs(t0) > 0).any(1) ^ (np.abs(t1) > 0).any(1)).all()
+
+
+def test_run_fused_id_offset_keeps_rows_local(fixture):
+    """run_fused(id_offset=s): global ids in states, shard-local embed rows."""
+    params, ds, mk = fixture
+    proj = jnp.asarray(np.random.default_rng(2).normal(size=(3, 4)).astype(np.float32))
+
+    def embed_fn(raw):
+        return jnp.mean(raw.astype(jnp.float32), axis=(1, 2)) @ proj
+
+    start, stop = 8, 16
+    states, embeds, seen = mk().run_fused(params, Subset(ds, start, stop), 4, embed_fn, id_offset=start)
+    assert seen == stop - start and embeds.shape == (8, 4)
+    ids = np.asarray(states["c"].ids)
+    real = ids[ids >= 0]
+    assert real.size and (real >= start).all() and (real < stop).all()
