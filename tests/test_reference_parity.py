@@ -233,3 +233,161 @@ def test_e2e_score_parity(reference, shared_setup):
 
 
 import jax  # noqa: E402  (used inside _run_ours)
+
+
+# --------------------------------------------------------------------------- #
+# Tier-2 cache (concept DB) + text probing parity against the reference Lens
+# --------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def ref_lens(reference):
+    """Load the reference's lens.py under its canonical package name.
+
+    Bare parent packages skip the heavyweight __init__ imports (open_clip,
+    crp); leaf modules load normally so `semanticlens.lens` resolves its
+    absolute imports.
+    """
+    import importlib.util as ilu
+
+    for pkg_name, sub in [
+        ("semanticlens", ""),
+        ("semanticlens.component_visualization", "component_visualization"),
+        ("semanticlens.utils", "utils"),
+        ("semanticlens.foundation_models", "foundation_models"),
+    ]:
+        if pkg_name not in sys.modules:
+            mod = types.ModuleType(pkg_name)
+            mod.__path__ = [str(REFERENCE / sub) if sub else str(REFERENCE)]
+            sys.modules[pkg_name] = mod
+    for name, rel in [
+        ("semanticlens.utils.helper", "utils/helper.py"),
+        ("semanticlens.utils.log_setup", "utils/log_setup.py"),
+        ("semanticlens.component_visualization.base", "component_visualization/base.py"),
+        ("semanticlens.foundation_models.base", "foundation_models/base.py"),
+        ("semanticlens.scores", "scores.py"),
+        ("semanticlens.lens", "lens.py"),
+    ]:
+        if name in sys.modules:
+            continue
+        spec = ilu.spec_from_file_location(name, REFERENCE / rel)
+        mod = ilu.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["semanticlens.lens"]
+
+
+class _SharedFakeFM:
+    """Deterministic FM both implementations can host (torch / numpy views)."""
+
+    name = "shared-fake-fm"
+    device = "cpu"  # the reference moves tokens to fm.device (lens.py:188)
+
+    def to(self, device):  # reference Lens ctor calls fm.to (lens.py:272)
+        return self
+
+    def __init__(self, dim=24, backend="numpy"):
+        self.dim = dim
+        self.backend = backend
+        self._table = np.random.default_rng(9).normal(size=(512, dim)).astype(np.float32)
+
+    def tokenize(self, txt):
+        txts = txt if isinstance(txt, list) else [txt]
+        ids = np.asarray(
+            [[sum(ord(c) for c in t) % 512] for t in txts], np.int64
+        )
+        return torch.from_numpy(ids) if self.backend == "torch" else ids
+
+    def encode_text(self, tokens):
+        tok = tokens.numpy() if hasattr(tokens, "numpy") else np.asarray(tokens)
+        rows = self._table[tok[:, 0]]
+        return torch.from_numpy(rows) if self.backend == "torch" else rows
+
+
+def _fake_cv(kind, storage_dir, db):
+    """Minimal CV seam carrying the cache contract both Lenses consume."""
+    meta = {
+        "aggregation_fn_name": "aggregate_conv_mean",
+        "n_collect": "5",
+        "layer_names": "['layer4']",
+        "dataset": "ds",
+        "model": "m",
+    }
+    sd = Path(storage_dir)
+    if kind == "torch":
+
+        class CV:
+            caching = True
+            storage_dir = sd
+            metadata = meta
+
+            def _compute_concept_db(self, fm, **kw):
+                return {k: torch.from_numpy(v.copy()) for k, v in db.items()}
+
+        return CV()
+
+    class CV2:
+        caching = True
+        storage_dir = sd
+        metadata = meta
+
+        def _compute_concept_db(self, fm, **kw):
+            return {k: v.copy() for k, v in db.items()}
+
+    return CV2()
+
+
+def test_concept_db_cache_cross_implementation(ref_lens, tmp_path):
+    """Reference-written tier-2 cache is a cache HIT for our Lens, and vice versa."""
+    from semanticlens_tpu.lens import Lens as OurLens
+
+    rng = np.random.default_rng(3)
+    db = {"layer4": rng.normal(size=(6, 5, 24)).astype(np.float32)}
+
+    # reference writes...
+    ref_fm = _SharedFakeFM(backend="torch")
+    ref_lens_obj = ref_lens.Lens(ref_fm)
+    ref_out = ref_lens_obj.compute_concept_db(_fake_cv("torch", tmp_path, db))
+    ref_files = list((tmp_path / "concept_database" / "shared-fake-fm").iterdir())
+    assert [f.name for f in ref_files] == [
+        "concept_db-aggregate_conv_mean-5-['layer4'].safetensors"
+    ]
+
+    # ...our Lens must hit that exact cache, not recompute
+    our_lens = OurLens(_SharedFakeFM(backend="numpy"))
+    poisoned = {"layer4": np.zeros_like(db["layer4"])}  # recompute would differ
+    out = our_lens.compute_concept_db(_fake_cv("numpy", tmp_path, poisoned))
+    np.testing.assert_allclose(np.asarray(out["layer4"]), db["layer4"], rtol=1e-6)
+    np.testing.assert_allclose(ref_out["layer4"].numpy(), db["layer4"], rtol=1e-6)
+
+    # and the reverse: our write is the reference's cache hit
+    tmp2 = tmp_path / "rev"
+    out2 = our_lens.compute_concept_db(_fake_cv("numpy", tmp2, db))
+    ref_out2 = ref_lens.Lens(ref_fm).compute_concept_db(_fake_cv("torch", tmp2, poisoned))
+    np.testing.assert_allclose(ref_out2["layer4"].numpy(), np.asarray(out2["layer4"]), rtol=1e-6)
+
+
+def test_text_probing_scores_match_reference(ref_lens):
+    """Same fake FM + agg DB → identical probing scores incl. template bias."""
+    from semanticlens_tpu.lens import text_probing as our_text_probing
+
+    rng = np.random.default_rng(4)
+    agg = rng.normal(size=(10, 24)).astype(np.float32)
+    queries = ["dog", "car wheel"]
+    templates = ["a photo of a {}", "art of the {}"]
+
+    ref_scores = ref_lens.text_probing(
+        _SharedFakeFM(backend="torch"),
+        queries,
+        {"layer4": torch.from_numpy(agg.copy())},
+        templates=templates,
+    )["layer4"].numpy()
+    our_scores = our_text_probing(
+        _SharedFakeFM(backend="numpy"), queries, {"layer4": agg}, templates=templates
+    )["layer4"]
+    np.testing.assert_allclose(our_scores, ref_scores, rtol=1e-5, atol=1e-6)
+
+    # no-template path too
+    r = ref_lens.text_probing(
+        _SharedFakeFM(backend="torch"), "dog", {"l": torch.from_numpy(agg.copy())}
+    )["l"].numpy()
+    o = our_text_probing(_SharedFakeFM(backend="numpy"), "dog", {"l": agg})["l"]
+    np.testing.assert_allclose(o, r, rtol=1e-5, atol=1e-6)
