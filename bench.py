@@ -131,6 +131,10 @@ LAYERS = ("layer1", "layer2", "layer3", "layer4")
 
 
 def main():
+    from semanticlens_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip XLA recompiles
+
     from semanticlens_tpu.collect import ActivationComponentVisualizer
     from semanticlens_tpu.data import ArrayDataset
     from semanticlens_tpu.foundation_models.clip import OpenClip

@@ -63,3 +63,26 @@ def shard_concept_db(concept_db: dict, mesh: Mesh, *, axis_name: str = "data") -
             )
             out[name] = jax.device_put(arr, NamedSharding(mesh, P()))
     return out
+
+
+def enable_compilation_cache(directory: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Repeat runs of the audit/bench entry points skip XLA recompilation of the
+    big fused programs (tens of seconds per shape on the first run). Safe on
+    backends that cannot serialize executables — JAX logs and compiles as
+    usual. Returns the cache directory used.
+    """
+    import os
+
+    directory = directory or os.environ.get(
+        "SEMANTICLENS_XLA_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "semanticlens_tpu", "xla"),
+    )
+    os.makedirs(directory, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", directory)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — ancient jax without the flags
+        pass
+    return directory

@@ -67,7 +67,9 @@ def main():
 
     import semanticlens_tpu as sl
     from semanticlens_tpu.collect import ActivationComponentVisualizer
-    from semanticlens_tpu.core import data_mesh
+    from semanticlens_tpu.core import data_mesh, enable_compilation_cache
+
+    enable_compilation_cache()
     from semanticlens_tpu.data import ArrayDataset, ImageFolder
     from semanticlens_tpu.foundation_models import OpenClip
     from semanticlens_tpu.models import ResNet
