@@ -9,10 +9,11 @@ Runs the complete pipeline sharded over every available chip:
 
 Usage:
     python tools/full_audit.py [--images /path.npy | --image-dir DIR]
-        [--depth 50] [--layers layer1 layer2 layer3 layer4]
+        [--arch resnet|vit] [--depth 50] [--layers layer1 ... | blocks.N.mlp ...]
         [--n-samples 25] [--batch 256] [--queries dog "striped pattern"]
-        [--fm ViT-B-32] [--checkpoint ckpt.safetensors] [--bpe merges.gz]
-        [--cache-dir cache] [--no-mesh]
+        [--vocabulary dog cat ...]  (CLIP-Dissect component naming)
+        [--fm ViT-B-32|siglip2|mobileclip-s1] [--checkpoint ckpt.safetensors]
+        [--bpe merges.gz] [--cache-dir cache] [--no-mesh]
 
 Offline (no weights) it still runs end-to-end with random weights — the
 systems path is identical; only the semantics of the embeddings change.
@@ -122,9 +123,23 @@ def main():
         model.params = model.init(jax.random.PRNGKey(0))
     model.name = model_name
 
-    fm = OpenClip(
-        args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16, mesh=mesh
-    )
+    fm_key = args.fm.lower()
+    if fm_key in ("siglip", "siglip2", "vit-b-16-siglip2"):
+        from semanticlens_tpu.foundation_models import SigLipV2
+
+        fm = SigLipV2(checkpoint=args.checkpoint, dtype=jnp.bfloat16, mesh=mesh)
+    elif fm_key.startswith("mobileclip"):
+        from semanticlens_tpu.foundation_models import ClipMobile
+
+        version = fm_key.split("-")[-1] if "-" in fm_key else "s1"
+        fm = ClipMobile(
+            version=version, checkpoint=args.checkpoint, bpe_path=args.bpe,
+            dtype=jnp.bfloat16, mesh=mesh,
+        )
+    else:
+        fm = OpenClip(
+            args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16, mesh=mesh
+        )
     lens = sl.Lens(fm)
 
     cv = ActivationComponentVisualizer(
