@@ -94,7 +94,16 @@ def _embed_text_probes(fm: AbstractVLM, query: list[str], templates, batch_size)
         templated = query_templated_embeds.reshape(q, t, d)
         query_embed = (templated - empty_templates_embeds[None, :, :]).mean(1)
     else:
-        query_embed = np.asarray(fm.encode_text(fm.tokenize(query)), np.float32)
+        # batch_size applies here too (the reference only chunks the templated
+        # path); chunking never changes values, only program sizes.
+        step = batch_size or len(query)
+        query_embed = np.concatenate(
+            [
+                np.asarray(fm.encode_text(fm.tokenize(query[i : i + step])), np.float32)
+                for i in range(0, len(query), step)
+            ],
+            axis=0,
+        )
     return query_embed
 
 
@@ -125,7 +134,7 @@ def label_components(
     if not vocabulary:
         raise ValueError("vocabulary must be a non-empty list of words")
     top_m = min(top_m, len(vocabulary))
-    vocab_embeds = _embed_text_probes(fm, list(vocabulary), templates, batch_size)
+    vocab_embeds = _embed_vocabulary(fm, list(vocabulary), templates, batch_size or 1024)
 
     def one(bank):
         bank = np.asarray(bank, np.float32)
@@ -137,6 +146,34 @@ def label_components(
     if isinstance(aggregated_concept_db, dict):
         return {key: one(value) for key, value in aggregated_concept_db.items()}
     return one(aggregated_concept_db)
+
+
+def _embed_vocabulary(fm: AbstractVLM, words: list[str], templates, batch_size: int):
+    """Correctly-aligned templated embeddings for a large vocabulary.
+
+    NOT :func:`_embed_text_probes`: that helper reproduces the reference's
+    ``(q t)`` reshape quirk (lens.py:196-199), which scrambles (query,
+    template) pairing whenever q>1 AND t>1 — harmless for the probing API it
+    mirrors, but fatal here where q = len(vocabulary). This path keeps the
+    pairing straight: embed template-outer, reshape (t, q, d), subtract each
+    template's empty-prompt bias, mean over templates. Always chunked by
+    ``batch_size`` (a vocabulary can be tens of thousands of words).
+    """
+
+    def encode_chunked(texts):
+        chunks = []
+        for i in range(0, len(texts), batch_size):
+            batch = texts[i : i + batch_size]
+            chunks.append(np.asarray(fm.encode_text(fm.tokenize(batch)), np.float32))
+        return np.concatenate(chunks, axis=0)
+
+    if not templates:
+        return encode_chunked(words)
+    q, t = len(words), len(templates)
+    templated = [tpl.format(w) for tpl in templates for w in words]  # template-outer
+    embeds = encode_chunked(templated).reshape(t, q, -1)
+    empty = encode_chunked([tpl.format("") for tpl in templates])  # (t, d)
+    return (embeds - empty[:, None, :]).mean(0)
 
 
 def _probe(query, aggregated_concept_db):
@@ -216,14 +253,17 @@ class Lens:
     def _score_input(value):
         """float32 array for the jitted scores — device placement preserved.
 
-        A jax.Array passes through untouched so mesh-sharded concept DBs
-        (:func:`semanticlens_tpu.core.shard_concept_db`) keep their sharding
-        and the Analyze stage runs data-parallel; host data converts once.
+        A jax.Array keeps its device placement so mesh-sharded concept DBs
+        (:func:`semanticlens_tpu.core.shard_concept_db`) run the Analyze
+        stage data-parallel — but still casts to float32 (an elementwise op,
+        sharding-preserving): the scores' documented reference parity is
+        float32 math regardless of how the DB was stored (e.g. bf16).
         """
         import jax
+        import jax.numpy as jnp
 
         if isinstance(value, jax.Array):
-            return value
+            return value if value.dtype == jnp.float32 else value.astype(jnp.float32)
         return np.asarray(value, np.float32)
 
     def eval_clarity(self, concept_db):

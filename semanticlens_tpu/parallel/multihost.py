@@ -173,17 +173,28 @@ def fused_multihost(
     needed = _selected_global_ids(merged)
 
     if local_embeds.shape[0] == 0 and needed.size:
-        # Empty shard: the exchange needs the right embedding width. Derive it
-        # without device work from the embed contract on a probe batch shape.
+        # Empty shard: the exchange still needs the right embedding width.
+        # Traceable contracts are probed for free with eval_shape; the legacy
+        # per-batch contract permits non-traceable host-side work (engine
+        # docstring), so fall back to actually embedding one real image —
+        # every host can read the full dataset, only the shard was empty.
         import jax.numpy as jnp
 
+        from semanticlens_tpu.data.dataset import get_image
+
         shape, dtype = engine._probe_shape(dataset, batch_size)
-        spec = jax.ShapeDtypeStruct(shape, dtype)
-        if embed_params is not None:
-            out = jax.eval_shape(lambda p, x: embed_fn(p, x), embed_params, spec)
-        else:
-            out = jax.eval_shape(embed_fn, spec)
-        local_embeds = np.zeros((0, int(out.shape[-1])), np.float32)
+        try:
+            spec = jax.ShapeDtypeStruct(shape, dtype)
+            if embed_params is not None:
+                out = jax.eval_shape(lambda p, x: embed_fn(p, x), embed_params, spec)
+            else:
+                out = jax.eval_shape(embed_fn, spec)
+            width = int(out.shape[-1])
+        except Exception:
+            probe = jnp.asarray(np.stack([get_image(dataset, 0)]))
+            out = embed_fn(embed_params, probe) if embed_params is not None else embed_fn(probe)
+            width = int(np.asarray(out).shape[-1])
+        local_embeds = np.zeros((0, width), np.float32)
 
     rows = gather_selected_rows(needed, local_embeds, start, stop)
     pos = {int(i): p for p, i in enumerate(needed)}

@@ -188,3 +188,72 @@ def test_eval_scores_preserve_jax_input_sharding():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(lens.eval_clarity({"l": np.asarray(V)})["l"]), rtol=1e-5
     )
+
+
+def test_label_components_multi_template_alignment():
+    """q>1 AND t>1 must keep (word, template) pairing straight — the probing
+    helper's reference-parity (q t) reshape quirk must NOT leak in here."""
+    from semanticlens_tpu.lens import label_components
+
+    class TemplFM:
+        """Tokenizer-sensitive fake: 'a photo of a X' and 'art of the X'
+        embed to DIFFERENT deterministic vectors per template, with the
+        word's identity recoverable after exact per-template bias removal."""
+
+        name = "templ-fm"
+        dim = 8
+
+        def tokenize(self, txts):
+            return txts  # pass strings through
+
+        def encode_text(self, txts):
+            out = []
+            for t in txts:
+                rng = np.random.default_rng(abs(hash(t)) % (2**32))
+                out.append(rng.normal(size=(self.dim,)).astype(np.float32))
+            return np.stack(out)
+
+    fm = TemplFM()
+    vocab = ["dog", "cat", "wheel"]
+    templates = ["a photo of a {}", "art of the {}"]
+    # ground truth: correctly-aligned bias-corrected mean per word
+    want = []
+    for w in vocab:
+        filled = fm.encode_text([t.format(w) for t in templates])
+        empty = fm.encode_text([t.format("") for t in templates])
+        want.append((filled - empty).mean(0))
+    want = np.stack(want)
+
+    bank = want[[2, 0]]  # components aligned with 'wheel' and 'dog'
+    words, scores = label_components(fm, vocab, bank, top_m=1, templates=templates)
+    assert [w[0] for w in words] == ["wheel", "dog"]
+    np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-5)
+
+
+def test_label_components_batches_large_vocab():
+    fm = FakeFM(dim=16)
+    calls = []
+    orig = fm.encode_text
+
+    def counting(tokens):
+        calls.append(len(tokens))
+        return orig(tokens)
+
+    fm.encode_text = counting
+    from semanticlens_tpu.lens import label_components
+
+    vocab = [f"word{i}" for i in range(10)]
+    bank = orig(fm.tokenize(vocab))[:3]
+    label_components(fm, vocab, bank, top_m=2, batch_size=4)
+    assert max(calls) <= 4, f"vocabulary not chunked: {calls}"
+
+
+def test_eval_scores_cast_bf16_jax_input_to_f32():
+    import jax.numpy as jnp
+
+    V = np.random.default_rng(0).normal(size=(6, 4, 8)).astype(np.float32)
+    lens = Lens(FakeFM())
+    got = lens.eval_clarity({"l": jnp.asarray(V).astype(jnp.bfloat16)})["l"]
+    assert got.dtype == jnp.float32
+    want = lens.eval_clarity({"l": V.astype(np.float32)})["l"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)

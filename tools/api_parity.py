@@ -132,6 +132,9 @@ def check(ref_root: Path) -> dict:
     for rel, targets in MODULE_MAP.items():
         src = ref_root / (rel.replace(".", "/") + ".py")
         if not src.exists():
+            # An unreadable reference module means this audit silently skipped
+            # its whole surface — that must FAIL, not pass by omission.
+            report["missing"].append(f"{rel}: reference file missing ({src})")
             report["by_module"][rel] = {"error": f"reference file missing: {src}"}
             continue
         ref_api = public_api_of_source(src)

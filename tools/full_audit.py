@@ -57,11 +57,17 @@ def main():
     )
     ap.add_argument("--fm", default="ViT-B-32")
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--model-checkpoint", default=None, help="torchvision ResNet state dict (.pt)")
+    ap.add_argument(
+        "--model-checkpoint",
+        default=None,
+        help="subject-model state dict (.pt): torchvision ResNet for --arch resnet, timm ViT-B for --arch vit",
+    )
     ap.add_argument("--bpe", default=None)
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--no-mesh", action="store_true")
     args = ap.parse_args()
+    if args.arch == "vit" and (args.depth != 50 or args.variant):
+        ap.error("--depth/--variant configure --arch resnet; the ViT subject is ViT-B only")
 
     import jax
     import jax.numpy as jnp
