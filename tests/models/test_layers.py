@@ -146,3 +146,43 @@ def test_causal_mask_attention_matches_torch():
             attn_mask=torch.from_numpy(mask),
         )
     np.testing.assert_allclose(_np(ours), ref.numpy(), atol=2e-4)
+
+
+def test_sdpa_fused_matches_manual_formulation():
+    """The fused-attention lowering must equal softmax(qk^T/sqrt(d)+mask)v —
+    incl. the additive causal-mask convention the text towers rely on."""
+    import numpy as np
+
+    import jax
+
+    from semanticlens_tpu.models.layers import scaled_dot_product_attention
+
+    rng = np.random.default_rng(0)
+    b, t, d, h = 3, 7, 16, 4
+    q = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    causal = jnp.triu(jnp.full((t, t), -jnp.inf), k=1)
+
+    def manual(q, k, v, mask):
+        hd = d // h
+        qh = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        logits = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(hd)
+        if mask is not None:
+            logits = logits + mask
+        w = jax.nn.softmax(logits, axis=-1)
+        return (w @ vh).transpose(0, 2, 1, 3).reshape(b, t, d)
+
+    for mask in (None, causal):
+        got = np.asarray(scaled_dot_product_attention(q, k, v, h, mask=mask))
+        want = np.asarray(manual(q, k, v, mask))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    # cross-attention shape (kv length != q length)
+    s = 5
+    k2 = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    v2 = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    out = scaled_dot_product_attention(q, k2, v2, h)
+    assert out.shape == (b, t, d)
