@@ -276,7 +276,10 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
         if not work:
             return out
 
-        k_per_program = max(1, batch_size // n_ref)
+        # Cap at 32: measured on v5e, K=32 is ~9% over K=16 but K=64 exceeds
+        # the backend's program-size limits (remote compile failure) — see
+        # docs/PERF_NOTES.md.
+        k_per_program = max(1, min(32, batch_size // n_ref))
         if k_per_program == 1:
             fn = self._attribution_fn(layer_name)
             for cid, ids in work:

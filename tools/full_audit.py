@@ -55,6 +55,13 @@ def main():
         default=[],
         help="words for CLIP-Dissect-style component naming (label_components)",
     )
+    ap.add_argument(
+        "--image-query-indices",
+        nargs="*",
+        type=int,
+        default=[],
+        help="dataset indices used as image-probing queries (reference image_probing)",
+    )
     ap.add_argument("--fm", default="ViT-B-32")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
@@ -208,6 +215,16 @@ def main():
             _vals, idx = topk_cosine_search(queries, bank, k=k)
             top5[layer] = {q: np.asarray(idx)[i].tolist() for i, q in enumerate(args.queries)}
 
+    image_probe_out = {}
+    if args.image_query_indices:
+        from semanticlens_tpu.data.dataset import get_image
+
+        with timer.stage("image-probing"):
+            queries = [get_image(dataset, i) for i in args.image_query_indices]
+            hits = lens.image_probing(np.stack(queries), agg_db)
+            for layer, sim in hits.items():
+                image_probe_out[layer] = int(np.asarray(sim).argmax())
+
     labels_out = {}
     if args.vocabulary:
         # CLIP-Dissect-style naming: every component gets its best vocabulary
@@ -232,6 +249,7 @@ def main():
         "top_neuron_per_query": search_out,
         "top5_per_query": top5,
         "component_labels": labels_out,
+        "image_probe_top_neuron": image_probe_out,
         "stages": timer.summary(),
     }
     print(json.dumps(report))
