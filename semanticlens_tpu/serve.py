@@ -1,0 +1,164 @@
+"""Concept-search serving: query a built concept DB as a long-lived service.
+
+The reference ends at a Python API (notebooks); deploying an audit means
+serving its artifacts. This module wraps a foundation model + aggregated
+concept DB as a :class:`SearchService` with warm jitted search programs, and
+exposes it over plain HTTP (stdlib ``http.server`` — zero extra
+dependencies) via :func:`serve` / ``tools/serve_search.py``.
+
+Endpoints (all GET, JSON responses):
+
+- ``/healthz``                         → ``{"ok": true, "layers": [...]}``
+- ``/text_search?q=dog&k=5``           → per-layer top-k component ids+scores
+- ``/label?words=dog,cat&top_m=3``     → per-component vocabulary labels
+  (CLIP-Dissect style, :func:`semanticlens_tpu.lens.label_components`)
+
+Scores use the same cosine/streaming-top-k primitives as the audit tools, so
+serving-time results match offline probing exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class SearchService:
+    """Warm query service over an aggregated concept DB.
+
+    Parameters
+    ----------
+    fm : foundation model with ``tokenize`` / ``encode_text`` (and optionally
+        ``preprocess`` / ``encode_image`` for image queries).
+    aggregated_db : ``{layer: (n_components, D) float32}`` — the mean-
+        aggregated concept DB (``concept_db.mean(1)``).
+    templates : prompt templates applied to text queries, with the same
+        empty-template bias correction as ``Lens.text_probing``.
+    """
+
+    def __init__(self, fm, aggregated_db: dict, *, templates=None, warmup: bool = True):
+        self.fm = fm
+        self.templates = templates
+        self.banks = {k: np.asarray(v, np.float32) for k, v in aggregated_db.items()}
+        if not self.banks:
+            raise ValueError("aggregated_db must contain at least one layer")
+        if warmup:
+            # Compile the query path BEFORE accepting traffic: on TPU the
+            # first text encode pays the full tower compile (minutes through
+            # a remote-compile backend) — that cost belongs to startup, not
+            # to the first user request.
+            logger.info("warming text-search program...")
+            self.text_search("warmup", k=1)
+            logger.info("search service ready (%d layers)", len(self.banks))
+
+    def text_search(self, query: str, k: int = 5) -> dict:
+        """Top-k components per layer for a natural-language query."""
+        from semanticlens_tpu.lens import _embed_text_probes
+        from semanticlens_tpu.scores import topk_cosine_search
+
+        q = _embed_text_probes(self.fm, [query], self.templates, None)
+        out = {}
+        for layer, bank in self.banks.items():
+            kk = min(k, bank.shape[0])
+            vals, idx = topk_cosine_search(q, bank, k=kk)
+            out[layer] = {
+                "ids": np.asarray(idx)[0].tolist(),
+                "scores": [round(float(v), 6) for v in np.asarray(vals)[0]],
+            }
+        return out
+
+    def image_search(self, image: np.ndarray, k: int = 5) -> dict:
+        """Top-k components per layer for an image query (H, W, 3 uint8)."""
+        from semanticlens_tpu.scores import topk_cosine_search
+
+        q = np.asarray(self.fm.encode_image(self.fm.preprocess(image[None])), np.float32)
+        out = {}
+        for layer, bank in self.banks.items():
+            kk = min(k, bank.shape[0])
+            vals, idx = topk_cosine_search(q, bank, k=kk)
+            out[layer] = {
+                "ids": np.asarray(idx)[0].tolist(),
+                "scores": [round(float(v), 6) for v in np.asarray(vals)[0]],
+            }
+        return out
+
+    def label(self, vocabulary: list[str], top_m: int = 3, max_components: int = 64) -> dict:
+        """Per-component vocabulary labels for the first ``max_components``."""
+        from semanticlens_tpu.lens import label_components
+
+        named = label_components(
+            self.fm, vocabulary, self.banks, top_m=top_m, templates=self.templates
+        )
+        out = {}
+        for layer, (words, vals) in named.items():
+            out[layer] = [
+                {"component": i, "words": words[i], "scores": [round(float(v), 6) for v in vals[i]]}
+                for i in range(min(len(words), max_components))
+            ]
+        return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: SearchService  # set by serve()
+
+    def log_message(self, fmt, *args):  # route through the package logger
+        logger.debug("http: " + fmt, *args)
+
+    def _json(self, payload, status=200):
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        url = urlparse(self.path)
+        qs = parse_qs(url.query)
+        try:
+            if url.path == "/healthz":
+                self._json({"ok": True, "layers": sorted(self.service.banks)})
+            elif url.path == "/text_search":
+                query = qs.get("q", [""])[0]
+                if not query:
+                    self._json({"error": "missing q parameter"}, 400)
+                    return
+                k = int(qs.get("k", ["5"])[0])
+                self._json({"query": query, "results": self.service.text_search(query, k)})
+            elif url.path == "/label":
+                words = [w for w in qs.get("words", [""])[0].split(",") if w]
+                if not words:
+                    self._json({"error": "missing words parameter"}, 400)
+                    return
+                top_m = int(qs.get("top_m", ["3"])[0])
+                self._json({"results": self.service.label(words, top_m)})
+            else:
+                self._json({"error": f"unknown path {url.path}"}, 404)
+        except Exception as exc:  # pragma: no cover — defensive: keep serving
+            logger.exception("request failed")
+            self._json({"error": f"{type(exc).__name__}: {exc}"}, 500)
+
+
+def serve(service: SearchService, port: int = 0, *, background: bool = False):
+    """Run the HTTP server. Returns (server, thread|None).
+
+    ``port=0`` binds an ephemeral port (``server.server_address[1]``).
+    ``background=True`` serves from a daemon thread (used by tests and by
+    callers embedding the service in a larger process).
+    """
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    logger.info("serving concept search on port %d", server.server_address[1])
+    if background:
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        return server, thread
+    server.serve_forever()
+    return server, None

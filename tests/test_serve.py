@@ -1,0 +1,90 @@
+"""Serving layer: SearchService semantics + a real HTTP round trip."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from semanticlens_tpu.serve import SearchService, serve
+
+
+class FakeFM:
+    name = "serve-fake-fm"
+
+    def __init__(self, dim=16):
+        self.dim = dim
+        self._table = np.random.default_rng(0).normal(size=(256, dim)).astype(np.float32)
+
+    def tokenize(self, txt):
+        txts = txt if isinstance(txt, list) else [txt]
+        return np.asarray([[abs(hash(t)) % 256] for t in txts], np.int32)
+
+    def encode_text(self, tokens):
+        return self._table[np.asarray(tokens)[:, 0]]
+
+    def preprocess(self, img):
+        return np.asarray(img, np.float32)
+
+    def encode_image(self, img):
+        return np.asarray(img).reshape(len(img), -1)[:, : self.dim].astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def service():
+    fm = FakeFM()
+    vocab_rows = fm.encode_text(fm.tokenize(["dog", "cat", "sky"]))
+    bank = np.concatenate([vocab_rows, np.random.default_rng(1).normal(size=(5, 16)).astype(np.float32)])
+    return SearchService(fm, {"layer4": bank})
+
+
+def test_text_search_finds_aligned_component(service):
+    out = service.text_search("dog", k=3)
+    assert out["layer4"]["ids"][0] == 0  # bank row 0 IS the 'dog' embedding
+    assert out["layer4"]["scores"][0] == pytest.approx(1.0, abs=1e-5)
+    assert len(out["layer4"]["ids"]) == 3
+
+
+def test_label_names_components(service):
+    out = service.label(["dog", "cat", "sky"], top_m=1)
+    rows = out["layer4"]
+    assert rows[0]["words"][0] == "dog" and rows[1]["words"][0] == "cat"
+
+
+def test_empty_db_rejected():
+    with pytest.raises(ValueError):
+        SearchService(FakeFM(), {})
+
+
+def test_http_round_trip(service):
+    server, thread = serve(service, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health == {"ok": True, "layers": ["layer4"]}
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/text_search?q=cat&k=2", timeout=30
+        ) as r:
+            out = json.loads(r.read())
+        assert out["query"] == "cat"
+        assert out["results"]["layer4"]["ids"][0] == 1
+        assert len(out["results"]["layer4"]["ids"]) == 2
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/label?words=dog,sky&top_m=1", timeout=30
+        ) as r:
+            out = json.loads(r.read())
+        assert out["results"]["layer4"][0]["words"] == ["dog"]
+
+        # error paths
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/text_search", timeout=10)
+        assert err.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=10)
+        assert err.value.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
