@@ -49,4 +49,4 @@ __all__ = [
     "redundancy_score",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
