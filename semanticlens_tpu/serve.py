@@ -12,6 +12,8 @@ Endpoints (all GET, JSON responses):
 - ``/text_search?q=dog&k=5``           → per-layer top-k component ids+scores
 - ``/label?words=dog,cat&top_m=3``     → per-component vocabulary labels
   (CLIP-Dissect style, :func:`semanticlens_tpu.lens.label_components`)
+- ``POST /image_search?k=5`` (body: image file bytes) → per-layer top-k
+  components for an image query (reference image_probing direction)
 
 Scores use the same cosine/streaming-top-k primitives as the audit tools, so
 serving-time results match offline probing exactly.
@@ -141,6 +143,29 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json({"results": self.service.label(words, top_m)})
             else:
                 self._json({"error": f"unknown path {url.path}"}, 404)
+        except Exception as exc:  # pragma: no cover — defensive: keep serving
+            logger.exception("request failed")
+            self._json({"error": f"{type(exc).__name__}: {exc}"}, 500)
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        url = urlparse(self.path)
+        qs = parse_qs(url.query)
+        try:
+            if url.path != "/image_search":
+                self._json({"error": f"unknown path {url.path}"}, 404)
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            if not length:
+                self._json({"error": "missing request body (image file bytes)"}, 400)
+                return
+            import io
+
+            from PIL import Image
+
+            raw = self.rfile.read(length)
+            image = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+            k = int(qs.get("k", ["5"])[0])
+            self._json({"results": self.service.image_search(image, k)})
         except Exception as exc:  # pragma: no cover — defensive: keep serving
             logger.exception("request failed")
             self._json({"error": f"{type(exc).__name__}: {exc}"}, 500)

@@ -88,3 +88,55 @@ def test_http_round_trip(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_concurrent_requests(service):
+    """ThreadingHTTPServer + jitted query path must be safe under parallel load."""
+    import concurrent.futures
+
+    server, thread = serve(service, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        def one(i):
+            q = ["dog", "cat", "sky"][i % 3]
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/text_search?q={q}&k=2", timeout=60
+            ) as r:
+                return q, json.loads(r.read())
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(one, range(24)))
+        expect = {"dog": 0, "cat": 1, "sky": 2}
+        for q, out in results:
+            assert out["results"]["layer4"]["ids"][0] == expect[q], (q, out)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_image_search_post(service):
+    import io
+
+    from PIL import Image
+
+    server, thread = serve(service, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        img = Image.fromarray(np.zeros((4, 4, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/image_search?k=2", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert len(out["results"]["layer4"]["ids"]) == 2
+
+        # empty body → 400
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/image_search", data=b"", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=10)
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
