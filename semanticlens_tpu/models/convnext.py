@@ -1,0 +1,205 @@
+"""Functional timm-style ConvNeXt with named activation taps.
+
+Third subject-model family (after ResNet and ViT): a modern conv
+architecture whose blocks mix a depthwise 7×7 conv, channels-last LayerNorm,
+an inverted-bottleneck MLP, and layer scale — exercising tap/aggregation
+paths that neither BatchNorm ResNets nor token-space ViTs cover. Module and
+parameter names follow timm's ``convnext_*`` scheme (``stem.0``,
+``stages.2.blocks.5.conv_dw`` …) so user layer names and timm state dicts
+carry over; the reference reaches such models through torch hooks on
+``named_modules`` (reference activation_caching.py:266-277).
+
+ConvNeXt is channels-last *natively* (its LayerNorm/MLP act on the channel
+axis), which maps directly onto the TPU NHWC layout — no permutes anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semanticlens_tpu.models.base import SubjectModel, TapCollector
+from semanticlens_tpu.models.layers import conv2d, layer_norm, linear
+
+_PRESETS = {
+    # name: (depths per stage, dims per stage)
+    "tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "small": ((3, 3, 27, 3), (96, 192, 384, 768)),
+    "base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+}
+
+
+class ConvNeXt(SubjectModel):
+    """ConvNeXt-T/S/B classifier, channels-last, timm-compatible names.
+
+    Parameters
+    ----------
+    variant : "tiny" | "small" | "base".
+    num_classes : classifier width (0 → pooled features, no head).
+    dtype : activation dtype (bfloat16 = MXU-native). The depthwise convs
+        run on the VPU regardless — ConvNeXt is a capability family, not
+        the TPU throughput choice (docs/PERF_NOTES.md on depthwise convs).
+    """
+
+    def __init__(self, variant: str = "tiny", num_classes: int = 1000, dtype=jnp.bfloat16):
+        if variant not in _PRESETS:
+            raise ValueError(f"Unknown ConvNeXt variant '{variant}'; expected {sorted(_PRESETS)}")
+        self.variant = variant
+        self.depths, self.dims = _PRESETS[variant]
+        self.num_classes = num_classes
+        self.dtype = dtype
+        self.module_names = tuple(self._enumerate_module_names())
+
+    # ------------------------------------------------------------------ names
+    def _enumerate_module_names(self):
+        names = ["stem", "stem.0", "stem.1", "stages"]
+        for i, depth in enumerate(self.depths):
+            p = f"stages.{i}"
+            names.append(p)
+            if i > 0:
+                names += [f"{p}.downsample", f"{p}.downsample.0", f"{p}.downsample.1"]
+            for j in range(depth):
+                b = f"{p}.blocks.{j}"
+                names += [b, f"{b}.conv_dw", f"{b}.norm", f"{b}.mlp", f"{b}.mlp.fc1", f"{b}.mlp.fc2"]
+        names += ["head", "head.norm"]
+        if self.num_classes:
+            names.append("head.fc")
+        return names
+
+    # ------------------------------------------------------------------ init
+    def _param_specs(self):
+        d0 = self.dims[0]
+        specs = [
+            ("stem.0.weight", (4, 4, 3, d0), "conv"),
+            ("stem.0.bias", (d0,), "zeros"),
+            ("stem.1.weight", (d0,), "ones"),
+            ("stem.1.bias", (d0,), "zeros"),
+        ]
+        for i, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            p = f"stages.{i}"
+            if i > 0:
+                prev = self.dims[i - 1]
+                specs += [
+                    (f"{p}.downsample.0.weight", (prev,), "ones"),
+                    (f"{p}.downsample.0.bias", (prev,), "zeros"),
+                    (f"{p}.downsample.1.weight", (2, 2, prev, dim), "conv"),
+                    (f"{p}.downsample.1.bias", (dim,), "zeros"),
+                ]
+            for j in range(depth):
+                b = f"{p}.blocks.{j}"
+                specs += [
+                    (f"{b}.conv_dw.weight", (7, 7, 1, dim), "conv"),
+                    (f"{b}.conv_dw.bias", (dim,), "zeros"),
+                    (f"{b}.norm.weight", (dim,), "ones"),
+                    (f"{b}.norm.bias", (dim,), "zeros"),
+                    (f"{b}.mlp.fc1.weight", (dim, 4 * dim), "fc"),
+                    (f"{b}.mlp.fc1.bias", (4 * dim,), "zeros"),
+                    (f"{b}.mlp.fc2.weight", (4 * dim, dim), "fc"),
+                    (f"{b}.mlp.fc2.bias", (dim,), "zeros"),
+                    (f"{b}.gamma", (dim,), "gamma"),
+                ]
+        dl = self.dims[-1]
+        specs += [("head.norm.weight", (dl,), "ones"), ("head.norm.bias", (dl,), "zeros")]
+        if self.num_classes:
+            specs += [
+                ("head.fc.weight", (dl, self.num_classes), "fc"),
+                ("head.fc.bias", (self.num_classes,), "zeros"),
+            ]
+        return specs
+
+    def init(self, rng) -> dict[str, jax.Array]:
+        """Truncated-normal(0.02) convs/fcs, 1e-6 layer scale (timm defaults)."""
+        params = {}
+        for name, shape, kind in self._param_specs():
+            rng, sub = jax.random.split(rng)
+            if kind == "ones":
+                params[name] = jnp.ones(shape, jnp.float32)
+            elif kind == "zeros":
+                params[name] = jnp.zeros(shape, jnp.float32)
+            elif kind == "gamma":
+                params[name] = jnp.full(shape, 1e-6, jnp.float32)
+            elif kind == "conv":
+                fan_in = int(np.prod(shape[:-1]))
+                params[name] = jax.random.normal(sub, shape, jnp.float32) * 0.02
+            else:  # fc
+                params[name] = jax.random.normal(sub, shape, jnp.float32) * 0.02
+        return params
+
+    # ------------------------------------------------------------------ apply
+    def _ln(self, params, prefix, x):
+        return layer_norm(x, params[f"{prefix}.weight"], params[f"{prefix}.bias"], eps=1e-6)
+
+    def _block(self, params, prefix, x, tap):
+        dim = x.shape[-1]
+        h = conv2d(
+            x, params[f"{prefix}.conv_dw.weight"], params[f"{prefix}.conv_dw.bias"],
+            padding=3, groups=dim,
+        )
+        tap(f"{prefix}.conv_dw", h)
+        h = tap(f"{prefix}.norm", self._ln(params, f"{prefix}.norm", h))
+        h = tap(f"{prefix}.mlp.fc1", linear(h, params[f"{prefix}.mlp.fc1.weight"], params[f"{prefix}.mlp.fc1.bias"]))
+        h = jax.nn.gelu(h, approximate=False)
+        h = tap(f"{prefix}.mlp.fc2", linear(h, params[f"{prefix}.mlp.fc2.weight"], params[f"{prefix}.mlp.fc2.bias"]))
+        tap(f"{prefix}.mlp", h)
+        h = h * params[f"{prefix}.gamma"].astype(h.dtype)
+        out = x + h
+        return tap(prefix, out)
+
+    def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
+        """(B, H, W, 3) → (logits, taps). Conv taps are NHWC."""
+        tap = TapCollector(tap_names)
+        x = x.astype(self.dtype)
+
+        x = tap("stem.0", conv2d(x, params["stem.0.weight"], params["stem.0.bias"], stride=4))
+        x = tap("stem.1", self._ln(params, "stem.1", x))
+        tap("stem", x)
+
+        for i, depth in enumerate(self.depths):
+            p = f"stages.{i}"
+            if i > 0:
+                x = tap(f"{p}.downsample.0", self._ln(params, f"{p}.downsample.0", x))
+                x = tap(
+                    f"{p}.downsample.1",
+                    conv2d(x, params[f"{p}.downsample.1.weight"], params[f"{p}.downsample.1.bias"], stride=2),
+                )
+                tap(f"{p}.downsample", x)
+            for j in range(depth):
+                x = self._block(params, f"{p}.blocks.{j}", x, tap)
+            tap(p, x)
+        tap("stages", x)
+
+        pooled = jnp.mean(x, axis=(1, 2))
+        pooled = tap("head.norm", self._ln(params, "head.norm", pooled))
+        if self.num_classes:
+            logits = tap("head.fc", linear(pooled, params["head.fc.weight"], params["head.fc.bias"]))
+            tap("head", logits)
+            return logits, tap.taps
+        tap("head", pooled)
+        return pooled, tap.taps
+
+    # ------------------------------------------------------------- torch load
+    def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:
+        """Convert a timm ConvNeXt state dict to this layout.
+
+        Regular convs relayout OIHW→HWIO; depthwise convs (O, 1, kH, kW)
+        with O == channels become HWIO (kH, kW, 1, O); linears transpose.
+        """
+        params = {}
+        for name, shape, _ in self._param_specs():
+            value = state_dict[name]
+            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO (dw: (k,k,1,C))
+            elif name.endswith("weight") and arr.ndim == 2:
+                arr = arr.T
+            if tuple(arr.shape) != tuple(shape):
+                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
+            params[name] = jnp.asarray(arr, jnp.float32)
+        return params
+
+    def __repr__(self):
+        return f"ConvNeXt(variant='{self.variant}', num_classes={self.num_classes})"

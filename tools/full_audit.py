@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--image-dir", default=None)
     ap.add_argument("--n-synthetic", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
-    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit"])
+    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--variant", default="", help="'' (torchvision) or 'd' (timm resnet*d)")
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
@@ -73,8 +73,10 @@ def main():
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--no-mesh", action="store_true")
     args = ap.parse_args()
-    if args.arch == "vit" and (args.depth != 50 or args.variant):
-        ap.error("--depth/--variant configure --arch resnet; the ViT subject is ViT-B only")
+    if args.arch != "resnet" and args.depth != 50:
+        ap.error("--depth configures --arch resnet only")
+    if args.arch == "vit" and args.variant:
+        ap.error("--variant means timm resnet*d for --arch resnet, or tiny/small/base for --arch convnext")
 
     import jax
     import jax.numpy as jnp
@@ -122,6 +124,14 @@ def main():
             args.layers = default_vit_layers
         aggregate_fn = aggregate_transformer_mean
         model_name = f"vitb{args.image_size // model.grid}-audit"
+    elif args.arch == "convnext":
+        from semanticlens_tpu.models import ConvNeXt
+
+        model = ConvNeXt(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = [f"stages.{i}" for i in range(4)]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"convnext-{model.variant}-audit"
     else:
         model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, variant=args.variant)
         aggregate_fn = aggregate_conv_mean
