@@ -168,3 +168,38 @@ def test_engine_integration_and_cache(tmp_path):
     assert states["stages.1"].values.shape == (16, 3)
     ids = np.asarray(states["stages.1"].ids)
     assert ids.max() < 12
+
+
+def test_relevance_attribution_on_convnext(tmp_path):
+    """LRP (eps-plus-flat) flows through depthwise convs, LN, and layer scale."""
+    from semanticlens_tpu.collect import RelevanceComponentVisualizer
+    from semanticlens_tpu.data import ArrayDataset
+
+    class MiniConvNeXt(ConvNeXt):
+        def __init__(self):
+            self.variant = "mini"
+            self.depths, self.dims = (1, 1), (8, 16)
+            self.num_classes = 0
+            self.dtype = jnp.float32
+            self.module_names = tuple(self._enumerate_module_names())
+
+    model = MiniConvNeXt()
+    model.params = model.init(jax.random.PRNGKey(3))
+    model.name = "mini-convnext"
+    ds = ArrayDataset(np.random.default_rng(4).random((10, 16, 16, 3)).astype(np.float32), name="cxr")
+    cv = RelevanceComponentVisualizer(
+        model=model, dataset=ds, layer_names=["stages.1"], num_samples=3,
+        storage_dir=str(tmp_path),
+    )
+    cv.run(batch_size=5)
+    # sum-aggregated activations can be negative for ~half the components
+    # (zero-mean LN outputs), which keeps their sentinel slots — reference
+    # parity. Attribute two components that actually collected samples.
+    ids = cv.get_act_max_sample_ids("stages.1")
+    live = np.where((ids >= 0).any(axis=1))[0][:2].tolist()
+    assert live, "expected at least one live component"
+    refs = cv.get_max_reference(live, "stages.1", n_ref=2, batch_size=8)
+    from PIL import Image
+
+    for pils in refs.values():
+        assert pils and all(isinstance(p, Image.Image) for p in pils)
