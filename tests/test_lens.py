@@ -20,8 +20,14 @@ class FakeFM:
         self._table = self._rng.normal(size=(1024, dim)).astype(np.float32)
 
     def tokenize(self, txt):
+        # sha1, not builtin hash(): PYTHONHASHSEED varies per process and a
+        # bucket collision between test words silently aliases embeddings.
+        import hashlib
+
         txts = txt if isinstance(txt, list) else [txt]
-        return np.asarray([[abs(hash(t)) % 1024] for t in txts], np.int32)
+        return np.asarray(
+            [[int(hashlib.sha1(t.encode()).hexdigest(), 16) % 1024] for t in txts], np.int32
+        )
 
     def encode_text(self, tokens):
         return self._table[tokens[:, 0]]

@@ -14,11 +14,21 @@ class FakeFM:
 
     def __init__(self, dim=16):
         self.dim = dim
-        self._table = np.random.default_rng(0).normal(size=(256, dim)).astype(np.float32)
+        self._table = np.random.default_rng(0).normal(size=(4096, dim)).astype(np.float32)
 
     def tokenize(self, txt):
+        # Deterministic across processes: Python's builtin hash() is seeded
+        # per interpreter (PYTHONHASHSEED), and a mod-256 collision between
+        # two test words makes two bank rows identical — a tie that flips
+        # the expected top id roughly 1% of runs (the suite flake this
+        # replaced). sha1 mod 4096 makes collisions deterministic-and-absent
+        # for the words used here.
+        import hashlib
+
         txts = txt if isinstance(txt, list) else [txt]
-        return np.asarray([[abs(hash(t)) % 256] for t in txts], np.int32)
+        return np.asarray(
+            [[int(hashlib.sha1(t.encode()).hexdigest(), 16) % 4096] for t in txts], np.int32
+        )
 
     def encode_text(self, tokens):
         return self._table[np.asarray(tokens)[:, 0]]
