@@ -101,6 +101,23 @@ print("top-3 'striped pattern' neurons:", np.asarray(idx)[0].tolist())
 #
 # Each process streams only its own dataset shard; the single cross-host
 # exchange is the kilobyte-scale top-k state merge. See tests/test_multihost.py
-# for a real 2-process run.
+# for a real 2-process run. The fused variant (fused_multihost) additionally
+# exchanges only the embedding rows the merged top-k selected.
+
+# --- 5. Serve the concept DB -------------------------------------------------
+from semanticlens_tpu.serve import SearchService, serve
+
+service = SearchService(fm, agg_db)  # warms the query path at construction
+hits = service.text_search("striped pattern", k=3)
+print("served top-3:", hits["layer4"]["ids"])
+server, thread = serve(service, port=0, background=True)  # HTTP endpoints
+import json
+import urllib.request
+
+with urllib.request.urlopen(
+    f"http://127.0.0.1:{server.server_address[1]}/healthz", timeout=10
+) as r:
+    print("healthz:", json.loads(r.read()))
+server.shutdown(); server.server_close()
 
 print("advanced tour OK")
