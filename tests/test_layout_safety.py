@@ -100,3 +100,30 @@ def test_host_c_array_shapes_and_dtypes(shape):
     x = jnp.arange(int(np.prod(shape))).reshape(shape)
     out = host_c_array(x, np.float32)
     assert out.shape == shape and out.dtype == np.float32 and out.flags["C_CONTIGUOUS"]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_actmax_roundtrip_fuzz(tmp_path, seed):
+    """Randomized shapes/k/values (incl. F-order, negatives, sentinel rows)
+    must round-trip bit-exactly through the safetensors tier."""
+    rng = np.random.default_rng(seed)
+    c = int(rng.integers(1, 40))
+    k = int(rng.integers(1, 12))
+    vals = rng.normal(scale=10.0 ** rng.integers(-3, 3), size=(c, k)).astype(np.float32)
+    ids = rng.integers(-1, 10_000, size=(c, k)).astype(np.int32)
+    # random rows become pure-sentinel (never-filled components)
+    dead = rng.random(c) < 0.3
+    vals[dead] = 0.0
+    ids[dead] = -1
+    if seed % 2:
+        vals, ids = np.asfortranarray(vals), np.asfortranarray(ids)
+
+    am = ActMax(n_collect=k, n_latents=c)
+    am.state = TopKState(values=vals, ids=ids)
+    fpath = tmp_path / f"fuzz{seed}.safetensors"
+    am.store(fpath, metadata={"n_collect": str(k), "n_latents": str(c)})
+    back = ActMax.load(fpath)
+    np.testing.assert_array_equal(back.sample_ids, am.sample_ids)
+    np.testing.assert_array_equal(
+        back.activations.view(np.uint16), am.activations.view(np.uint16)
+    )
