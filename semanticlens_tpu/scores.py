@@ -26,6 +26,7 @@ import logging
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from semanticlens_tpu.ops.kmeans import batched_kmeans
 
@@ -241,3 +242,41 @@ def topk_cosine_search(queries, components, k: int, *, chunk_size: int = 65536):
             best_vals, best_idx, qn, chunk, jnp.int32(start), stop - start
         )
     return best_vals, best_idx
+
+
+def class_composition(sample_ids, labels, n_classes: int | None = None):
+    """Per-component class histogram of the collected top-k evidence.
+
+    The native answer to crp's per-target ``Statistics`` handler, which the
+    reference constructs but never surfaces (reference relevance_based.py:145
+    — the path is marked broken upstream): given the (C, k) top sample ids a
+    Collect sweep produced and the dataset's labels, report which classes
+    each component's evidence comes from.
+
+    Parameters
+    ----------
+    sample_ids : (C, k) int array; −1 sentinels (unfilled slots) are ignored.
+    labels : (N,) int dataset labels indexed by sample id.
+    n_classes : histogram width; inferred as ``labels.max()+1`` when None.
+
+    Returns
+    -------
+    counts : (C, n_classes) int32 — evidence count per class.
+    purity : (C,) float32 — max class share per component (0 for components
+        with no evidence). A purity near 1 means the component's top samples
+        all come from one class — a class-selective unit.
+    """
+    ids = np.asarray(sample_ids)
+    labels = np.asarray(labels)
+    if n_classes is None:
+        n_classes = int(labels.max()) + 1 if labels.size else 1
+    c, _k = ids.shape
+    counts = np.zeros((c, n_classes), np.int32)
+    valid = ids >= 0
+    rows, cols = np.nonzero(valid)
+    np.add.at(counts, (rows, labels[ids[rows, cols]]), 1)
+    totals = counts.sum(axis=1)
+    purity = np.where(totals > 0, counts.max(axis=1) / np.maximum(totals, 1), 0.0).astype(
+        np.float32
+    )
+    return counts, purity

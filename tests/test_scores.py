@@ -218,3 +218,50 @@ def test_topk_cosine_search_single_chunk_and_validation():
     assert vals.shape == (2, 5) and sorted(np.asarray(idx)[0].tolist()) == [0, 1, 2, 3, 4]
     with _pytest.raises(ValueError):
         topk_cosine_search(q, comp, k=6)
+
+
+def test_class_composition_counts_and_purity():
+    from semanticlens_tpu.scores import class_composition
+
+    labels = np.asarray([0, 0, 1, 1, 2, 2])
+    ids = np.asarray(
+        [
+            [0, 1, -1],   # pure class 0 (one sentinel)
+            [2, 4, 5],    # 1x class1, 2x class2
+            [-1, -1, -1], # dead component
+        ]
+    )
+    counts, purity = class_composition(ids, labels)
+    np.testing.assert_array_equal(counts, [[2, 0, 0], [0, 1, 2], [0, 0, 0]])
+    np.testing.assert_allclose(purity, [1.0, 2 / 3, 0.0], rtol=1e-6)
+    # explicit width pads unseen classes
+    counts5, _ = class_composition(ids, labels, n_classes=5)
+    assert counts5.shape == (3, 5) and counts5[:, 3:].sum() == 0
+
+
+def test_class_composition_from_collect_sweep():
+    """End-to-end: engine top-k ids + dataset labels → sensible histograms."""
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.data import ArrayDataset
+    from semanticlens_tpu.models import ResNet
+    from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
+    from semanticlens_tpu.scores import class_composition
+
+    model = ResNet(depth=18, num_classes=10, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    images = rng.random((20, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=20)
+    engine = CollectEngine(
+        model=model, layer_names=("layer4",), aggregation_fn=aggregate_conv_mean, n_collect=4
+    )
+    states, n = engine.run(params, ArrayDataset(images, name="cc"), 5)
+    counts, purity = class_composition(np.asarray(states["layer4"].ids), labels, n_classes=4)
+    assert counts.shape == (512, 4)
+    # every live component's evidence count is at most k and matches valid slots
+    valid = (np.asarray(states["layer4"].ids) >= 0).sum(axis=1)
+    np.testing.assert_array_equal(counts.sum(axis=1), valid)
+    assert ((purity >= 0) & (purity <= 1)).all()
