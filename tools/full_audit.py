@@ -225,6 +225,25 @@ def main():
             _vals, idx = topk_cosine_search(queries, bank, k=k)
             top5[layer] = {q: np.asarray(idx)[i].tolist() for i, q in enumerate(args.queries)}
 
+    # class composition (crp Statistics analogue) when the dataset has labels
+    class_stats_out = {}
+    dataset_labels = getattr(dataset, "labels", None)
+    if dataset_labels is None and hasattr(dataset, "samples"):
+        dataset_labels = np.asarray([lab for _p, lab in dataset.samples])
+    if dataset_labels is not None and np.asarray(dataset_labels).max() > 0:
+        from semanticlens_tpu.scores import class_composition
+
+        with timer.stage("class-composition"):
+            for layer in args.layers:
+                ids = cv.get_max_reference(layer)  # (C, k) top sample ids
+                counts, purity = class_composition(ids, np.asarray(dataset_labels))
+                order = np.argsort(-purity)[:8]
+                class_stats_out[layer] = {
+                    str(int(i)): {"purity": round(float(purity[i]), 4),
+                                   "top_class": int(counts[i].argmax())}
+                    for i in order
+                }
+
     image_probe_out = {}
     if args.image_query_indices:
         from semanticlens_tpu.data.dataset import get_image
@@ -260,6 +279,7 @@ def main():
         "top5_per_query": top5,
         "component_labels": labels_out,
         "image_probe_top_neuron": image_probe_out,
+        "class_selective_components": class_stats_out,
         "stages": timer.summary(),
     }
     print(json.dumps(report))
