@@ -36,3 +36,25 @@ from semanticlens_tpu.foundation_models.mobileclip import (  # noqa: E402
 )
 
 __all__ += ["ClipMobile", "MobileCLIPConfig", "init_mobileclip_params"]
+
+
+def create(name: str, **kwargs) -> AbstractVLM:
+    """Name-based foundation-model factory (open_clip's ``create_model`` shape).
+
+    Routes to the right family: ``"siglip"``/``"siglip2"``/``"ViT-B-16-SigLIP2"``
+    → :class:`SigLipV2`; ``"mobileclip-s1"``/``"mobileclip-s2"`` →
+    :class:`ClipMobile`; anything else (``"ViT-B-32"``, ``"RN50"``, …) →
+    :class:`OpenClip`. Keyword arguments (``checkpoint=``, ``bpe_path=``,
+    ``dtype=``, ``mesh=``, …) pass through; kwargs a family doesn't accept
+    are dropped by its ``**kwargs`` sink.
+    """
+    key = name.lower()
+    if key in ("siglip", "siglip2", "vit-b-16-siglip2"):
+        return SigLipV2(**kwargs)
+    if key.startswith("mobileclip"):
+        version = key.split("-")[-1] if "-" in key else "s1"
+        return ClipMobile(version=version, **kwargs)
+    return OpenClip(name, **kwargs)
+
+
+__all__ += ["create"]

@@ -68,21 +68,24 @@ def image_probing(fm: AbstractVLM, query, aggregated_concept_db):
     return _probe(query_embed, aggregated_concept_db)
 
 
+def _encode_text_chunked(fm: AbstractVLM, texts: list[str], batch_size: int | None) -> np.ndarray:
+    """tokenize+encode ``texts`` in ``batch_size`` chunks (one batch if None)."""
+    step = batch_size or len(texts)
+    return np.concatenate(
+        [
+            np.asarray(fm.encode_text(fm.tokenize(texts[i : i + step])), np.float32)
+            for i in range(0, len(texts), step)
+        ],
+        axis=0,
+    )
+
+
 def _embed_text_probes(fm: AbstractVLM, query: list[str], templates, batch_size):
     """Templating and embedding logic of text probes (reference lens.py:165-203)."""
     if templates:
         query_templated = [t.format(q) for t in templates for q in query]
-        empty_templates = [t.format("") for t in templates]
-
-        batch_size = batch_size or len(query_templated)
-
-        chunks = []
-        for batch_idx in range(0, len(query_templated), batch_size):
-            batch = query_templated[batch_idx : batch_idx + batch_size]
-            chunks.append(np.asarray(fm.encode_text(fm.tokenize(batch)), np.float32))
-        query_templated_embeds = np.concatenate(chunks, axis=0)
-
-        empty_templates_embeds = np.asarray(fm.encode_text(fm.tokenize(empty_templates)), np.float32)
+        query_templated_embeds = _encode_text_chunked(fm, query_templated, batch_size)
+        empty_templates_embeds = _encode_text_chunked(fm, [t.format("") for t in templates], None)
 
         q, t = len(query), len(templates)
         d = query_templated_embeds.shape[-1]
@@ -96,14 +99,7 @@ def _embed_text_probes(fm: AbstractVLM, query: list[str], templates, batch_size)
     else:
         # batch_size applies here too (the reference only chunks the templated
         # path); chunking never changes values, only program sizes.
-        step = batch_size or len(query)
-        query_embed = np.concatenate(
-            [
-                np.asarray(fm.encode_text(fm.tokenize(query[i : i + step])), np.float32)
-                for i in range(0, len(query), step)
-            ],
-            axis=0,
-        )
+        query_embed = _encode_text_chunked(fm, query, batch_size)
     return query_embed
 
 
@@ -160,19 +156,12 @@ def _embed_vocabulary(fm: AbstractVLM, words: list[str], templates, batch_size: 
     ``batch_size`` (a vocabulary can be tens of thousands of words).
     """
 
-    def encode_chunked(texts):
-        chunks = []
-        for i in range(0, len(texts), batch_size):
-            batch = texts[i : i + batch_size]
-            chunks.append(np.asarray(fm.encode_text(fm.tokenize(batch)), np.float32))
-        return np.concatenate(chunks, axis=0)
-
     if not templates:
-        return encode_chunked(words)
+        return _encode_text_chunked(fm, words, batch_size)
     q, t = len(words), len(templates)
     templated = [tpl.format(w) for tpl in templates for w in words]  # template-outer
-    embeds = encode_chunked(templated).reshape(t, q, -1)
-    empty = encode_chunked([tpl.format("") for tpl in templates])  # (t, d)
+    embeds = _encode_text_chunked(fm, templated, batch_size).reshape(t, q, -1)
+    empty = _encode_text_chunked(fm, [tpl.format("") for tpl in templates], batch_size)  # (t, d)
     return (embeds - empty[:, None, :]).mean(0)
 
 

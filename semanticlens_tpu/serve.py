@@ -60,51 +60,45 @@ class SearchService:
             self.text_search("warmup", k=1)
             logger.info("search service ready (%d layers)", len(self.banks))
 
+    def _bank_topk(self, q: np.ndarray, k: int) -> dict:
+        """(1, D) query → per-layer top-k ids+scores (shared search core)."""
+        from semanticlens_tpu.scores import topk_cosine_search
+
+        out = {}
+        for layer, bank in self.banks.items():
+            vals, idx = topk_cosine_search(q, bank, k=min(k, bank.shape[0]))
+            out[layer] = {
+                "ids": np.asarray(idx)[0].tolist(),
+                "scores": [round(float(v), 6) for v in np.asarray(vals)[0]],
+            }
+        return out
+
     def text_search(self, query: str, k: int = 5) -> dict:
         """Top-k components per layer for a natural-language query."""
         from semanticlens_tpu.lens import _embed_text_probes
-        from semanticlens_tpu.scores import topk_cosine_search
 
-        q = _embed_text_probes(self.fm, [query], self.templates, None)
-        out = {}
-        for layer, bank in self.banks.items():
-            kk = min(k, bank.shape[0])
-            vals, idx = topk_cosine_search(q, bank, k=kk)
-            out[layer] = {
-                "ids": np.asarray(idx)[0].tolist(),
-                "scores": [round(float(v), 6) for v in np.asarray(vals)[0]],
-            }
-        return out
+        return self._bank_topk(_embed_text_probes(self.fm, [query], self.templates, None), k)
 
     def image_search(self, image: np.ndarray, k: int = 5) -> dict:
         """Top-k components per layer for an image query (H, W, 3 uint8)."""
-        from semanticlens_tpu.scores import topk_cosine_search
-
         q = np.asarray(self.fm.encode_image(self.fm.preprocess(image[None])), np.float32)
-        out = {}
-        for layer, bank in self.banks.items():
-            kk = min(k, bank.shape[0])
-            vals, idx = topk_cosine_search(q, bank, k=kk)
-            out[layer] = {
-                "ids": np.asarray(idx)[0].tolist(),
-                "scores": [round(float(v), 6) for v in np.asarray(vals)[0]],
-            }
-        return out
+        return self._bank_topk(q, k)
 
     def label(self, vocabulary: list[str], top_m: int = 3, max_components: int = 64) -> dict:
         """Per-component vocabulary labels for the first ``max_components``."""
         from semanticlens_tpu.lens import label_components
 
-        named = label_components(
-            self.fm, vocabulary, self.banks, top_m=top_m, templates=self.templates
-        )
-        out = {}
-        for layer, (words, vals) in named.items():
-            out[layer] = [
+        # Slice the banks first — labeling runs the vocabulary match only on
+        # the components actually reported.
+        head = {k: v[:max_components] for k, v in self.banks.items()}
+        named = label_components(self.fm, vocabulary, head, top_m=top_m, templates=self.templates)
+        return {
+            layer: [
                 {"component": i, "words": words[i], "scores": [round(float(v), 6) for v in vals[i]]}
-                for i in range(min(len(words), max_components))
+                for i in range(len(words))
             ]
-        return out
+            for layer, (words, vals) in named.items()
+        }
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -155,3 +155,16 @@ def test_golden_openclip_token_ids():
     out = tok("a photo of a dog")[0]
     assert out[0] == 49406 and out[1] == 320
     assert 49407 in out
+
+
+def test_fm_factory_routes_families():
+    import jax.numpy as jnp
+
+    from semanticlens_tpu import foundation_models as fms
+
+    fm = fms.create("ViT-B-32", dtype=jnp.float32, seed=0)
+    assert isinstance(fm, fms.OpenClip)
+    fm = fms.create("siglip2", dtype=jnp.float32, seed=0)
+    assert isinstance(fm, fms.SigLipV2)
+    fm = fms.create("mobileclip-s1", dtype=jnp.float32, seed=0)
+    assert isinstance(fm, fms.ClipMobile) and fm.cfg is not None

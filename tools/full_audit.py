@@ -87,7 +87,6 @@ def main():
 
     enable_compilation_cache()
     from semanticlens_tpu.data import ArrayDataset, ImageFolder
-    from semanticlens_tpu.foundation_models import OpenClip
     from semanticlens_tpu.models import ResNet
     from semanticlens_tpu.ops.aggregators import aggregate_conv_mean, aggregate_transformer_mean
     from semanticlens_tpu.utils import StageTimer, make_preprocess_fn, setup_colored_logging
@@ -146,23 +145,11 @@ def main():
         model.params = model.init(jax.random.PRNGKey(0))
     model.name = model_name
 
-    fm_key = args.fm.lower()
-    if fm_key in ("siglip", "siglip2", "vit-b-16-siglip2"):
-        from semanticlens_tpu.foundation_models import SigLipV2
+    from semanticlens_tpu.foundation_models import create as create_fm
 
-        fm = SigLipV2(checkpoint=args.checkpoint, dtype=jnp.bfloat16, mesh=mesh)
-    elif fm_key.startswith("mobileclip"):
-        from semanticlens_tpu.foundation_models import ClipMobile
-
-        version = fm_key.split("-")[-1] if "-" in fm_key else "s1"
-        fm = ClipMobile(
-            version=version, checkpoint=args.checkpoint, bpe_path=args.bpe,
-            dtype=jnp.bfloat16, mesh=mesh,
-        )
-    else:
-        fm = OpenClip(
-            args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16, mesh=mesh
-        )
+    fm = create_fm(
+        args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16, mesh=mesh
+    )
     lens = sl.Lens(fm)
 
     cv = ActivationComponentVisualizer(

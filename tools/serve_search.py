@@ -49,21 +49,9 @@ def main():
     agg = {k: np.asarray(v, np.float32).mean(1) if v.ndim == 3 else np.asarray(v, np.float32)
            for k, v in raw.items()}
 
-    fm_key = args.fm.lower()
-    if fm_key in ("siglip", "siglip2", "vit-b-16-siglip2"):
-        from semanticlens_tpu.foundation_models import SigLipV2
+    from semanticlens_tpu.foundation_models import create as create_fm
 
-        fm = SigLipV2(checkpoint=args.checkpoint, dtype=jnp.bfloat16)
-    elif fm_key.startswith("mobileclip"):
-        from semanticlens_tpu.foundation_models import ClipMobile
-
-        version = fm_key.split("-")[-1] if "-" in fm_key else "s1"
-        fm = ClipMobile(version=version, checkpoint=args.checkpoint, bpe_path=args.bpe,
-                        dtype=jnp.bfloat16)
-    else:
-        from semanticlens_tpu.foundation_models import OpenClip
-
-        fm = OpenClip(args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16)
+    fm = create_fm(args.fm, checkpoint=args.checkpoint, bpe_path=args.bpe, dtype=jnp.bfloat16)
 
     service = SearchService(fm, agg, templates=args.templates or None)
     serve(service, args.port)
