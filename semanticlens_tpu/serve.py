@@ -60,8 +60,52 @@ class SearchService:
             self.text_search("warmup", k=1)
             logger.info("search service ready (%d layers)", len(self.banks))
 
+    # Banks above this stay on the streaming search path (HBM-bounded);
+    # below it they live device-resident and ALL layers search in one
+    # dispatch — on a ~32 ms-per-dispatch runtime that halves query latency.
+    FUSED_SEARCH_MAX_ROWS = 1 << 20
+
+    def _fused_search(self, k: int):
+        """One jitted program: (1, D) query → every layer's top-k at once."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_fused_cache"):
+            norm = lambda a: a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+            self._banks_dev = {k_: norm(jnp.asarray(v)) for k_, v in self.banks.items()}
+
+            @functools.lru_cache(maxsize=16)
+            def build(kk: int):
+                banks_dev = self._banks_dev
+
+                @jax.jit
+                def search(q):
+                    qn = norm(q.astype(jnp.float32))
+                    out = {}
+                    for layer, bank in banks_dev.items():
+                        sim = (qn @ bank.T)[0]
+                        out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
+                    return out
+
+                return search
+
+            self._fused_cache = build
+        return self._fused_cache(k)
+
     def _bank_topk(self, q: np.ndarray, k: int) -> dict:
         """(1, D) query → per-layer top-k ids+scores (shared search core)."""
+        if max(v.shape[0] for v in self.banks.values()) <= self.FUSED_SEARCH_MAX_ROWS:
+            results = self._fused_search(k)(q)
+            return {
+                layer: {
+                    "ids": np.asarray(idx).tolist(),
+                    "scores": [round(float(v), 6) for v in np.asarray(vals)],
+                }
+                for layer, (vals, idx) in results.items()
+            }
+
         from semanticlens_tpu.scores import topk_cosine_search
 
         out = {}
