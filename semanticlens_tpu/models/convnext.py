@@ -15,7 +15,6 @@ axis), which maps directly onto the TPU NHWC layout — no permutes anywhere.
 
 from __future__ import annotations
 
-import math
 from typing import Mapping, Sequence
 
 import jax
@@ -112,7 +111,8 @@ class ConvNeXt(SubjectModel):
         return specs
 
     def init(self, rng) -> dict[str, jax.Array]:
-        """Truncated-normal(0.02) convs/fcs, 1e-6 layer scale (timm defaults)."""
+        """Normal(0, 0.02) convs/fcs (untruncated take on timm's
+        trunc_normal(0.02) default), 1e-6 layer scale."""
         params = {}
         for name, shape, kind in self._param_specs():
             rng, sub = jax.random.split(rng)
@@ -122,10 +122,7 @@ class ConvNeXt(SubjectModel):
                 params[name] = jnp.zeros(shape, jnp.float32)
             elif kind == "gamma":
                 params[name] = jnp.full(shape, 1e-6, jnp.float32)
-            elif kind == "conv":
-                fan_in = int(np.prod(shape[:-1]))
-                params[name] = jax.random.normal(sub, shape, jnp.float32) * 0.02
-            else:  # fc
+            else:  # conv / fc
                 params[name] = jax.random.normal(sub, shape, jnp.float32) * 0.02
         return params
 

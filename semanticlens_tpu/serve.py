@@ -32,6 +32,10 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+class _BadRequest(ValueError):
+    """Client input error — rendered as HTTP 400, not 500."""
+
+
 class SearchService:
     """Warm query service over an aggregated concept DB.
 
@@ -52,56 +56,62 @@ class SearchService:
         if not self.banks:
             raise ValueError("aggregated_db must contain at least one layer")
         if warmup:
-            # Compile the query path BEFORE accepting traffic: on TPU the
-            # first text encode pays the full tower compile (minutes through
-            # a remote-compile backend) — that cost belongs to startup, not
-            # to the first user request.
+            # Compile the query paths BEFORE accepting traffic: on TPU the
+            # first encode pays the full tower compile (minutes through a
+            # remote-compile backend) — that cost belongs to startup, not to
+            # the first user request. The fused search program (fixed FUSED_K)
+            # compiles here too, so no client request can trigger a compile.
             logger.info("warming text-search program...")
             self.text_search("warmup", k=1)
+            if hasattr(fm, "encode_image") and hasattr(fm, "preprocess"):
+                logger.info("warming image-search program...")
+                try:
+                    self.image_search(np.zeros((32, 32, 3), np.uint8), k=1)
+                except Exception:  # FM without a usable image tower — text-only service
+                    logger.warning("image-search warmup failed; image queries disabled cold")
             logger.info("search service ready (%d layers)", len(self.banks))
 
-    # Banks above this stay on the streaming search path (HBM-bounded);
-    # below it they live device-resident and ALL layers search in one
-    # dispatch — on a ~32 ms-per-dispatch runtime that halves query latency.
-    FUSED_SEARCH_MAX_ROWS = 1 << 20
+    # The fused one-dispatch search always answers FUSED_K candidates per
+    # layer and slices to the requested k — exactly ONE compiled program no
+    # matter what k clients send (no request-driven recompiles). Banks whose
+    # TOTAL size exceeds the element budget (~1 GB f32 of normalized copies)
+    # stay on the HBM-bounded streaming path.
+    FUSED_K = 32
+    FUSED_SEARCH_MAX_ELEMENTS = 1 << 28
 
-    def _fused_search(self, k: int):
-        """One jitted program: (1, D) query → every layer's top-k at once."""
-        import functools
-
+    def _fused_search(self):
+        """One jitted program: (1, D) query → every layer's top-FUSED_K."""
         import jax
         import jax.numpy as jnp
 
-        if not hasattr(self, "_fused_cache"):
+        if not hasattr(self, "_fused_program"):
             norm = lambda a: a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
-            self._banks_dev = {k_: norm(jnp.asarray(v)) for k_, v in self.banks.items()}
+            banks_dev = {k_: norm(jnp.asarray(v)) for k_, v in self.banks.items()}
+            kk = self.FUSED_K
 
-            @functools.lru_cache(maxsize=16)
-            def build(kk: int):
-                banks_dev = self._banks_dev
+            @jax.jit
+            def search(q):
+                qn = norm(q.astype(jnp.float32))
+                out = {}
+                for layer, bank in banks_dev.items():
+                    # HIGHEST: served scores must equal the offline probing
+                    # path (topk_cosine_search / cosine_probe) bit-for-bit.
+                    sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
+                    out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
+                return out
 
-                @jax.jit
-                def search(q):
-                    qn = norm(q.astype(jnp.float32))
-                    out = {}
-                    for layer, bank in banks_dev.items():
-                        sim = (qn @ bank.T)[0]
-                        out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
-                    return out
-
-                return search
-
-            self._fused_cache = build
-        return self._fused_cache(k)
+            self._fused_program = search
+        return self._fused_program
 
     def _bank_topk(self, q: np.ndarray, k: int) -> dict:
         """(1, D) query → per-layer top-k ids+scores (shared search core)."""
-        if max(v.shape[0] for v in self.banks.values()) <= self.FUSED_SEARCH_MAX_ROWS:
-            results = self._fused_search(k)(q)
+        total = sum(int(np.prod(v.shape)) for v in self.banks.values())
+        if k <= self.FUSED_K and total <= self.FUSED_SEARCH_MAX_ELEMENTS:
+            results = self._fused_search()(q)
             return {
                 layer: {
-                    "ids": np.asarray(idx).tolist(),
-                    "scores": [round(float(v), 6) for v in np.asarray(vals)],
+                    "ids": np.asarray(idx)[:k].tolist(),
+                    "scores": [round(float(v), 6) for v in np.asarray(vals)[:k]],
                 }
                 for layer, (vals, idx) in results.items()
             }
@@ -159,6 +169,17 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _int_param(self, qs, name: str, default: int) -> int:
+        """Positive-int query param; raises _BadRequest (→ 400) on junk."""
+        raw = qs.get(name, [str(default)])[0]
+        try:
+            value = int(raw)
+        except ValueError:
+            raise _BadRequest(f"{name} must be an integer, got {raw!r}") from None
+        if value < 1:
+            raise _BadRequest(f"{name} must be >= 1, got {value}")
+        return value
+
     def do_GET(self):  # noqa: N802 — http.server API
         url = urlparse(self.path)
         qs = parse_qs(url.query)
@@ -170,17 +191,27 @@ class _Handler(BaseHTTPRequestHandler):
                 if not query:
                     self._json({"error": "missing q parameter"}, 400)
                     return
-                k = int(qs.get("k", ["5"])[0])
+                k = self._int_param(qs, "k", 5)
                 self._json({"query": query, "results": self.service.text_search(query, k)})
             elif url.path == "/label":
                 words = [w for w in qs.get("words", [""])[0].split(",") if w]
                 if not words:
                     self._json({"error": "missing words parameter"}, 400)
                     return
-                top_m = int(qs.get("top_m", ["3"])[0])
-                self._json({"results": self.service.label(words, top_m)})
+                top_m = self._int_param(qs, "top_m", 3)
+                max_components = self._int_param(qs, "max_components", 64)
+                n_total = max(v.shape[0] for v in self.service.banks.values())
+                self._json(
+                    {
+                        "results": self.service.label(words, top_m, max_components),
+                        "truncated": n_total > max_components,
+                        "max_components": max_components,
+                    }
+                )
             else:
                 self._json({"error": f"unknown path {url.path}"}, 404)
+        except _BadRequest as exc:
+            self._json({"error": str(exc)}, 400)
         except Exception as exc:  # pragma: no cover — defensive: keep serving
             logger.exception("request failed")
             self._json({"error": f"{type(exc).__name__}: {exc}"}, 500)
@@ -202,8 +233,10 @@ class _Handler(BaseHTTPRequestHandler):
 
             raw = self.rfile.read(length)
             image = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-            k = int(qs.get("k", ["5"])[0])
+            k = self._int_param(qs, "k", 5)
             self._json({"results": self.service.image_search(image, k)})
+        except _BadRequest as exc:
+            self._json({"error": str(exc)}, 400)
         except Exception as exc:  # pragma: no cover — defensive: keep serving
             logger.exception("request failed")
             self._json({"error": f"{type(exc).__name__}: {exc}"}, 500)

@@ -150,3 +150,39 @@ def test_http_image_search_post(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_param_validation_returns_400(service):
+    server, thread = serve(service, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        for path in ("/text_search?q=dog&k=abc", "/text_search?q=dog&k=-3",
+                     "/label?words=dog&top_m=zero"):
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10)
+            assert err.value.code == 400, path
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_label_reports_truncation(service):
+    server, thread = serve(service, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/label?words=dog&top_m=1&max_components=2", timeout=30
+        ) as r:
+            out = json.loads(r.read())
+        assert out["truncated"] is True and out["max_components"] == 2
+        assert len(out["results"]["layer4"]) == 2
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_fused_search_slices_any_k(service):
+    # one compiled program serves every k <= FUSED_K; results match streaming
+    full = service._bank_topk(service.fm.encode_text(service.fm.tokenize(["dog"])), 8)
+    small = service.text_search("dog", k=2)
+    assert small["layer4"]["ids"] == full["layer4"]["ids"][:2]

@@ -224,11 +224,20 @@ def main():
             for layer in args.layers:
                 ids = cv.get_max_reference(layer)  # (C, k) top sample ids
                 counts, purity = class_composition(ids, np.asarray(dataset_labels))
-                order = np.argsort(-purity)[:8]
+                # A component backed by one sample has purity 1.0 trivially;
+                # require at least half the top-k slots filled before calling
+                # it class-selective, then rank by (purity, evidence).
+                evidence = counts.sum(axis=1)
+                eligible = evidence >= max(2, args.n_samples // 2)
+                ranked = np.lexsort((-evidence, -np.where(eligible, purity, -1.0)))[:8]
                 class_stats_out[layer] = {
-                    str(int(i)): {"purity": round(float(purity[i]), 4),
-                                   "top_class": int(counts[i].argmax())}
-                    for i in order
+                    str(int(i)): {
+                        "purity": round(float(purity[i]), 4),
+                        "evidence": int(evidence[i]),
+                        "top_class": int(counts[i].argmax()),
+                    }
+                    for i in ranked
+                    if eligible[i]
                 }
 
     image_probe_out = {}
