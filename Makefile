@@ -4,7 +4,10 @@ test:
 	python -m pytest tests/ -q
 
 lint:
-	ruff check semanticlens_tpu tests
+	@if command -v ruff >/dev/null 2>&1; then \
+		ruff check semanticlens_tpu tools tests; \
+	fi
+	python tools/lint.py
 
 bench:
 	python bench.py

@@ -250,7 +250,17 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
             embeds = self._embed_vision_dataset(fm, batch_size, checkpoint=checkpoint, **kwargs)
         concept_db = {}
         for layer_name in self.layer_names:
-            concept_db[layer_name] = embeds[self.get_max_reference(layer_name)]
+            ids = self.get_max_reference(layer_name)
+            db = embeds[ids]
+            # −1 sentinels (never-filled top-k slots, e.g. dead latents or
+            # num_samples > len(dataset)) become ZERO rows. The reference
+            # fancy-indexes the last image's embedding here (reference
+            # activation_based.py:389, an out-of-bounds-gather accident);
+            # zeros are deliberate divergence, matching the multi-host path
+            # (parallel/multihost.py) and the relevance CV's zero-padding so
+            # concept DBs are identical across topologies.
+            db[ids < 0] = 0.0
+            concept_db[layer_name] = db
         return concept_db
 
     def _has_collect_cache(self) -> bool:

@@ -360,6 +360,18 @@ class CollectEngine:
                 f"batch_size {batch_size} must be divisible by data-parallel degree {self.n_shards}"
             )
 
+    @staticmethod
+    def _check_id_range(n: int, id_offset: int):
+        """Sample ids are int32 on-device (ops/topk.py); ids ≥ 2^31 would
+        silently wrap. The on-disk format is int64 (cast on store), so the
+        cap is about the in-flight sweep, not the cache."""
+        if id_offset + n > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"dataset of {n} samples at id offset {id_offset} exceeds the "
+                f"int32 sample-id range ({np.iinfo(np.int32).max}); split the "
+                "sweep into sub-2^31 shards (multi-host id_offset keeps ids global)"
+            )
+
     # -------------------------------------------------------------------- run
     def run(
         self,
@@ -388,6 +400,7 @@ class CollectEngine:
         if n == 0:
             return {name: init_topk(1, self.n_collect) for name in self.layer_names}, 0
         self._check_batch(batch_size)
+        self._check_id_range(n, id_offset)
 
         resume_start = 0
         states = None
@@ -464,6 +477,7 @@ class CollectEngine:
                 0,
             )
         self._check_batch(batch_size)
+        self._check_id_range(n, id_offset)
 
         resume_start = 0
         states = None

@@ -111,6 +111,7 @@ def label_components(
     top_m: int = 5,
     templates: list[str] | None = None,
     batch_size: int | None = None,
+    vocab_embeds: np.ndarray | None = None,
 ):
     """Name each component with its best-matching vocabulary words.
 
@@ -130,7 +131,12 @@ def label_components(
     if not vocabulary:
         raise ValueError("vocabulary must be a non-empty list of words")
     top_m = min(top_m, len(vocabulary))
-    vocab_embeds = _embed_vocabulary(fm, list(vocabulary), templates, batch_size or 1024)
+    if vocab_embeds is None:
+        vocab_embeds = _embed_vocabulary(fm, list(vocabulary), templates, batch_size or 1024)
+    elif vocab_embeds.shape[0] != len(vocabulary):
+        raise ValueError(
+            f"vocab_embeds has {vocab_embeds.shape[0]} rows for {len(vocabulary)} words"
+        )
 
     def one(bank):
         bank = np.asarray(bank, np.float32)

@@ -67,7 +67,11 @@ class VisionTransformer(SubjectModel):
                 f"{p}.mlp.fc1",
                 f"{p}.mlp.fc2",
             ]
-        names += ["norm", "head"]
+        names += ["norm"]
+        if self.num_classes:
+            # Headless towers (num_classes=0) never tap "head" — listing it
+            # would pass validation and then KeyError in the engine.
+            names += ["head"]
         return names
 
     def _param_specs(self):

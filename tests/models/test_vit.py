@@ -73,3 +73,22 @@ def test_headless_returns_features():
     params = model.init(jax.random.PRNGKey(0))
     out, _ = model.apply(params, jnp.zeros((2, 16, 16, 3), jnp.float32))
     assert out.shape == (2, 32)
+
+
+def test_headless_vit_omits_head_tap():
+    """num_classes=0 towers never tap "head"; listing it let validation pass
+    and then KeyError'd in the engine (VERDICT r2 Weak#8)."""
+    headless = VisionTransformer(
+        image_size=16, patch_size=8, width=16, depth=1, heads=2, num_classes=0
+    )
+    assert "head" not in headless.module_names
+    headed = VisionTransformer(
+        image_size=16, patch_size=8, width=16, depth=1, heads=2, num_classes=3
+    )
+    assert "head" in headed.module_names
+    # every listed name must be tappable
+    params = headless.init(jax.random.PRNGKey(0))
+    _, taps = headless.apply(
+        params, jnp.zeros((1, 16, 16, 3), jnp.float32), tap_names=headless.module_names
+    )
+    assert set(taps) == set(headless.module_names)

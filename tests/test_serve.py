@@ -186,3 +186,108 @@ def test_fused_search_slices_any_k(service):
     full = service._bank_topk(service.fm.encode_text(service.fm.tokenize(["dog"])), 8)
     small = service.text_search("dog", k=2)
     assert small["layer4"]["ids"] == full["layer4"]["ids"][:2]
+
+
+def _png_bytes(arr):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_http_mixed_text_and_image_concurrency(service):
+    """N text searches racing an image POST (VERDICT r3 item 7)."""
+    import concurrent.futures
+
+    server, thread = serve(service, port=0, background=True)
+    port = server.server_address[1]
+    png = _png_bytes(np.zeros((8, 8, 3), np.uint8))
+    try:
+        def text(i):
+            q = ["dog", "cat", "sky"][i % 3]
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/text_search?q={q}&k=2", timeout=60
+            ) as r:
+                return ("text", q, json.loads(r.read()))
+
+        def image(_):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/image_search?k=2", data=png, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return ("image", None, json.loads(r.read()))
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            futs = [pool.submit(image, 0)] + [pool.submit(text, i) for i in range(12)]
+            futs += [pool.submit(image, 1)]
+            results = [f.result() for f in futs]
+        expect = {"dog": 0, "cat": 1, "sky": 2}
+        for kind, q, out in results:
+            if kind == "text":
+                assert out["results"]["layer4"]["ids"][0] == expect[q]
+            else:
+                assert len(out["results"]["layer4"]["ids"]) == 2
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_post_body_cap_413(service):
+    """Oversized Content-Length is rejected BEFORE the body is read."""
+    import semanticlens_tpu.serve as serve_mod
+
+    server, thread = serve(service, port=0, background=True)
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/image_search",
+            data=b"x" * 1024,  # tiny actual body...
+            method="POST",
+        )
+        # ...but a huge declared length must 413 without reading it.
+        req.add_unredirected_header("Content-Length", str(serve_mod.MAX_BODY_BYTES + 1))
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 413
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_label_vocab_embeddings_cached():
+    """Repeat /label with the same vocabulary must not re-run the FM text
+    tower (ADVICE r2: warm service paid full embedding cost per request)."""
+    calls = {"n": 0}
+
+    class CountingFM(FakeFM):
+        def encode_text(self, tokens):
+            calls["n"] += 1
+            return super().encode_text(tokens)
+
+    fm = CountingFM()
+    bank = np.random.default_rng(2).normal(size=(6, 16)).astype(np.float32)
+    svc = SearchService(fm, {"l": bank}, warmup=False)
+    svc.label(["dog", "cat"], top_m=1)
+    first = calls["n"]
+    assert first > 0
+    svc.label(["dog", "cat"], top_m=2)  # same vocab, different top_m
+    assert calls["n"] == first, "second /label re-embedded a cached vocabulary"
+    svc.label(["dog", "bird"], top_m=1)  # different vocab: must embed
+    assert calls["n"] > first
+
+
+def test_fused_program_single_build_under_race():
+    """Lazy jit of the fused search must construct exactly once (ADVICE r2)."""
+    import concurrent.futures
+
+    bank = np.random.default_rng(3).normal(size=(4, 16)).astype(np.float32)
+    svc = SearchService(FakeFM(), {"l": bank}, warmup=False)
+    programs = []
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [pool.submit(svc._fused_search) for _ in range(16)]
+        programs = [f.result() for f in futs]
+    assert all(p is programs[0] for p in programs)

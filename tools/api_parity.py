@@ -27,6 +27,11 @@ import json
 import sys
 from pathlib import Path
 
+# Allow running as `python tools/api_parity.py` from a source checkout.
+_repo = Path(__file__).resolve().parent.parent
+if str(_repo) not in sys.path:
+    sys.path.insert(0, str(_repo))
+
 # Reference module (dotted, package-relative) -> modules of ours that may host
 # the counterpart symbols. Order matters only for reporting.
 MODULE_MAP: dict[str, tuple[str, ...]] = {
