@@ -38,6 +38,7 @@ from semanticlens_tpu.models.layers import (
     avg_pool,
     batch_norm,
     conv2d,
+    gelu,
     layer_norm,
     linear,
     multi_head_attention,
@@ -116,7 +117,9 @@ CLIP_PRESETS: dict[str, CLIPConfig] = {
 
 
 def _gelu(x, quick: bool):
-    return quick_gelu(x) if quick else jax.nn.gelu(x, approximate=False)
+    # layers.gelu/quick_gelu are LRP-aware (pass-through under a composite),
+    # so attribution through a CLIP tower gets the same rule set as subjects.
+    return quick_gelu(x) if quick else gelu(x, approximate=False)
 
 
 # --------------------------------------------------------------------------- #

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
-from semanticlens_tpu.models.layers import conv2d, layer_norm, linear
+from semanticlens_tpu.models.layers import channel_scale, conv2d, gelu, layer_norm, linear, residual_add
 
 _PRESETS = {
     # name: (depths per stage, dims per stage)
@@ -139,11 +139,11 @@ class ConvNeXt(SubjectModel):
         tap(f"{prefix}.conv_dw", h)
         h = tap(f"{prefix}.norm", self._ln(params, f"{prefix}.norm", h))
         h = tap(f"{prefix}.mlp.fc1", linear(h, params[f"{prefix}.mlp.fc1.weight"], params[f"{prefix}.mlp.fc1.bias"]))
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h, approximate=False)
         h = tap(f"{prefix}.mlp.fc2", linear(h, params[f"{prefix}.mlp.fc2.weight"], params[f"{prefix}.mlp.fc2.bias"]))
         tap(f"{prefix}.mlp", h)
-        h = h * params[f"{prefix}.gamma"].astype(h.dtype)
-        out = x + h
+        h = channel_scale(h, params[f"{prefix}.gamma"])
+        out = residual_add(x, h)
         return tap(prefix, out)
 
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):

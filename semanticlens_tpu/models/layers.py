@@ -40,6 +40,12 @@ def lrp_composite(name: str = "epsilon_plus_flat", epsilon: float = 1e-6):
       → flat rule, other convs → z⁺ rule, dense/affine → ε rule.
     - ``"epsilon"``: ε rule everywhere.
     - ``"gradient"``: plain gradient (no modified backward).
+
+    Both non-gradient composites also carry the transformer-grade rules
+    (Ali et al. 2022): detached-denominator LayerNorm, CP-LRP attention
+    (softmax probs as constants, relevance via the value path), GELU
+    pass-through, and proportional residual splitting — see the rule table
+    in docs/architecture.md.
     """
     _LRP.composite = name
     _LRP.epsilon = epsilon
@@ -113,6 +119,63 @@ def _lrp_wrap(true_fwd, x, rule: str, eps: float, plus_fwd=None, flat_fwd=None):
 
     op.defvjp(fwd, bwd)
     return op(x)
+
+
+def _lrp_passthrough(fn, x):
+    """Identity-relevance activation (zennit's ``Pass`` rule).
+
+    Elementwise nonlinearities between two ε-wrapped linears must hand
+    relevance through UNCHANGED — autograd's ``fn'(x)·R`` is the gradient
+    semantics, not LRP semantics, and silently de-conserves relevance for any
+    activation whose derivative isn't {0, 1} (GELU, sigmoid…). ReLU needs no
+    wrap: its mask only zeroes coordinates whose relevance is already zero
+    under ε/z⁺ (zero post-activation ⇒ zero x⊙c).
+    """
+
+    @jax.custom_vjp
+    def op(xx):
+        return fn(xx)
+
+    def fwd(xx):
+        return fn(xx), None
+
+    def bwd(_, R):
+        return (R,)
+
+    op.defvjp(fwd, bwd)
+    return op(x)
+
+
+def residual_add(x, h):
+    """``x + h`` whose LRP backward SPLITS relevance proportionally.
+
+    A bare ``+`` duplicates the cotangent into both branches — under LRP
+    that double-counts: total input relevance becomes 2× the output
+    relevance per residual join. Under a composite this applies the
+    signed-proportional split (zennit's canonical Sum/Norm handling):
+    R_x = R·x/(x+h), R_h = R·h/(x+h), stabilized like the ε rule.
+    Outside a composite it is exactly ``x + h``.
+    """
+    if not _lrp_active():
+        return x + h
+    eps = _LRP.epsilon
+
+    @jax.custom_vjp
+    def op(a, b):
+        return a + b
+
+    def fwd(a, b):
+        return a + b, (a, b)
+
+    def bwd(res, R):
+        a, b = res
+        z = a + b
+        denom = z + eps * jnp.sign(z) + jnp.where(z == 0, eps, 0.0)
+        share = R / denom
+        return (a * share, b * share)
+
+    op.defvjp(fwd, bwd)
+    return op(x, h)
 
 
 def conv2d(x, weight, bias=None, *, stride=1, padding=0, groups=1):
@@ -236,8 +299,28 @@ def global_avg_pool(x):
 
 
 def layer_norm(x, weight, bias, *, eps=1e-5):
-    """LayerNorm over the last axis, computed in float32."""
+    """LayerNorm over the last axis, computed in float32.
+
+    Under an LRP composite this carries the **detached-denominator rule**
+    (Ali et al. 2022, "XAI for Transformers"): 1/√(var+eps) is treated as a
+    constant, which makes LN a linear centering+scaling map, and relevance
+    redistributes through it with the ε rule. Without the detachment the
+    backward is the raw LN gradient — round-2's silent degradation.
+    """
     xf = x.astype(jnp.float32)
+    if _lrp_active():
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        inv = jax.lax.stop_gradient(jax.lax.rsqrt(var + eps))
+        w32 = weight.astype(jnp.float32)
+        b32 = bias.astype(jnp.float32)
+        eps_r = _LRP.epsilon
+
+        def f(xx):
+            xxf = xx.astype(jnp.float32)
+            centered = xxf - jnp.mean(xxf, axis=-1, keepdims=True)
+            return (centered * inv * w32 + b32).astype(x.dtype)
+
+        return _lrp_wrap(f, x, "epsilon", eps_r)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -245,8 +328,25 @@ def layer_norm(x, weight, bias, *, eps=1e-5):
 
 
 def quick_gelu(x):
-    """x·sigmoid(1.702x) — OpenAI CLIP's activation."""
+    """x·sigmoid(1.702x) — OpenAI CLIP's activation. LRP: pass-through."""
+    if _lrp_active():
+        return _lrp_passthrough(lambda xx: xx * jax.nn.sigmoid(1.702 * xx), x)
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu(x, *, approximate=False):
+    """GELU that hands relevance through unchanged under an LRP composite."""
+    if _lrp_active():
+        return _lrp_passthrough(lambda xx: jax.nn.gelu(xx, approximate=approximate), x)
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def channel_scale(x, gamma):
+    """Per-channel scaling (ConvNeXt layer scale). LRP: ε rule — autograd's
+    γ·R would rescale relevance instead of conserving it per coordinate."""
+    if _lrp_active():
+        return _lrp_wrap(lambda xx: xx * gamma.astype(xx.dtype), x, "epsilon", _LRP.epsilon)
+    return x * gamma.astype(x.dtype)
 
 
 def multi_head_attention(x, params, prefix, n_heads, *, mask=None, kv=None):
@@ -280,6 +380,13 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
     on v5e (docs/PERF_NOTES.md); output matches within bf16 resolution.
     ``mask`` is an additive (T, S) float mask (−inf to block), the torch
     ``attn_mask`` convention.
+
+    Under an LRP composite this is **CP-LRP** (conservative-propagation
+    attention, Ali et al. 2022): the softmax attention matrix is computed
+    then treated as a CONSTANT, so the head becomes a linear map over the
+    values and relevance redistributes through it with the ε rule; the
+    query/key path receives zero relevance. Forward output is unchanged
+    (up to fused-kernel rounding).
     """
     b, t, d = q.shape
     s = k.shape[1]
@@ -287,6 +394,32 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
 
     def split(x, length):
         return x.reshape(b, length, n_heads, head_dim)
+
+    if _lrp_active():
+        logits = (
+            jnp.einsum(
+                "bthc,bshc->bhts",
+                split(q, t).astype(jnp.float32),
+                split(k, s).astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            * head_dim**-0.5
+        )
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)[None, None, :, :]
+        probs = jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
+        eps_r = _LRP.epsilon
+
+        def f(vv):
+            out = jnp.einsum(
+                "bhts,bshc->bthc",
+                probs,
+                split(vv, s).astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return out.reshape(b, t, d).astype(vv.dtype)
+
+        return _lrp_wrap(f, v, "epsilon", eps_r)
 
     bias = None if mask is None else mask.astype(jnp.float32)[None, None, :, :]
     out = jax.nn.dot_product_attention(split(q, t), split(k, s), split(v, s), bias=bias)

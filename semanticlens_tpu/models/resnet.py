@@ -22,6 +22,7 @@ import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.layers import (
+    residual_add,
     avg_pool,
     batch_norm,
     conv2d,
@@ -226,7 +227,7 @@ class ResNet(SubjectModel):
         out = tap(f"{prefix}.bn2", self._bn(params, f"{prefix}.bn2", out))
         if self._has_downsample(params, prefix):
             identity = self._downsample_path(params, prefix, x, stride, tap)
-        out = jax.nn.relu(out + identity)
+        out = jax.nn.relu(residual_add(out, identity))
         tap(f"{prefix}.relu", out)
         return tap(prefix, out)
 
@@ -240,7 +241,7 @@ class ResNet(SubjectModel):
         out = tap(f"{prefix}.bn3", self._bn(params, f"{prefix}.bn3", out))
         if self._has_downsample(params, prefix):
             identity = self._downsample_path(params, prefix, x, stride, tap)
-        out = jax.nn.relu(out + identity)
+        out = jax.nn.relu(residual_add(out, identity))
         tap(f"{prefix}.relu", out)
         return tap(prefix, out)
 

@@ -18,7 +18,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
-from semanticlens_tpu.models.layers import conv2d, layer_norm, linear, scaled_dot_product_attention
+from semanticlens_tpu.models.layers import (
+    conv2d,
+    gelu,
+    layer_norm,
+    linear,
+    residual_add,
+    scaled_dot_product_attention,
+)
 
 
 class VisionTransformer(SubjectModel):
@@ -146,14 +153,14 @@ class VisionTransformer(SubjectModel):
             h = scaled_dot_product_attention(q, k, v, self.heads)
             h = tap(f"{p}.attn.proj", linear(h, params[f"{p}.attn.proj.weight"], params[f"{p}.attn.proj.bias"]))
             tap(f"{p}.attn", h)
-            x = x + h
+            x = residual_add(x, h)
             h = layer_norm(x, params[f"{p}.norm2.weight"], params[f"{p}.norm2.bias"])
             tap(f"{p}.norm2", h)
             h = tap(f"{p}.mlp.fc1", linear(h, params[f"{p}.mlp.fc1.weight"], params[f"{p}.mlp.fc1.bias"]))
-            h = jax.nn.gelu(h, approximate=False)
+            h = gelu(h, approximate=False)
             h = tap(f"{p}.mlp.fc2", linear(h, params[f"{p}.mlp.fc2.weight"], params[f"{p}.mlp.fc2.bias"]))
             tap(f"{p}.mlp", h)
-            x = x + h
+            x = residual_add(x, h)
             tap(p, x)
         tap("blocks", x)
 

@@ -302,3 +302,146 @@ def test_batched_attribution_fn_direct(rel_cv):
     for k in range(2):
         want = np.asarray(single_fn(rel_cv.params, jnp.asarray(imgs[k]), jnp.int32(comps[k])))
         np.testing.assert_allclose(got[k], want, rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Transformer-grade LRP rules (VERDICT r3 item 3): detached-LN ε rule,
+# CP-LRP attention, GELU pass-through, proportional residual split.
+# Conservation is asserted by seeding the vjp with the OUTPUT itself:
+# for every conserving rule Σ R_in ≈ Σ R_out (ε leakage only).
+# --------------------------------------------------------------------------- #
+def _vit_block_params(key, w):
+    """Bias-free ViT block weights (biases absorb relevance — zeroing them
+    makes conservation exact up to ε)."""
+    import jax.random as jr
+
+    ks = jr.split(key, 5)
+    return {
+        "norm1.weight": jnp.asarray(np.random.default_rng(0).uniform(0.5, 1.5, w), jnp.float32),
+        "norm1.bias": jnp.zeros((w,), jnp.float32),
+        "qkv.weight": jr.normal(ks[0], (w, 3 * w), jnp.float32) * w**-0.5,
+        "qkv.bias": jnp.zeros((3 * w,), jnp.float32),
+        "proj.weight": jr.normal(ks[1], (w, w), jnp.float32) * w**-0.5,
+        "proj.bias": jnp.zeros((w,), jnp.float32),
+        "norm2.weight": jnp.asarray(np.random.default_rng(1).uniform(0.5, 1.5, w), jnp.float32),
+        "norm2.bias": jnp.zeros((w,), jnp.float32),
+        "fc1.weight": jr.normal(ks[2], (w, 4 * w), jnp.float32) * w**-0.5,
+        "fc1.bias": jnp.zeros((4 * w,), jnp.float32),
+        "fc2.weight": jr.normal(ks[3], (4 * w, w), jnp.float32) * (4 * w) ** -0.5,
+        "fc2.bias": jnp.zeros((w,), jnp.float32),
+    }
+
+
+def _vit_block_apply(p, x, heads=2):
+    from semanticlens_tpu.models.layers import (
+        gelu,
+        layer_norm,
+        residual_add,
+        scaled_dot_product_attention,
+    )
+
+    w = x.shape[-1]
+    h = layer_norm(x, p["norm1.weight"], p["norm1.bias"])
+    qkv = linear(h, p["qkv.weight"], p["qkv.bias"])
+    q, k, v = qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :]
+    h = scaled_dot_product_attention(q, k, v, heads)
+    h = linear(h, p["proj.weight"], p["proj.bias"])
+    x = residual_add(x, h)
+    h = layer_norm(x, p["norm2.weight"], p["norm2.bias"])
+    h = linear(h, p["fc1.weight"], p["fc1.bias"])
+    h = gelu(h, approximate=False)
+    h = linear(h, p["fc2.weight"], p["fc2.bias"])
+    return residual_add(x, h)
+
+
+def _conservation(fn, x, composite="epsilon"):
+    """Return (Σ R_in, Σ R_out) with R_out seeded as the output itself."""
+    with lrp_composite(composite, epsilon=1e-9):
+        out, vjp_fn = jax.vjp(fn, x)
+        (r_in,) = vjp_fn(out)
+    return float(np.asarray(r_in, np.float64).sum()), float(np.asarray(out, np.float64).sum())
+
+
+def test_lrp_conserves_through_full_vit_block():
+    """ε composite: a whole pre-LN transformer block conserves relevance."""
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 17, 32)).astype(np.float32))
+    p = _vit_block_params(jax.random.PRNGKey(2), 32)
+    r_in, r_out = _conservation(lambda xx: _vit_block_apply(p, xx), x)
+    np.testing.assert_allclose(r_in, r_out, rtol=1e-3)
+
+    # The raw gradient (round 2's silent behavior) produces a materially
+    # different relevance DISTRIBUTION (its residual path duplicates the
+    # cotangent, its LN backward has zero row-sums) — the assertion above
+    # is about the new rules, not a property any backward would satisfy.
+    with lrp_composite("epsilon", epsilon=1e-9):
+        out, vjp_fn = jax.vjp(lambda xx: _vit_block_apply(p, xx), x)
+        (r_map,) = vjp_fn(out)
+    with lrp_composite("gradient"):
+        out_g, vjp_fn = jax.vjp(lambda xx: _vit_block_apply(p, xx), x)
+        (g_map,) = vjp_fn(out_g)
+    diff = float(jnp.abs(r_map - g_map).sum()) / float(jnp.abs(r_map).sum())
+    assert diff > 0.2, f"gradient and LRP relevance unexpectedly agree ({diff:.3f})"
+
+
+def test_layer_norm_detached_denominator_rule():
+    """LN under the composite is the detached-denominator ε rule: linear in
+    x, conserving — NOT the raw LN gradient."""
+    from semanticlens_tpu.models.layers import layer_norm
+
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(3, 9, 16)).astype(np.float32))
+    wgt = jnp.asarray(np.random.default_rng(7).uniform(0.5, 1.5, 16), jnp.float32)
+    b0 = jnp.zeros((16,), jnp.float32)
+
+    r_in, r_out = _conservation(lambda xx: layer_norm(xx, wgt, b0), x)
+    np.testing.assert_allclose(r_in, r_out, rtol=1e-4)
+
+    # forward unchanged under the composite
+    with lrp_composite("epsilon", epsilon=1e-9):
+        inside = np.asarray(layer_norm(x, wgt, b0))
+    np.testing.assert_allclose(inside, np.asarray(layer_norm(x, wgt, b0)), atol=1e-6)
+
+
+def test_cp_lrp_attention_value_path_only():
+    """CP-LRP: softmax probs are constants — zero relevance via q/k, all of
+    it via v, conserving; forward equals the fused-attention forward."""
+    from semanticlens_tpu.models.layers import scaled_dot_product_attention
+
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+
+    plain = np.asarray(scaled_dot_product_attention(q, k, v, 2))
+    with lrp_composite("epsilon", epsilon=1e-9):
+        out, vjp_fn = jax.vjp(lambda qq, kk, vv: scaled_dot_product_attention(qq, kk, vv, 2), q, k, v)
+        rq, rk, rv = vjp_fn(out)
+    np.testing.assert_allclose(np.asarray(out), plain, atol=1e-5)
+    assert float(jnp.abs(rq).max()) == 0.0 and float(jnp.abs(rk).max()) == 0.0
+    np.testing.assert_allclose(float(rv.sum()), float(out.sum()), rtol=1e-4)
+
+
+def test_gelu_passes_relevance_unchanged():
+    from semanticlens_tpu.models.layers import gelu
+
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(4, 8)).astype(np.float32))
+    seed = jnp.asarray(np.random.default_rng(10).normal(size=(4, 8)).astype(np.float32))
+    with lrp_composite("epsilon"):
+        out, vjp_fn = jax.vjp(gelu, x)
+        (r,) = vjp_fn(seed)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(seed), atol=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gelu(x)), atol=1e-7)
+
+
+def test_residual_add_splits_proportionally():
+    from semanticlens_tpu.models.layers import residual_add
+
+    a = jnp.asarray([[2.0, -1.0, 0.5]], jnp.float32)
+    b = jnp.asarray([[1.0, 3.0, -0.25]], jnp.float32)
+    seed = jnp.asarray([[6.0, 2.0, 1.0]], jnp.float32)
+    with lrp_composite("epsilon", epsilon=1e-9):
+        out, vjp_fn = jax.vjp(residual_add, a, b)
+        ra, rb = vjp_fn(seed)
+    np.testing.assert_allclose(np.asarray(ra + rb), np.asarray(seed), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(seed * a / (a + b)), rtol=1e-4)
+    # outside a composite it's a plain add
+    np.testing.assert_allclose(np.asarray(residual_add(a, b)), np.asarray(a + b))
