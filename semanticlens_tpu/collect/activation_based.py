@@ -185,6 +185,13 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
     def metadata(self) -> dict[str, str]:
         return {**self.actmax_cache.metadata, "dataset": self.dataset.name, "model": self.model.name}
 
+    @property
+    def embedding_table(self) -> np.ndarray | None:
+        """(N, D) full-dataset FM embedding table from the last concept-DB
+        computation, or None before one ran. Feeds evidence-based analyses
+        (``label_components(scoring="wpmi")``)."""
+        return getattr(self, "_embedding_table", None)
+
     # --------------------------------------------------------------- pipeline
     def run(self, batch_size: int = 32, **kwargs):
         """Collect per-component top activating samples (cache-or-compute).
@@ -248,6 +255,9 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         else:
             self.run(batch_size=batch_size, checkpoint=checkpoint, **kwargs)
             embeds = self._embed_vision_dataset(fm, batch_size, checkpoint=checkpoint, **kwargs)
+        # Retained for evidence-based analyses (WPMI labeling needs the full
+        # (N, D) table, ~2% the size of the gathered concept DB).
+        self._embedding_table = embeds
         concept_db = {}
         for layer_name in self.layer_names:
             ids = self.get_max_reference(layer_name)

@@ -112,24 +112,42 @@ def label_components(
     templates: list[str] | None = None,
     batch_size: int | None = None,
     vocab_embeds: np.ndarray | None = None,
+    scoring: str = "cosine",
+    evidence_ids=None,
+    image_embeds: np.ndarray | None = None,
+    **wpmi_kwargs,
 ):
     """Name each component with its best-matching vocabulary words.
 
     CLIP-Dissect-style automatic neuron description (Oikarinen & Weng,
     arXiv:2204.10965): every word of ``vocabulary`` is embedded with the FM
     (optionally through prompt ``templates`` with the same empty-template
-    bias correction as :func:`text_probing`), then each component's
-    aggregated concept vector is matched against the whole vocabulary by
-    cosine similarity. A capability extension over the reference, which only
-    supports the inverse direction (query → components, lens.py:59-121).
+    bias correction as :func:`text_probing`), then each component is matched
+    against the whole vocabulary. A capability extension over the reference,
+    which only supports the inverse direction (query → components,
+    lens.py:59-121).
+
+    ``scoring`` selects the match:
+
+    - ``"cosine"`` — each component's MEAN concept vector vs each word.
+    - ``"wpmi"`` — the paper's soft-WPMI over the component's top-activating
+      images (:func:`semanticlens_tpu.scores.soft_wpmi`); needs
+      ``evidence_ids`` ((C, k) per layer, −1 sentinels ok — the Collect
+      cache's sample ids) and ``image_embeds`` ((N, D) full-dataset table —
+      ``ActivationComponentVisualizer.embedding_table`` after a fused
+      sweep). Robust where cosine mislabels: a polysemantic unit whose mean
+      drifts BETWEEN its modes still names its true modes. Extra kwargs
+      (``temperature``, ``lam`` …) forward to :func:`soft_wpmi`.
 
     Returns ``{layer: (words (C, top_m) list-of-lists, scores (C, top_m)
     float32)}`` — or a single tuple when a bare array is passed.
     """
-    from semanticlens_tpu.scores import topk_cosine_search
+    from semanticlens_tpu.scores import soft_wpmi, topk_cosine_search
 
     if not vocabulary:
         raise ValueError("vocabulary must be a non-empty list of words")
+    if scoring not in ("cosine", "wpmi"):
+        raise ValueError(f"scoring must be 'cosine' or 'wpmi', got {scoring!r}")
     top_m = min(top_m, len(vocabulary))
     if vocab_embeds is None:
         vocab_embeds = _embed_vocabulary(fm, list(vocabulary), templates, batch_size or 1024)
@@ -137,8 +155,18 @@ def label_components(
         raise ValueError(
             f"vocab_embeds has {vocab_embeds.shape[0]} rows for {len(vocabulary)} words"
         )
+    if scoring == "wpmi" and (evidence_ids is None or image_embeds is None):
+        raise ValueError(
+            "scoring='wpmi' needs evidence_ids (top-k sample ids per layer) and "
+            "image_embeds (the (N, D) dataset embedding table)"
+        )
 
-    def one(bank):
+    def one(bank, ids=None):
+        if scoring == "wpmi":
+            scores = soft_wpmi(vocab_embeds, image_embeds, np.asarray(ids), **wpmi_kwargs)
+            order = np.argsort(-scores, axis=1)[:, :top_m]
+            words = [[vocabulary[j] for j in row] for row in order]
+            return words, np.take_along_axis(scores, order, axis=1).astype(np.float32)
         bank = np.asarray(bank, np.float32)
         vals, idx = topk_cosine_search(bank, vocab_embeds, k=top_m)
         idx = np.asarray(idx)
@@ -146,8 +174,13 @@ def label_components(
         return words, np.asarray(vals, np.float32)
 
     if isinstance(aggregated_concept_db, dict):
-        return {key: one(value) for key, value in aggregated_concept_db.items()}
-    return one(aggregated_concept_db)
+        if scoring == "wpmi" and not isinstance(evidence_ids, dict):
+            raise ValueError("evidence_ids must be a {layer: (C, k)} dict for a dict DB")
+        return {
+            key: one(value, evidence_ids[key] if scoring == "wpmi" else None)
+            for key, value in aggregated_concept_db.items()
+        }
+    return one(aggregated_concept_db, evidence_ids)
 
 
 def _embed_vocabulary(fm: AbstractVLM, words: list[str], templates, batch_size: int):

@@ -39,6 +39,7 @@ __all__ = [
     "cosine_probe",
     "polysemanticity_score",
     "topk_cosine_search",
+    "soft_wpmi",
 ]
 
 
@@ -280,3 +281,86 @@ def class_composition(sample_ids, labels, n_classes: int | None = None):
         np.float32
     )
     return counts, purity
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "p_start", "p_end"))
+def _wpmi_chunk(P, Pbar, ids_chunk, *, lam, p_start, p_end):
+    """(c, k) evidence ids → (c, V) soft-WPMI scores for one component chunk.
+
+    ``P`` (N, V): p(word | image) softmax table; ``Pbar`` (V,): dataset-mean
+    word probability. Rank weights α decay ``p_start → p_end`` over each
+    row's VALID slots (not the table width), so −1 sentinels carry zero
+    weight AND padding a row with extra sentinel columns leaves its score
+    unchanged.
+    """
+    valid = (ids_chunk >= 0).astype(jnp.float32)  # (c, k)
+    v = jnp.sum(valid, axis=1)  # (c,) valid counts
+    r = jnp.arange(ids_chunk.shape[1], dtype=jnp.float32)
+    a = (p_start + (p_end - p_start) * r[None, :] / jnp.maximum(v - 1.0, 1.0)[:, None]) * valid
+    gathered = P[jnp.maximum(ids_chunk, 0)]  # (c, k, V)
+    terms = jnp.log(jnp.clip(1.0 - a[..., None] + a[..., None] * gathered, 1e-7, None))
+    log_p_d_given_w = jnp.sum(terms, axis=1)  # (c, V)
+    # penalty: the same soft-OR against the dataset-average word probability —
+    # a word no more likely on the evidence than on average scores ≈ 0.
+    abar = jnp.sum(a, axis=1) / jnp.maximum(v, 1.0)  # (c,)
+    pbar_row = 1.0 - abar[:, None] + abar[:, None] * Pbar[None, :]  # (c, V)
+    log_p_d = v[:, None] * jnp.log(jnp.clip(pbar_row, 1e-7, None))
+    return log_p_d_given_w - lam * log_p_d
+
+
+def soft_wpmi(
+    vocab_embeds,
+    image_embeds,
+    evidence_ids,
+    *,
+    temperature: float = 10.0,
+    lam: float = 1.0,
+    p_start: float = 0.998,
+    p_end: float = 0.97,
+    chunk: int = 256,
+):
+    """CLIP-Dissect soft-WPMI concept-word scores (Oikarinen & Weng,
+    arXiv:2204.10965 §3.2) — (C, V) from a component's top-activating images.
+
+    Unlike plain cosine against the MEAN concept vector, WPMI scores each
+    word by how concentrated the evidence set is on it: ``wpmi(w, c) =
+    log p(D_c | w) − λ·log p(D_c)`` with ``p(t|x) = softmax_V(a·cos)`` and a
+    soft rank-weighted membership ``α_r`` linearly decaying ``p_start →
+    p_end`` (the paper's soft-WPMI). A polysemantic unit whose mean vector
+    drifts BETWEEN its modes still scores its true mode words highest.
+
+    Parameters
+    ----------
+    vocab_embeds : (V, D) word embeddings (any scale — cosine inside).
+    image_embeds : (N, D) full-dataset image embedding table (the Collect
+        fused sweep's table; `ActivationComponentVisualizer.embedding_table`).
+    evidence_ids : (C, k) int top-k sample ids per component, −1 sentinels
+        ignored.
+
+    Returns (C, V) float32 numpy scores.
+    """
+    V = _normalize(jnp.asarray(vocab_embeds, jnp.float32))
+    I = _normalize(jnp.asarray(image_embeds, jnp.float32))
+    ids = np.asarray(evidence_ids)
+    if ids.ndim != 2:
+        raise ValueError(f"evidence_ids must be (C, k), got {ids.shape}")
+    P = jax.nn.softmax(
+        temperature * jnp.matmul(I, V.T, precision=jax.lax.Precision.HIGHEST), axis=1
+    )  # (N, V)
+    Pbar = jnp.mean(P, axis=0)  # (V,)
+
+    out = []
+    for i in range(0, ids.shape[0], chunk):
+        out.append(
+            np.asarray(
+                _wpmi_chunk(
+                    P,
+                    Pbar,
+                    jnp.asarray(ids[i : i + chunk]),
+                    lam=lam,
+                    p_start=p_start,
+                    p_end=p_end,
+                )
+            )
+        )
+    return np.concatenate(out, axis=0).astype(np.float32)

@@ -50,6 +50,13 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--queries", nargs="*", default=["dog", "car wheel", "striped pattern"])
     ap.add_argument(
+        "--label-scoring",
+        default="cosine",
+        choices=["cosine", "wpmi"],
+        help="component naming score: mean-vector cosine or CLIP-Dissect soft-WPMI "
+        "over each component's top-activating images",
+    )
+    ap.add_argument(
         "--vocabulary",
         nargs="*",
         default=[],
@@ -254,9 +261,24 @@ def main():
     if args.vocabulary:
         # CLIP-Dissect-style naming: every component gets its best vocabulary
         # word (arXiv:2204.10965); reported for the first N components/layer.
+        label_kwargs = {}
+        if args.label_scoring == "wpmi":
+            table = cv.embedding_table
+            if table is None:
+                raise SystemExit(
+                    "--label-scoring wpmi needs the dataset embedding table; "
+                    "rerun without a warm concept-db cache (the fused sweep "
+                    "retains it) or use cosine scoring"
+                )
+            label_kwargs = {
+                "scoring": "wpmi",
+                "evidence_ids": {layer: cv.get_max_reference(layer) for layer in args.layers},
+                "image_embeds": table,
+            }
         with timer.stage("label-components"):
             named = lens.label_components(
-                list(args.vocabulary), agg_db, top_m=1, templates=["a photo of a {}"]
+                list(args.vocabulary), agg_db, top_m=1, templates=["a photo of a {}"],
+                **label_kwargs,
             )
             for layer, (words, vals) in named.items():
                 labels_out[layer] = {
