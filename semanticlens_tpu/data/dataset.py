@@ -110,6 +110,13 @@ def iter_batches(
     empty tail). ``start_index`` resumes iteration mid-dataset (must be a
     batch boundary used by a previous run for ids to line up).
     """
+    custom = getattr(dataset, "iter_batches", None)
+    if custom is not None:
+        # Datasets owning their own stream (GrainShardDataset: worker-parallel
+        # grain decode) produce the batches directly.
+        yield from custom(batch_size, pad_last=pad_last, start_index=start_index)
+        return
+
     n = len(dataset)
     fast_images = getattr(dataset, "images", None)
     get_batch = getattr(dataset, "get_batch", None)  # native threaded decode

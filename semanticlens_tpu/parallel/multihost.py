@@ -27,10 +27,25 @@ import numpy as np
 import jax
 
 from semanticlens_tpu.data.dataset import Subset
-from semanticlens_tpu.data.grain_adapter import host_shard_range
+from semanticlens_tpu.data.grain_adapter import GrainShardDataset, host_shard_range
 from semanticlens_tpu.ops.topk import TopKState, topk_merge
 
 logger = logging.getLogger(__name__)
+
+
+def _shard_view(dataset):
+    """(start, stop, per-host dataset view) for the local shard.
+
+    A :class:`GrainShardDataset` IS already this host's shard (grain's
+    ``even_split`` tiling, worker-parallel stream) — use its own range so the
+    sample ids in the stream match the ownership used by the row exchange.
+    Everything else shards by :func:`host_shard_range` + :class:`Subset`.
+    """
+    if isinstance(dataset, GrainShardDataset):
+        return dataset.start, dataset.stop, dataset
+    n = len(dataset)
+    start, stop = host_shard_range(n)
+    return start, stop, (Subset(dataset, start, stop) if stop > start else None)
 
 
 def merge_states_across_processes(states: dict[str, TopKState]) -> dict[str, TopKState]:
@@ -56,19 +71,39 @@ def merge_states_across_processes(states: dict[str, TopKState]) -> dict[str, Top
     return merged
 
 
-def local_shard_sweep(engine, params, dataset, batch_size: int, start: int, stop: int, **run_kwargs):
+def _global_len(dataset) -> int:
+    """Global dataset size: a GrainShardDataset's len is its SHARD length."""
+    if isinstance(dataset, GrainShardDataset):
+        return len(dataset.source)
+    return len(dataset)
+
+
+def _probe_view(dataset):
+    """Random-access view usable for shape probing even on an empty shard."""
+    if isinstance(dataset, GrainShardDataset):
+        return dataset.global_view()
+    return dataset
+
+
+def local_shard_sweep(
+    engine, params, dataset, batch_size: int, start: int, stop: int, *, local=None, **run_kwargs
+):
     """One host's sweep over dataset rows [start, stop) with global ids.
 
     An empty shard (small dataset, many hosts) still returns states of the
     full (n_latents, k) shape — every process must contribute identically
     shaped tensors to the cross-host allgather, and ``engine.run``'s
     empty-dataset early return uses a (1, k) placeholder that would wreck it.
+
+    ``local`` overrides the per-host view (a GrainShardDataset IS its shard);
+    by default rows [start, stop) of ``dataset`` are wrapped in a Subset.
     """
     if stop == start:
-        shape, dtype = engine._probe_shape(dataset, batch_size)
+        shape, dtype = engine._probe_shape(_probe_view(dataset), batch_size)
         states = engine._init_states(engine.infer_n_latents(params, shape, dtype))
         return engine._finalize(states), 0
-    local = Subset(dataset, start, stop)
+    if local is None:
+        local = Subset(dataset, start, stop)
     states, seen = engine.run(params, local, batch_size, id_offset=start, **run_kwargs)
     assert seen == stop - start, f"host swept {seen} samples, shard holds {stop - start}"
     return states, seen
@@ -79,14 +114,18 @@ def collect_multihost(engine, params, dataset, batch_size: int, **run_kwargs):
 
     The local sweep accepts every ``CollectEngine.run`` kwarg (checkpointing
     included — each host checkpoints its own shard progress independently).
+    ``dataset`` may be the full dataset (host_shard_range + Subset) or a
+    :class:`GrainShardDataset` (grain-sharded worker-parallel stream).
     """
-    n = len(dataset)
-    start, stop = host_shard_range(n)
+    start, stop, local = _shard_view(dataset)
+    n = _global_len(dataset)
     logger.info(
         "process %d/%d collecting shard [%d, %d) of %d",
         jax.process_index(), jax.process_count(), start, stop, n,
     )
-    states, _seen = local_shard_sweep(engine, params, dataset, batch_size, start, stop, **run_kwargs)
+    states, _seen = local_shard_sweep(
+        engine, params, dataset, batch_size, start, stop, local=local, **run_kwargs
+    )
     return merge_states_across_processes(states), n
 
 
@@ -149,20 +188,19 @@ def fused_multihost(
     sentinels — identical to a single-host fused sweep + gather (tested).
     Every process returns the same result.
     """
-    n = len(dataset)
-    start, stop = host_shard_range(n)
+    start, stop, local = _shard_view(dataset)
+    n = _global_len(dataset)
     logger.info(
         "process %d/%d fused sweep over shard [%d, %d) of %d",
         jax.process_index(), jax.process_count(), start, stop, n,
     )
     if stop == start:
-        shape, dtype = engine._probe_shape(dataset, batch_size)
+        shape, dtype = engine._probe_shape(_probe_view(dataset), batch_size)
         states = engine._finalize(
             engine._init_states(engine.infer_n_latents(params, shape, dtype))
         )
         local_embeds = np.zeros((0, 1), np.float32)
     else:
-        local = Subset(dataset, start, stop)
         states, local_embeds, seen = engine.run_fused(
             params, local, batch_size, embed_fn, embed_params=embed_params,
             id_offset=start, **run_kwargs,
@@ -182,7 +220,7 @@ def fused_multihost(
 
         from semanticlens_tpu.data.dataset import get_image
 
-        shape, dtype = engine._probe_shape(dataset, batch_size)
+        shape, dtype = engine._probe_shape(_probe_view(dataset), batch_size)
         try:
             spec = jax.ShapeDtypeStruct(shape, dtype)
             if embed_params is not None:
@@ -191,7 +229,7 @@ def fused_multihost(
                 out = jax.eval_shape(embed_fn, spec)
             width = int(out.shape[-1])
         except Exception:
-            probe = jnp.asarray(np.stack([get_image(dataset, 0)]))
+            probe = jnp.asarray(np.stack([get_image(_probe_view(dataset), 0)]))
             out = embed_fn(embed_params, probe) if embed_params is not None else embed_fn(probe)
             width = int(np.asarray(out).shape[-1])
         local_embeds = np.zeros((0, width), np.float32)

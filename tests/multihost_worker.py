@@ -79,6 +79,36 @@ def main():
         )
     )
 
+    # grain-backed input pipeline: IndexSampler sharded by process_index,
+    # worker-parallel decode, driven through the same collect_multihost
+    from semanticlens_tpu.data.grain_adapter import GrainShardDataset
+
+    grain_ds = GrainShardDataset(
+        ds.images, transform=_decode, name="mh-grain", worker_count=2
+    )
+    gengine = CollectEngine(
+        model=OneConv(), layer_names=("c",), aggregation_fn=aggregate_conv_mean, n_collect=5
+    )
+    gstates, gn = collect_multihost(gengine, params, grain_ds, batch_size=4)
+    print(
+        "GRAIN "
+        + json.dumps(
+            {
+                "n": gn,
+                "shard": [grain_ds.start, grain_ds.stop],
+                "ids": np.asarray(gstates["c"].ids).tolist(),
+                "values": np.asarray(gstates["c"].values, np.float32).tolist(),
+            }
+        )
+    )
+
+
+def _decode(record):
+    """Picklable record→image transform (runs inside grain worker procs)."""
+    import numpy as np
+
+    return np.asarray(record, np.float32)
+
 
 if __name__ == "__main__":
     main()

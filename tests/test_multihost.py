@@ -139,6 +139,8 @@ def test_real_two_process_collect(fixture, tmp_path):
         outs.append(json.loads(line[len("RESULT ") :]))
         fline = [ln for ln in stdout.splitlines() if ln.startswith("FUSED ")][-1]
         outs[-1]["fused"] = json.loads(fline[len("FUSED ") :])
+        gline = [ln for ln in stdout.splitlines() if ln.startswith("GRAIN ")][-1]
+        outs[-1]["grain"] = json.loads(gline[len("GRAIN ") :])
 
     assert outs[0]["n"] == outs[1]["n"] == 24
     assert outs[0]["ids"] == outs[1]["ids"], "processes disagree on merged ids"
@@ -148,6 +150,13 @@ def test_real_two_process_collect(fixture, tmp_path):
     assert outs[0]["fused"]["db_shape"] == outs[1]["fused"]["db_shape"] == [6, 5, 4]
     assert outs[0]["fused"]["ids"] == outs[1]["fused"]["ids"]
     assert outs[0]["fused"]["db"] == outs[1]["fused"]["db"]
+
+    # grain-backed pipeline (worker-parallel decode, grain even_split shards):
+    # same merged global states as the plain path, agreed by both processes
+    assert outs[0]["grain"]["n"] == outs[1]["grain"]["n"] == 24
+    assert outs[0]["grain"]["shard"] == [0, 12] and outs[1]["grain"]["shard"] == [12, 24]
+    assert outs[0]["grain"]["ids"] == outs[1]["grain"]["ids"] == outs[0]["ids"]
+    assert outs[0]["grain"]["values"] == outs[0]["values"]
 
     # and the 2-process result equals an in-process single-host sweep over the
     # same deterministic 24-sample dataset
@@ -252,3 +261,99 @@ def test_int32_id_range_guard(fixture):
         CollectEngine._check_id_range(2**31, 0)
     with pytest.raises(ValueError, match="int32"):
         mk().run(params, ds, 4, id_offset=2**31 - 10)
+
+
+# --------------------------------------------------------------------------- #
+# Grain-backed input pipeline (VERDICT r3 item 6)
+# --------------------------------------------------------------------------- #
+def _f32(record):
+    return np.asarray(record, np.float32)
+
+
+def test_grain_shard_range_matches_grain_even_split():
+    """Our shard math must be bit-identical to grain's even_split — sample
+    ids in the stream and row ownership in the exchange depend on it."""
+    pytest.importorskip("grain")
+    import grain.python as gp
+    from grain._src.core.sharding import even_split
+
+    from semanticlens_tpu.data.grain_adapter import grain_shard_range
+
+    for n, pc in [(22, 3), (24, 2), (8, 8), (5, 8), (0, 2), (100, 7)]:
+        for pi in range(pc):
+            opts = gp.ShardOptions(shard_index=pi, shard_count=pc, drop_remainder=False)
+            assert grain_shard_range(n, process_index=pi, process_count=pc) == tuple(
+                even_split(n, opts)
+            ), (n, pc, pi)
+
+
+@pytest.mark.parametrize("workers", [0, 2])
+def test_grain_backed_collect_equals_array_dataset(fixture, workers):
+    """A grain DataLoader stream (IndexSampler, optional worker processes)
+    must produce the exact states of the plain in-memory path."""
+    pytest.importorskip("grain")
+    from semanticlens_tpu.data.grain_adapter import GrainShardDataset
+
+    params, ds, mk = fixture
+    ref_states, _ = mk().run(params, ds, 4)
+
+    grain_ds = GrainShardDataset(
+        ds.images, transform=_f32, name="g", worker_count=workers,
+        process_index=0, process_count=1,
+    )
+    states, seen = mk().run(params, grain_ds, 4)
+    assert seen == len(ds)
+    np.testing.assert_array_equal(np.asarray(states["c"].ids), np.asarray(ref_states["c"].ids))
+    np.testing.assert_array_equal(
+        np.asarray(states["c"].values, np.float32),
+        np.asarray(ref_states["c"].values, np.float32),
+    )
+
+
+def test_grain_simulated_multihost_shards_merge_to_single_host(fixture):
+    """3 grain shards (process_index override) + topk_merge == full sweep."""
+    pytest.importorskip("grain")
+    from semanticlens_tpu.data.grain_adapter import GrainShardDataset, grain_shard_range
+
+    params, ds, mk = fixture
+    ref_states, _ = mk().run(params, ds, 4)
+
+    shard_states = []
+    for pi in range(3):
+        gds = GrainShardDataset(
+            ds.images, transform=_f32, name="g", process_index=pi, process_count=3
+        )
+        start, stop = grain_shard_range(len(ds), process_index=pi, process_count=3)
+        assert (gds.start, gds.stop) == (start, stop)
+        states, seen = mk().run(params, gds, 4, id_offset=gds.start)
+        assert seen == stop - start
+        shard_states.append(states["c"])
+
+    merged = topk_merge(
+        TopKState(
+            values=jnp.stack([s.values for s in shard_states]),
+            ids=jnp.stack([s.ids for s in shard_states]),
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(merged.ids), np.asarray(ref_states["c"].ids))
+
+
+def test_grain_fused_multihost_single_process(fixture):
+    """fused_multihost accepts a GrainShardDataset (P=1 full code path)."""
+    pytest.importorskip("grain")
+    from semanticlens_tpu.data.grain_adapter import GrainShardDataset
+    from semanticlens_tpu.parallel import fused_multihost
+
+    params, ds, mk = fixture
+    proj = jnp.asarray(np.random.default_rng(2).normal(size=(3, 4)).astype(np.float32))
+
+    def embed_fn(raw):
+        return jnp.mean(raw.astype(jnp.float32), axis=(1, 2)) @ proj
+
+    gds = GrainShardDataset(ds.images, transform=_f32, name="g",
+                            process_index=0, process_count=1)
+    states, db, n = fused_multihost(mk(), params, gds, 4, embed_fn)
+    assert n == len(ds)
+
+    _, ref_db, _ = fused_multihost(mk(), params, ds, 4, embed_fn)
+    np.testing.assert_allclose(db["c"], ref_db["c"], rtol=1e-6)
