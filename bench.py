@@ -123,6 +123,47 @@ def real_data_bench(engine, params, embed_fn, images: np.ndarray, batch: int) ->
     }
 
 
+def serving_latency_bench(fm, concept_db, n_req: int = 40) -> dict:
+    """Warm text-search latency through the REAL HTTP serving path.
+
+    Builds a SearchService over the just-computed concept DB (warmup
+    compiles before timing), then times ``n_req`` sequential
+    ``/text_search`` requests end-to-end (HTTP + tokenize + text tower +
+    fused bank search). Reports p50/p95 so the serving-latency claim in
+    docs/PERF_NOTES.md is reproduced by every driver run.
+    """
+    import urllib.parse
+    import urllib.request
+
+    from semanticlens_tpu.serve import SearchService, serve
+
+    agg = {k: np.asarray(v, np.float32).mean(1) for k, v in concept_db.items()}
+    service = SearchService(fm, agg)
+    server, _ = serve(service, port=0, background=True)
+    port = server.server_address[1]
+    queries = ["dog", "striped pattern", "a red car", "sky at night"]
+    lat = []
+    try:
+        for i in range(n_req):
+            q = urllib.parse.quote(queries[i % len(queries)])
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/text_search?q={q}&k=5", timeout=120
+            ) as r:
+                r.read()
+            lat.append((time.perf_counter() - t0) * 1e3)
+    finally:
+        server.shutdown()
+        server.server_close()
+    lat.sort()
+    return {
+        "n_requests": n_req,
+        "p50_ms": round(lat[len(lat) // 2], 1),
+        "p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 1),
+        "max_ms": round(lat[-1], 1),
+    }
+
+
 N_IMAGES = 2048
 BATCH = 256
 IMAGE_SIZE = 224
@@ -269,6 +310,8 @@ def main():
     total_s = min(walls)
     imgs_per_sec = N_IMAGES / total_s
 
+    serving = serving_latency_bench(fm, concept_db)
+
     ref = measure_reference_baseline()
     ref_rate = ref.get("ref_imgs_per_s")
 
@@ -298,6 +341,7 @@ def main():
             "fused_compute_imgs_per_s": round(chain_imgs / fused_compute_s, 1),
             "compute_ceiling_method": f"{N_CHAIN} batches chained in one program, best of 3",
             "real_data": real_data,
+            "serving_text_search_latency": serving,
             "db_shapes": {k: list(np.asarray(v).shape) for k, v in concept_db.items()},
         },
     }
