@@ -104,6 +104,34 @@ print("top-3 'striped pattern' neurons:", np.asarray(idx)[0].tolist())
 # for a real 2-process run. The fused variant (fused_multihost) additionally
 # exchanges only the embedding rows the merged top-k selected.
 
+# --- 4b. Grain-backed input (multi-host-ready, worker decode) ---------------
+# The same engine consumes a Grain pipeline: this host's even_split shard of
+# any random-access source, decoded by grain worker processes, with
+# deterministic global sample ids. Source here: the in-memory images.
+from semanticlens_tpu.data.grain_adapter import GrainShardDataset
+
+raw_images = np.stack([dataset[i][0] if isinstance(dataset[i], tuple) else dataset[i]
+                       for i in range(len(dataset))])
+grain_ds = GrainShardDataset(
+    raw_images,
+    name="grain-demo",
+    worker_count=0,  # >0 spawns decode processes (needs a picklable transform)
+)
+grain_states, n_grain = cv.engine.run(model.params, grain_ds, batch_size=8)
+print("grain sweep:", n_grain, "samples,", grain_states["layer4"].ids.shape)
+
+# --- 4c. Name components with soft-WPMI (CLIP-Dissect) ----------------------
+# Cosine labels from the MEAN concept vector; WPMI scores words against the
+# component's actual top-activating images (robust for polysemantic units).
+named = lens.label_components(
+    ["stripes", "dog", "sky"], agg_db, top_m=2,
+    scoring="wpmi",
+    evidence_ids={name: cv.get_max_reference(name) for name in agg_db},
+    image_embeds=cv.embedding_table,
+)
+for layer, (words, w_scores) in named.items():
+    print(f"wpmi labels {layer}[0]:", words[0])
+
 # --- 5. Serve the concept DB -------------------------------------------------
 from semanticlens_tpu.serve import SearchService, serve
 
