@@ -40,9 +40,12 @@ _REF_N, _REF_BATCH = 64, 16
 
 
 def _host_id() -> str:
+    """Per-machine cache key. Includes the hostname: 'x86_64-1cpu' alone
+    would let a committed cache from ANY single-CPU x86 container masquerade
+    as a local measurement (the hazard both baseline docstrings warn about)."""
     import platform
 
-    return f"{platform.machine()}-{os.cpu_count()}cpu"
+    return f"{platform.node()}-{platform.machine()}-{os.cpu_count()}cpu"
 
 
 def measure_reference_baseline() -> dict:
@@ -190,10 +193,15 @@ def serving_latency_bench(fm, concept_db, n_req: int = 40) -> dict:
         server.shutdown()
         server.server_close()
     lat.sort()
+    import math
+
+    def nearest_rank(q):  # nearest-rank percentile: ceil(q*n)-th sorted sample
+        return lat[max(0, math.ceil(q * len(lat)) - 1)]
+
     return {
         "n_requests": n_req,
-        "p50_ms": round(lat[len(lat) // 2], 1),
-        "p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 1),
+        "p50_ms": round(nearest_rank(0.50), 1),
+        "p95_ms": round(nearest_rank(0.95), 1),
         "max_ms": round(lat[-1], 1),
     }
 

@@ -151,22 +151,27 @@ class GrainShardDataset:
         per-worker batches (ids [0, 2, 4, …]) — both silently corrupt global
         sample ids (pinned by the coverage tests beside this class).
 
-        ``start_index`` (local, batch-aligned) resumes mid-shard: earlier
-        batches are decoded and dropped — grain is the source of record
-        order, so skipping happens at the stream level.
+        ``start_index`` (local, batch-aligned) resumes mid-shard by SLICING
+        the stream — pre-resume records are never decoded (a checkpointed
+        90%-done sweep must not pay O(shard) decode on resume).
         """
         import grain
 
         from semanticlens_tpu.data.dataset import Batch
 
+        if start_index % batch_size:
+            raise ValueError(
+                f"start_index {start_index} must be a multiple of batch_size {batch_size}"
+            )
+        resume_at = self.start + min(start_index, len(self))
         md = grain.MapDataset.source(_IndexedSource(self.source, self.transform))
-        stream = md[self.start : self.stop].batch(batch_size, drop_remainder=False)
+        stream = md[resume_at : self.stop].batch(batch_size, drop_remainder=False)
         it = stream.to_iter_dataset()
         if self.worker_count:
             it = it.mp_prefetch(
                 grain.multiprocessing.MultiprocessingOptions(num_workers=self.worker_count)
             )
-        expected_next = self.start
+        expected_next = resume_at
         for rec in it:
             ids, images = np.asarray(rec["id"]), np.asarray(rec["image"])
             # Contiguity guard: anything out of order or dropped silently
@@ -177,8 +182,6 @@ class GrainShardDataset:
                 )
             expected_next = int(ids[-1]) + 1
             local_start = int(ids[0]) - self.start
-            if local_start < start_index:
-                continue
             valid = np.ones(batch_size, bool)
             if images.shape[0] < batch_size:
                 if not pad_last:

@@ -608,17 +608,20 @@ def _to_image_batch(img, target_size: int | None = None):
         if arr.ndim == 3:
             arr = arr[None]
     if arr.dtype.kind == "f" and arr.size and float(arr.max()) > 2.0:
-        if float(arr.min()) < 0.0:
-            # Negative values + magnitude > 2 means the caller already
-            # mean/std-normalized (ImageNet-normalized pixels span roughly
-            # [−2.12, 2.64]) — rescaling by /255 would silently corrupt it.
-            # The contract is raw images: uint8, 0–1 float, or 0–255 float;
-            # the on-device normalizer applies the FM's mean/std itself.
+        if float(arr.max()) < 16.0 and float(arr.min()) < -0.5:
+            # Values like [−2.1, 2.6] mean the caller already mean/std-
+            # normalized (ImageNet normalization spans roughly that) —
+            # rescaling by /255 would silently corrupt it. Raw 0–255 floats
+            # from an overshooting resampler (bicubic can dip a little
+            # negative) don't match this signature: their max stays ≈ 255
+            # and small negatives alone don't trigger. The contract is raw
+            # images (uint8, 0–1 or 0–255 float); the on-device normalizer
+            # applies the FM's mean/std itself.
             raise ValueError(
-                "float image batch has values outside [0, 255] with negatives "
-                f"(min {float(arr.min()):.3g}, max {float(arr.max()):.3g}); it "
-                "looks already normalized. Pass raw images (uint8, 0-1 or "
-                "0-255 float) - normalization happens on device."
+                "float image batch looks already mean/std-normalized "
+                f"(min {float(arr.min()):.3g}, max {float(arr.max()):.3g}); "
+                "pass raw images (uint8, 0-1 or 0-255 float) - normalization "
+                "happens on device."
             )
         arr = (arr / 255.0).astype(np.float32)
     return arr

@@ -163,7 +163,14 @@ def label_components(
 
     def one(bank, ids=None):
         if scoring == "wpmi":
-            scores = soft_wpmi(vocab_embeds, image_embeds, np.asarray(ids), **wpmi_kwargs)
+            ids = np.asarray(ids)
+            n_bank = np.asarray(bank).shape[0]
+            if ids.ndim != 2 or ids.shape[0] != n_bank:
+                raise ValueError(
+                    f"evidence_ids shape {ids.shape} does not match the "
+                    f"{n_bank}-component concept bank (slice both the same way)"
+                )
+            scores = soft_wpmi(vocab_embeds, image_embeds, ids, **wpmi_kwargs)
             order = np.argsort(-scores, axis=1)[:, :top_m]
             words = [[vocabulary[j] for j in row] for row in order]
             return words, np.take_along_axis(scores, order, axis=1).astype(np.float32)
@@ -174,8 +181,12 @@ def label_components(
         return words, np.asarray(vals, np.float32)
 
     if isinstance(aggregated_concept_db, dict):
-        if scoring == "wpmi" and not isinstance(evidence_ids, dict):
-            raise ValueError("evidence_ids must be a {layer: (C, k)} dict for a dict DB")
+        if scoring == "wpmi":
+            if not isinstance(evidence_ids, dict):
+                raise ValueError("evidence_ids must be a {layer: (C, k)} dict for a dict DB")
+            missing = set(aggregated_concept_db) - set(evidence_ids)
+            if missing:
+                raise ValueError(f"evidence_ids missing layers: {sorted(missing)}")
         return {
             key: one(value, evidence_ids[key] if scoring == "wpmi" else None)
             for key, value in aggregated_concept_db.items()

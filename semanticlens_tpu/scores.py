@@ -338,25 +338,56 @@ def soft_wpmi(
         ignored.
 
     Returns (C, V) float32 numpy scores.
+
+    Memory: the full (N, V) softmax table is NEVER materialized — at the
+    advertised scales (1.28M-image table × CLIP-Dissect-size vocabulary) it
+    would be ~100 GB. Only the ≤ C·k UNIQUE evidence rows are computed, and
+    the dataset-mean word probability accumulates over image chunks.
     """
     V = _normalize(jnp.asarray(vocab_embeds, jnp.float32))
-    I = _normalize(jnp.asarray(image_embeds, jnp.float32))
+    I = jnp.asarray(image_embeds, jnp.float32)
     ids = np.asarray(evidence_ids)
     if ids.ndim != 2:
         raise ValueError(f"evidence_ids must be (C, k), got {ids.shape}")
-    P = jax.nn.softmax(
-        temperature * jnp.matmul(I, V.T, precision=jax.lax.Precision.HIGHEST), axis=1
-    )  # (N, V)
-    Pbar = jnp.mean(P, axis=0)  # (V,)
+    n = I.shape[0]
+    if ids.max(initial=-1) >= n:
+        raise ValueError(
+            f"evidence id {int(ids.max())} out of range for a {n}-row embedding table"
+        )
+
+    @jax.jit
+    def p_rows(rows):
+        return jax.nn.softmax(
+            temperature
+            * jnp.matmul(_normalize(rows), V.T, precision=jax.lax.Precision.HIGHEST),
+            axis=1,
+        )
+
+    # Pbar: streamed mean over all N images, img_chunk×V at a time.
+    img_chunk = max(chunk, 4096)
+    psum = jnp.zeros((V.shape[0],), jnp.float32)
+    for i in range(0, n, img_chunk):
+        psum = psum + jnp.sum(p_rows(I[i : i + img_chunk]), axis=0)
+    Pbar = psum / n
+
+    # Softmax rows for the unique evidence ids only; remap ids → row index.
+    unique = np.unique(ids[ids >= 0])
+    if unique.size == 0:
+        return np.zeros((ids.shape[0], int(V.shape[0])), np.float32)
+    P_need = p_rows(I[jnp.asarray(unique)])  # (U, V)
+    remap = np.searchsorted(unique, np.maximum(ids, 0))
 
     out = []
     for i in range(0, ids.shape[0], chunk):
+        # _wpmi_chunk gathers P[max(ids, 0)]; sentinel rows carry zero weight
+        # so any in-range row works — position 0 of the remapped table.
+        mapped = np.where(ids[i : i + chunk] >= 0, remap[i : i + chunk], -1)
         out.append(
             np.asarray(
                 _wpmi_chunk(
-                    P,
+                    P_need,
                     Pbar,
-                    jnp.asarray(ids[i : i + chunk]),
+                    jnp.asarray(mapped),
                     lam=lam,
                     p_start=p_start,
                     p_end=p_end,

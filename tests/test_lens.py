@@ -356,3 +356,26 @@ def test_wpmi_dict_db_dispatch_and_cv_table_retention(tmp_path):
             fm, vocab, db, scoring="wpmi", evidence_ids=ids["l1"],
             image_embeds=image_embeds, vocab_embeds=np.asarray(ve, np.float32),
         )
+
+
+def test_wpmi_evidence_bank_shape_mismatch_rejected():
+    """Sliced banks with full-size evidence (or missing layers) must fail
+    loudly, not silently label the wrong rows."""
+    from semanticlens_tpu.lens import label_components
+
+    fm = FakeFM(dim=8)
+    table = np.random.default_rng(0).normal(size=(10, 8)).astype(np.float32)
+    ve = np.asarray(fm.encode_text(fm.tokenize(["a", "b"])), np.float32)
+    bank = np.random.default_rng(1).normal(size=(3, 8)).astype(np.float32)
+    ids_wrong = np.zeros((5, 2), np.int64)  # 5 evidence rows vs 3 bank rows
+    with pytest.raises(ValueError, match="does not match"):
+        label_components(fm, ["a", "b"], bank, scoring="wpmi",
+                         evidence_ids=ids_wrong, image_embeds=table, vocab_embeds=ve)
+    with pytest.raises(ValueError, match="missing layers"):
+        label_components(fm, ["a", "b"], {"l1": bank, "l2": bank}, scoring="wpmi",
+                         evidence_ids={"l1": np.zeros((3, 2), np.int64)},
+                         image_embeds=table, vocab_embeds=ve)
+    with pytest.raises(ValueError, match="out of range"):
+        label_components(fm, ["a", "b"], bank, scoring="wpmi",
+                         evidence_ids=np.full((3, 2), 99, np.int64),
+                         image_embeds=table, vocab_embeds=ve)

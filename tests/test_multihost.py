@@ -357,3 +357,31 @@ def test_grain_fused_multihost_single_process(fixture):
 
     _, ref_db, _ = fused_multihost(mk(), params, ds, 4, embed_fn)
     np.testing.assert_allclose(db["c"], ref_db["c"], rtol=1e-6)
+
+
+def test_grain_resume_skips_decode_of_earlier_records(fixture):
+    """Resuming at start_index must SLICE the stream, not decode-and-drop
+    (an almost-done sweep must not pay O(shard) decode on resume)."""
+    pytest.importorskip("grain")
+    from semanticlens_tpu.data.grain_adapter import GrainShardDataset
+
+    params, ds, mk = fixture
+    touched = []
+
+    class CountingSource:
+        def __len__(self):
+            return len(ds.images)
+
+        def __getitem__(self, k):
+            touched.append(int(k))
+            return ds.images[k]
+
+    gds = GrainShardDataset(CountingSource(), transform=_f32, name="g",
+                            process_index=0, process_count=1)
+    batches = list(gds.iter_batches(4, start_index=16))
+    assert batches[0].start_index == 16
+    assert min(touched) >= 16, f"records before the resume point were decoded: {sorted(set(touched))[:5]}"
+    assert max(touched) == len(ds.images) - 1
+
+    with pytest.raises(ValueError, match="multiple of"):
+        list(gds.iter_batches(4, start_index=3))

@@ -201,10 +201,6 @@ def check_file(path: Path) -> list[str]:
         bound, star = _bindings(node)
         any_star |= star
         scopes[node] = (bound, parent)
-        for child in ast.walk(node):
-            if child is node:
-                continue
-            # find direct nested scopes (walk gives all; recurse via ownership)
         for child in _direct_nested_scopes(node):
             collect(child, node)
 
