@@ -445,3 +445,20 @@ def test_residual_add_splits_proportionally():
     np.testing.assert_allclose(np.asarray(ra), np.asarray(seed * a / (a + b)), rtol=1e-4)
     # outside a composite it's a plain add
     np.testing.assert_allclose(np.asarray(residual_add(a, b)), np.asarray(a + b))
+
+
+def test_lrp_attribution_through_vgg(tmp_path):
+    """The canonical LRP subject: VGG heatmaps are finite, conserving-ish,
+    and localize through maxpool (winner-take-all backward)."""
+    from semanticlens_tpu.models import VGG
+
+    model = VGG(depth=11, num_classes=4, dtype=jnp.float32)
+    model.params = model.init(jax.random.PRNGKey(11))
+    model.name = "vgg11-lrp"
+
+    fn = make_attribution_fn(model, "features.8", composite="epsilon_plus_flat")
+    imgs = jnp.asarray(np.random.default_rng(11).random((2, 224, 224, 3)).astype(np.float32))
+    heat = np.asarray(fn(model.params, imgs, jnp.int32(3)))
+    assert heat.shape == (2, 224, 224)
+    assert np.isfinite(heat).all()
+    assert np.abs(heat).max() > 0
