@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--image-dir", default=None)
     ap.add_argument("--n-synthetic", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
-    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext"])
+    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext", "vgg"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--variant", default="", help="'' (torchvision) or 'd' (timm resnet*d)")
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
@@ -74,14 +74,14 @@ def main():
     ap.add_argument(
         "--model-checkpoint",
         default=None,
-        help="subject-model state dict (.pt): torchvision ResNet for --arch resnet, timm ViT-B for --arch vit",
+        help="subject-model state dict (.pt): torchvision ResNet/VGG, timm ViT-B or ConvNeXt per --arch",
     )
     ap.add_argument("--bpe", default=None)
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--no-mesh", action="store_true")
     args = ap.parse_args()
-    if args.arch != "resnet" and args.depth != 50:
-        ap.error("--depth configures --arch resnet only")
+    if args.arch not in ("resnet", "vgg") and args.depth != 50:
+        ap.error("--depth configures --arch resnet/vgg only")
     if args.arch == "vit" and args.variant:
         ap.error("--variant means timm resnet*d for --arch resnet, or tiny/small/base for --arch convnext")
 
@@ -138,6 +138,18 @@ def main():
             args.layers = [f"stages.{i}" for i in range(4)]
         aggregate_fn = aggregate_conv_mean
         model_name = f"convnext-{model.variant}-audit"
+    elif args.arch == "vgg":
+        from semanticlens_tpu.models import VGG
+
+        depth = args.depth if args.depth in (11, 13, 16, 19) else 16
+        model = VGG(depth=depth, dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            # last conv of each stage (vgg16 torchvision indices)
+            stage_last = {11: [0, 3, 8, 13, 18], 13: [2, 7, 12, 17, 22],
+                          16: [2, 7, 14, 21, 28], 19: [2, 7, 16, 25, 34]}[depth]
+            args.layers = [f"features.{i}" for i in stage_last[1:]]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"vgg{depth}-audit"
     else:
         model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, variant=args.variant)
         aggregate_fn = aggregate_conv_mean
