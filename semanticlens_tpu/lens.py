@@ -68,6 +68,36 @@ def image_probing(fm: AbstractVLM, query, aggregated_concept_db):
     return _probe(query_embed, aggregated_concept_db)
 
 
+def cav_probing(
+    fm: AbstractVLM,
+    concept_images,
+    negative_images,
+    aggregated_concept_db,
+):
+    """Probe components with a Concept Activation Vector from image examples.
+
+    TCAV-style concept probing (Kim et al. 2018) with the FastCAV closed
+    form (:func:`semanticlens_tpu.scores.fastcav`, arXiv:2505.17883): embed
+    a handful of concept examples and negative/random examples with the FM,
+    take the unit class-mean-difference direction, and cosine-probe the
+    aggregated concept DB with it. A capability extension over the
+    reference's single-image / text probing (lens.py:59-162): the CAV
+    direction subtracts away whatever the negatives share with the concept
+    (style, photographic statistics), which a raw image probe cannot.
+
+    Returns ``{layer: (C,) scores}`` (or a bare array), same contract as
+    :func:`image_probing`.
+    """
+    from semanticlens_tpu.scores import fastcav
+
+    pos = np.asarray(fm.encode_image(fm.preprocess(concept_images)), np.float32)
+    neg = np.asarray(fm.encode_image(fm.preprocess(negative_images)), np.float32)
+    if pos.ndim != 2 or neg.ndim != 2:
+        raise ValueError("concept/negative images must embed to (N, D) batches")
+    cav = np.asarray(fastcav(pos, neg), np.float32)[None]  # (1, D)
+    return _probe(cav, aggregated_concept_db)
+
+
 def _encode_text_chunked(fm: AbstractVLM, texts: list[str], batch_size: int | None) -> np.ndarray:
     """tokenize+encode ``texts`` in ``batch_size`` chunks (one batch if None)."""
     step = batch_size or len(texts)
@@ -283,6 +313,10 @@ class Lens:
     def image_probing(self, query, aggregated_concept_db):
         """Wrapper over the stateless :func:`image_probing` with the held FM."""
         return image_probing(self.fm, query, aggregated_concept_db)
+
+    def cav_probing(self, concept_images, negative_images, aggregated_concept_db):
+        """Wrapper over the stateless :func:`cav_probing` with the held FM."""
+        return cav_probing(self.fm, concept_images, negative_images, aggregated_concept_db)
 
     def label_components(self, vocabulary, aggregated_concept_db, **kwargs):
         """Wrapper over the stateless :func:`label_components` with the held FM."""

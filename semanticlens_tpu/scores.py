@@ -40,6 +40,7 @@ __all__ = [
     "polysemanticity_score",
     "topk_cosine_search",
     "soft_wpmi",
+    "fastcav",
 ]
 
 
@@ -395,3 +396,25 @@ def soft_wpmi(
             )
         )
     return np.concatenate(out, axis=0).astype(np.float32)
+
+
+@jax.jit
+def fastcav(pos_embeds, neg_embeds):
+    """Concept activation vector via the FastCAV closed form
+    (Schmalwasser et al., arXiv:2505.17883): the unit-normalized class-mean
+    difference, which the paper shows is equivalent to the classic SVM-CAV
+    (TCAV, Kim et al. 2018) under high-dimensional concentration — at a few
+    orders of magnitude less compute, and here as ONE fused XLA reduction.
+
+    Parameters
+    ----------
+    pos_embeds : (P, D) embeddings of concept examples.
+    neg_embeds : (N, D) embeddings of random/negative examples.
+
+    Returns (D,) float32 unit vector pointing from the negative set toward
+    the concept.
+    """
+    pos = jnp.mean(jnp.asarray(pos_embeds, jnp.float32), axis=0)
+    neg = jnp.mean(jnp.asarray(neg_embeds, jnp.float32), axis=0)
+    v = pos - neg
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)

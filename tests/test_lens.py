@@ -379,3 +379,36 @@ def test_wpmi_evidence_bank_shape_mismatch_rejected():
         label_components(fm, ["a", "b"], bank, scoring="wpmi",
                          evidence_ids=np.full((3, 2), 99, np.int64),
                          image_embeds=table, vocab_embeds=ve)
+
+
+def test_cav_probing_separates_concept_components():
+    """CAV probing ranks the concept-aligned component first even when a
+    style direction shared by pos/neg examples would confound image probing."""
+    from semanticlens_tpu.lens import cav_probing, image_probing
+
+    d = 16
+    concept = np.zeros(d, np.float32); concept[0] = 1.0
+    style = np.zeros(d, np.float32); style[1] = 1.0
+
+    class IdentityFM:
+        name = "idfm"
+
+        def preprocess(self, img):
+            return np.asarray(img, np.float32)
+
+        def encode_image(self, img):
+            # "images" here ARE embeddings — isolates the probing math.
+            return np.asarray(img, np.float32)
+
+    rng = np.random.default_rng(1)
+    pos = concept + style + rng.normal(0, 0.05, (8, d)).astype(np.float32)
+    neg = style + rng.normal(0, 0.05, (8, d)).astype(np.float32)
+
+    bank = np.stack([concept, style, rng.normal(0, 1, d).astype(np.float32)])
+    out = cav_probing(IdentityFM(), pos, neg, {"l": bank})
+    scores = np.asarray(out["l"])[0]
+    assert scores.argmax() == 0, scores
+
+    # the confound: a raw image probe scores the style component competitively
+    raw = np.asarray(image_probing(IdentityFM(), pos, {"l": bank})["l"])[0]
+    assert raw[1] > 0.5  # style reads as a strong match without the CAV

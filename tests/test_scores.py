@@ -265,3 +265,23 @@ def test_class_composition_from_collect_sweep():
     valid = (np.asarray(states["layer4"].ids) >= 0).sum(axis=1)
     np.testing.assert_array_equal(counts.sum(axis=1), valid)
     assert ((purity >= 0) & (purity <= 1)).all()
+
+
+def test_fastcav_closed_form():
+    """FastCAV = unit mean-difference; separates a planted concept direction
+    that a raw mean-image probe confounds with shared style."""
+    from semanticlens_tpu.scores import fastcav
+
+    rng = np.random.default_rng(0)
+    d = 32
+    concept = np.zeros(d); concept[0] = 1.0
+    style = np.zeros(d); style[1] = 1.0  # shared by BOTH sets (e.g. photo stats)
+    pos = concept + style + rng.normal(0, 0.05, (20, d))
+    neg = style + rng.normal(0, 0.05, (20, d))
+    cav = np.asarray(fastcav(pos, neg))
+    np.testing.assert_allclose(np.linalg.norm(cav), 1.0, rtol=1e-5)
+    assert cav[0] > 0.99          # points at the concept
+    assert abs(cav[1]) < 0.1      # the shared style direction is subtracted
+    # raw positive mean does NOT cancel style
+    raw = pos.mean(0) / np.linalg.norm(pos.mean(0))
+    assert abs(raw[1]) > 0.5
