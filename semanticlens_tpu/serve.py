@@ -88,6 +88,14 @@ class SearchService:
     FUSED_K = 32
     FUSED_SEARCH_MAX_ELEMENTS = 1 << 28
 
+    def _device_banks(self):
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_banks_dev"):
+            norm = lambda a: a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+            self._banks_dev = {k_: norm(jnp.asarray(v)) for k_, v in self.banks.items()}
+        return self._banks_dev
+
     def _fused_search(self):
         """One jitted program: (1, D) query → every layer's top-FUSED_K."""
         import jax
@@ -97,15 +105,13 @@ class SearchService:
             with self._fused_lock:
                 if hasattr(self, "_fused_program"):  # lost the build race
                     return self._fused_program
-                norm = lambda a: a / jnp.maximum(
-                    jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12
-                )
-                banks_dev = {k_: norm(jnp.asarray(v)) for k_, v in self.banks.items()}
+                banks_dev = self._device_banks()
                 kk = self.FUSED_K
 
                 @jax.jit
                 def search(q):
-                    qn = norm(q.astype(jnp.float32))
+                    qn = q.astype(jnp.float32)
+                    qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
                     out = {}
                     for layer, bank in banks_dev.items():
                         # HIGHEST: served scores must equal the offline probing
@@ -116,6 +122,51 @@ class SearchService:
 
                 self._fused_program = search
         return self._fused_program
+
+    def _fused_text_search(self):
+        """TOKEN IDS → text tower → every layer's top-FUSED_K, ONE dispatch.
+
+        The two-dispatch path (encode_text, host round trip, bank search)
+        pays the per-program floor twice; built-in FMs expose their raw
+        pieces (``params`` + jitted ``_encode_text``), so the whole query
+        compiles into one XLA program. Returns None for FMs without the
+        traceable contract (mock/test FMs) — callers fall back.
+
+        Template handling matches ``_embed_text_probes`` exactly for a
+        single query: rows [0, T) are the filled templates, rows [T, 2T)
+        the empty ones; the bias-corrected mean is computed on device.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        fm = self.fm
+        if not (hasattr(fm, "params") and hasattr(fm, "_encode_text")):
+            return None
+        if not hasattr(self, "_fused_text_program"):
+            with self._fused_lock:
+                if hasattr(self, "_fused_text_program"):
+                    return self._fused_text_program
+                banks_dev = self._device_banks()
+                kk = self.FUSED_K
+                templated = bool(self.templates)
+                n_templates = len(self.templates) if self.templates else 0
+
+                @jax.jit
+                def search_text(params, tokens):
+                    emb = fm._encode_text(params, tokens).astype(jnp.float32)
+                    if templated:
+                        q = jnp.mean(emb[:n_templates] - emb[n_templates:], axis=0, keepdims=True)
+                    else:
+                        q = emb
+                    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+                    out = {}
+                    for layer, bank in banks_dev.items():
+                        sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
+                        out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
+                    return out
+
+                self._fused_text_program = search_text
+        return self._fused_text_program
 
     def _bank_topk(self, q: np.ndarray, k: int) -> dict:
         """(1, D) query → per-layer top-k ids+scores (shared search core)."""
@@ -143,6 +194,30 @@ class SearchService:
 
     def text_search(self, query: str, k: int = 5) -> dict:
         """Top-k components per layer for a natural-language query."""
+        import numpy as _np
+
+        total = sum(int(np.prod(v.shape)) for v in self.banks.values())
+        fused = (
+            self._fused_text_search()
+            if (k <= self.FUSED_K and total <= self.FUSED_SEARCH_MAX_ELEMENTS)
+            else None
+        )
+        if fused is not None:
+            if self.templates:
+                texts = [t.format(query) for t in self.templates] + [
+                    t.format("") for t in self.templates
+                ]
+            else:
+                texts = [query]
+            results = fused(self.fm.params, self.fm.tokenize(texts))
+            return {
+                layer: {
+                    "ids": _np.asarray(idx)[:k].tolist(),
+                    "scores": [round(float(v), 6) for v in _np.asarray(vals)[:k]],
+                }
+                for layer, (vals, idx) in results.items()
+            }
+
         from semanticlens_tpu.lens import _embed_text_probes
 
         return self._bank_topk(_embed_text_probes(self.fm, [query], self.templates, None), k)

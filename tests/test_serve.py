@@ -291,3 +291,36 @@ def test_fused_program_single_build_under_race():
         futs = [pool.submit(svc._fused_search) for _ in range(16)]
         programs = [f.result() for f in futs]
     assert all(p is programs[0] for p in programs)
+
+
+class TracedFM(FakeFM):
+    """FakeFM + the traceable contract (params, jitted-able _encode_text)
+    that built-in FMs expose — enables the one-dispatch text search."""
+
+    def __init__(self, dim=16):
+        super().__init__(dim)
+        import jax.numpy as jnp
+
+        self.params = {"table": jnp.asarray(self._table)}
+
+    def _encode_text(self, params, tokens):
+        return params["table"][tokens[:, 0]]
+
+
+@pytest.mark.parametrize("templates", [None, ["a photo of a {}", "art of the {}"]])
+def test_fused_text_search_matches_two_step_path(templates):
+    """ONE-dispatch token→tower→top-k must equal the legacy encode-then-
+    search path bit-for-bit (ids) / to fp tolerance (scores)."""
+    rng = np.random.default_rng(4)
+    bank = rng.normal(size=(12, 16)).astype(np.float32)
+
+    fused_svc = SearchService(TracedFM(), {"l": bank}, templates=templates, warmup=False)
+    assert fused_svc._fused_text_search() is not None
+    legacy_svc = SearchService(FakeFM(), {"l": bank}, templates=templates, warmup=False)
+    assert legacy_svc._fused_text_search() is None  # no traceable contract
+
+    for q in ["dog", "sky"]:
+        got = fused_svc.text_search(q, k=4)["l"]
+        want = legacy_svc.text_search(q, k=4)["l"]
+        assert got["ids"] == want["ids"], (q, got, want)
+        np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
