@@ -222,8 +222,54 @@ class SearchService:
 
         return self._bank_topk(_embed_text_probes(self.fm, [query], self.templates, None), k)
 
+    def _fused_image_search(self):
+        """Preprocessed image batch → vision tower → all-layer top-k, ONE
+        dispatch (see :meth:`_fused_text_search`); None without the
+        traceable FM contract."""
+        import jax
+        import jax.numpy as jnp
+
+        fm = self.fm
+        if not (hasattr(fm, "params") and hasattr(fm, "_encode_image")):
+            return None
+        if not hasattr(self, "_fused_image_program"):
+            with self._fused_lock:
+                if hasattr(self, "_fused_image_program"):
+                    return self._fused_image_program
+                banks_dev = self._device_banks()
+                kk = self.FUSED_K
+
+                @jax.jit
+                def search_image(params, images):
+                    emb = fm._encode_image(params, images).astype(jnp.float32)
+                    q = jnp.mean(emb, axis=0, keepdims=True)  # multi-image: mean probe
+                    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+                    out = {}
+                    for layer, bank in banks_dev.items():
+                        sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
+                        out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
+                    return out
+
+                self._fused_image_program = search_image
+        return self._fused_image_program
+
     def image_search(self, image: np.ndarray, k: int = 5) -> dict:
         """Top-k components per layer for an image query (H, W, 3 uint8)."""
+        total = sum(int(np.prod(v.shape)) for v in self.banks.values())
+        fused = (
+            self._fused_image_search()
+            if (k <= self.FUSED_K and total <= self.FUSED_SEARCH_MAX_ELEMENTS)
+            else None
+        )
+        if fused is not None:
+            results = fused(self.fm.params, self.fm.preprocess(image[None]))
+            return {
+                layer: {
+                    "ids": np.asarray(idx)[:k].tolist(),
+                    "scores": [round(float(v), 6) for v in np.asarray(vals)[:k]],
+                }
+                for layer, (vals, idx) in results.items()
+            }
         q = np.asarray(self.fm.encode_image(self.fm.preprocess(image[None])), np.float32)
         return self._bank_topk(q, k)
 

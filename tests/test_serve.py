@@ -324,3 +324,24 @@ def test_fused_text_search_matches_two_step_path(templates):
         want = legacy_svc.text_search(q, k=4)["l"]
         assert got["ids"] == want["ids"], (q, got, want)
         np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
+
+
+def test_fused_image_search_matches_two_step_path():
+    class TracedImgFM(TracedFM):
+        def _encode_image(self, params, img):
+            import jax.numpy as jnp
+
+            return jnp.reshape(img, (img.shape[0], -1))[:, : self.dim]
+
+    rng = np.random.default_rng(5)
+    bank = rng.normal(size=(10, 16)).astype(np.float32)
+    fused_svc = SearchService(TracedImgFM(), {"l": bank}, warmup=False)
+    assert fused_svc._fused_image_search() is not None
+    legacy_svc = SearchService(FakeFM(), {"l": bank}, warmup=False)
+    assert legacy_svc._fused_image_search() is None
+
+    img = rng.normal(size=(4, 4, 16)).astype(np.float32)
+    got = fused_svc.image_search(img, k=3)["l"]
+    want = legacy_svc.image_search(img, k=3)["l"]
+    assert got["ids"] == want["ids"]
+    np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
