@@ -3,6 +3,9 @@
 test:
 	python -m pytest tests/ -q
 
+test-cov:
+	python tools/coverage.py --min 85 tests/ -q
+
 lint:
 	@if command -v ruff >/dev/null 2>&1; then \
 		ruff check semanticlens_tpu tools tests; \
