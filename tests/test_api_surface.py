@@ -155,3 +155,83 @@ def test_shard_batch_places_on_data_axis():
     mesh = data_mesh(8)
     arr = shard_batch(np.zeros((16, 3), np.float32), mesh)
     assert arr.sharding.spec == P("data")
+
+
+def test_mesh_helpers_cover_edge_branches():
+    import jax
+
+    from semanticlens_tpu.core import data_mesh
+    from semanticlens_tpu.core.mesh import replicate, shard_concept_db
+
+    with pytest.raises(ValueError, match="available"):
+        data_mesh(10_000)
+
+    mesh = data_mesh(4)
+    tree = {"w": np.ones((3, 3), np.float32)}
+    rep = replicate(tree, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+
+    db = {
+        "even": np.zeros((8, 2, 4), np.float32),
+        "odd": np.zeros((7, 2, 4), np.float32),  # 7 % 4 != 0 → replicated
+    }
+    sharded = shard_concept_db(db, mesh)
+    assert not sharded["even"].sharding.is_fully_replicated
+    assert sharded["odd"].sharding.is_fully_replicated
+    del jax
+
+
+def test_enable_compilation_cache_idempotent(tmp_path):
+    from semanticlens_tpu.core import enable_compilation_cache
+
+    d = enable_compilation_cache(str(tmp_path / "xla"))
+    assert d == str(tmp_path / "xla")
+    import os
+
+    assert os.path.isdir(d)
+    assert enable_compilation_cache(d) == d  # second call: no-op
+
+
+def test_abc_compat_shims():
+    """The reference's torch device plumbing survives as no-op shims."""
+    from semanticlens_tpu.collect.base import AbstractComponentVisualizer
+    from semanticlens_tpu.foundation_models.base import AbstractVLM
+
+    class MinimalCV(AbstractComponentVisualizer):
+        def run(self, *a, **k):
+            return {}
+
+        def _compute_concept_db(self, fm, **k):
+            return {}
+
+        def get_max_reference(self, layer_name):
+            return np.zeros((1, 1), np.int64)
+
+        @property
+        def caching(self):
+            return False
+
+        @property
+        def storage_dir(self):
+            return None
+
+    cv = MinimalCV()
+    assert cv.device is None and cv.to("cuda:0") is cv
+    with pytest.raises(NotImplementedError):
+        _ = cv.metadata
+
+    class MinimalVLM(AbstractVLM):
+        def encode_image(self, i):
+            return i
+
+        def encode_text(self, t):
+            return t
+
+        def preprocess(self, i):
+            return i
+
+        def tokenize(self, t):
+            return t
+
+    vlm = MinimalVLM()
+    assert vlm.to("cuda:0") is vlm
