@@ -85,3 +85,40 @@ def test_decoder_pil_bypasses_native(jpeg_dir):
 def test_decoder_arg_validation(jpeg_dir):
     with pytest.raises(ValueError):
         ImageFolder(jpeg_dir, decoder="gpu")
+
+
+def test_build_failure_degrades_gracefully(monkeypatch, tmp_path):
+    """Compiler failure / missing toolchain must leave the decoder
+    unavailable (PIL fallback), never raise into the data path."""
+    import subprocess
+
+    from semanticlens_tpu.data import native_decoder as nd
+
+    # isolate module state
+    monkeypatch.setattr(nd, "_LIB", None)
+    monkeypatch.setattr(nd, "_FAILED", False)
+    monkeypatch.setattr(nd, "_so_path", lambda: tmp_path / "nope" / "libsldecode.so")
+
+    def boom(*a, **k):
+        raise OSError("no compiler")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    assert nd._build() is None
+    assert nd._load() is None and nd._FAILED
+    assert nd.is_available() is False  # cached failure short-circuits
+
+
+def test_build_nonzero_exit_cleans_tmp(monkeypatch, tmp_path):
+    import subprocess
+    import types
+
+    from semanticlens_tpu.data import native_decoder as nd
+
+    monkeypatch.setattr(nd, "_so_path", lambda: tmp_path / "b" / "libsldecode.so")
+
+    def fail_run(cmd, **k):
+        return types.SimpleNamespace(returncode=1, stderr="boom")
+
+    monkeypatch.setattr(subprocess, "run", fail_run)
+    assert nd._build() is None
+    assert not list((tmp_path / "b").glob("*.tmp")), "tmp artifact left behind"
