@@ -194,8 +194,6 @@ class SearchService:
 
     def text_search(self, query: str, k: int = 5) -> dict:
         """Top-k components per layer for a natural-language query."""
-        import numpy as _np
-
         total = sum(int(np.prod(v.shape)) for v in self.banks.values())
         fused = (
             self._fused_text_search()
@@ -212,8 +210,8 @@ class SearchService:
             results = fused(self.fm.params, self.fm.tokenize(texts))
             return {
                 layer: {
-                    "ids": _np.asarray(idx)[:k].tolist(),
-                    "scores": [round(float(v), 6) for v in _np.asarray(vals)[:k]],
+                    "ids": np.asarray(idx)[:k].tolist(),
+                    "scores": [round(float(v), 6) for v in np.asarray(vals)[:k]],
                 }
                 for layer, (vals, idx) in results.items()
             }
