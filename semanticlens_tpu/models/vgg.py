@@ -50,7 +50,8 @@ class VGG(SubjectModel):
     Parameters
     ----------
     depth : one of 11, 13, 16, 19.
-    num_classes : classifier width (0 → headless, returns pooled features).
+    num_classes : classifier width (0 → headless: returns the 4096-d
+        penultimate activation, after ``classifier.4``'s ReLU).
     batch_norm : the ``vgg*_bn`` variant (conv → BN → ReLU triplets).
     dtype : activation dtype (bfloat16 by default — the MXU-native dtype).
     """
@@ -84,7 +85,9 @@ class VGG(SubjectModel):
     def _enumerate_module_names(self):
         names = ["features"] + [f"features.{i}" for i, _, _ in self._plan]
         names += ["avgpool", "classifier"]
-        for i in (0, 1, 3, 4):
+        # classifier.2/.5 are torchvision's Dropout modules — identity at
+        # inference, but valid hook targets there, so valid tap names here.
+        for i in (0, 1, 2, 3, 4, 5):
             names.append(f"classifier.{i}")
         if self.num_classes:
             names.append("classifier.6")
@@ -173,9 +176,9 @@ class VGG(SubjectModel):
         # torch flattens NCHW → channel-major columns of classifier.0.weight.
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c * 7 * 7)
         x = tap("classifier.0", linear(x, params["classifier.0.weight"], params["classifier.0.bias"]))
-        x = tap("classifier.1", jax.nn.relu(x))
+        x = tap("classifier.2", tap("classifier.1", jax.nn.relu(x)))  # .2 = Dropout (identity)
         x = tap("classifier.3", linear(x, params["classifier.3.weight"], params["classifier.3.bias"]))
-        x = tap("classifier.4", jax.nn.relu(x))
+        x = tap("classifier.5", tap("classifier.4", jax.nn.relu(x)))  # .5 = Dropout (identity)
         if self.num_classes:
             logits = tap(
                 "classifier.6",

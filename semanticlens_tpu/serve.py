@@ -96,31 +96,47 @@ class SearchService:
             self._banks_dev = {k_: norm(jnp.asarray(v)) for k_, v in self.banks.items()}
         return self._banks_dev
 
+    def _fits_fused(self, k: int) -> bool:
+        """Whether the one-compiled-program path serves this k/bank size."""
+        if not hasattr(self, "_total_bank_elements"):
+            self._total_bank_elements = sum(int(np.prod(v.shape)) for v in self.banks.values())
+        return k <= self.FUSED_K and self._total_bank_elements <= self.FUSED_SEARCH_MAX_ELEMENTS
+
+    @staticmethod
+    def _format_topk(results: dict, k: int) -> dict:
+        """Device top-FUSED_K results → the JSON payload, sliced to k."""
+        return {
+            layer: {
+                "ids": np.asarray(idx)[:k].tolist(),
+                "scores": [round(float(v), 6) for v in np.asarray(vals)[:k]],
+            }
+            for layer, (vals, idx) in results.items()
+        }
+
+    def _bank_search_traced(self, q):
+        """Trace-time core shared by all fused programs: normalized (1, D)
+        query → per-layer (top-FUSED_K values, ids). HIGHEST precision so
+        served scores equal the offline probing path bit-for-bit."""
+        import jax
+        import jax.numpy as jnp
+
+        qn = q.astype(jnp.float32)
+        qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
+        out = {}
+        for layer, bank in self._device_banks().items():
+            sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
+            out[layer] = jax.lax.top_k(sim, min(self.FUSED_K, bank.shape[0]))
+        return out
+
     def _fused_search(self):
         """One jitted program: (1, D) query → every layer's top-FUSED_K."""
         import jax
-        import jax.numpy as jnp
 
         if not hasattr(self, "_fused_program"):
             with self._fused_lock:
                 if hasattr(self, "_fused_program"):  # lost the build race
                     return self._fused_program
-                banks_dev = self._device_banks()
-                kk = self.FUSED_K
-
-                @jax.jit
-                def search(q):
-                    qn = q.astype(jnp.float32)
-                    qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
-                    out = {}
-                    for layer, bank in banks_dev.items():
-                        # HIGHEST: served scores must equal the offline probing
-                        # path (topk_cosine_search / cosine_probe) bit-for-bit.
-                        sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
-                        out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
-                    return out
-
-                self._fused_program = search
+                self._fused_program = jax.jit(self._bank_search_traced)
         return self._fused_program
 
     def _fused_text_search(self):
@@ -130,11 +146,13 @@ class SearchService:
         pays the per-program floor twice; built-in FMs expose their raw
         pieces (``params`` + jitted ``_encode_text``), so the whole query
         compiles into one XLA program. Returns None for FMs without the
-        traceable contract (mock/test FMs) — callers fall back.
+        traceable contract (mock/test FMs) — callers fall back, including
+        when a duck-typed FM matches the attribute names but fails to trace
+        (the caller disables the path on first error).
 
-        Template handling matches ``_embed_text_probes`` exactly for a
-        single query: rows [0, T) are the filled templates, rows [T, 2T)
-        the empty ones; the bias-corrected mean is computed on device.
+        With templates, the query-independent empty-template embeddings are
+        computed ONCE at build time and baked into the program as the bias
+        constant — each request encodes only the T filled rows.
         """
         import jax
         import jax.numpy as jnp
@@ -142,44 +160,47 @@ class SearchService:
         fm = self.fm
         if not (hasattr(fm, "params") and hasattr(fm, "_encode_text")):
             return None
+        if getattr(self, "_fused_text_disabled", False):
+            return None
         if not hasattr(self, "_fused_text_program"):
             with self._fused_lock:
                 if hasattr(self, "_fused_text_program"):
                     return self._fused_text_program
-                banks_dev = self._device_banks()
-                kk = self.FUSED_K
-                templated = bool(self.templates)
-                n_templates = len(self.templates) if self.templates else 0
-
-                @jax.jit
-                def search_text(params, tokens):
-                    emb = fm._encode_text(params, tokens).astype(jnp.float32)
-                    if templated:
-                        q = jnp.mean(emb[:n_templates] - emb[n_templates:], axis=0, keepdims=True)
+                try:
+                    if self.templates:
+                        empty_emb = jnp.asarray(
+                            fm._encode_text(
+                                fm.params, fm.tokenize([t.format("") for t in self.templates])
+                            ),
+                            jnp.float32,
+                        )  # (T, D) — a constant of the service
                     else:
-                        q = emb
-                    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-                    out = {}
-                    for layer, bank in banks_dev.items():
-                        sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
-                        out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
-                    return out
+                        empty_emb = None
 
-                self._fused_text_program = search_text
+                    @jax.jit
+                    def search_text(params, tokens):
+                        emb = fm._encode_text(params, tokens).astype(jnp.float32)
+                        if empty_emb is not None:
+                            q = jnp.mean(emb - empty_emb, axis=0, keepdims=True)
+                        else:
+                            q = emb
+                        return self._bank_search_traced(q)
+
+                    self._fused_text_program = search_text
+                except Exception:
+                    logger.warning(
+                        "FM matches the traceable contract by name but failed to "
+                        "build the fused text search; using the two-step path",
+                        exc_info=True,
+                    )
+                    self._fused_text_disabled = True
+                    return None
         return self._fused_text_program
 
     def _bank_topk(self, q: np.ndarray, k: int) -> dict:
         """(1, D) query → per-layer top-k ids+scores (shared search core)."""
-        total = sum(int(np.prod(v.shape)) for v in self.banks.values())
-        if k <= self.FUSED_K and total <= self.FUSED_SEARCH_MAX_ELEMENTS:
-            results = self._fused_search()(q)
-            return {
-                layer: {
-                    "ids": np.asarray(idx)[:k].tolist(),
-                    "scores": [round(float(v), 6) for v in np.asarray(vals)[:k]],
-                }
-                for layer, (vals, idx) in results.items()
-            }
+        if self._fits_fused(k):
+            return self._format_topk(self._fused_search()(q), k)
 
         from semanticlens_tpu.scores import topk_cosine_search
 
@@ -194,27 +215,20 @@ class SearchService:
 
     def text_search(self, query: str, k: int = 5) -> dict:
         """Top-k components per layer for a natural-language query."""
-        total = sum(int(np.prod(v.shape)) for v in self.banks.values())
-        fused = (
-            self._fused_text_search()
-            if (k <= self.FUSED_K and total <= self.FUSED_SEARCH_MAX_ELEMENTS)
-            else None
-        )
+        fused = self._fused_text_search() if self._fits_fused(k) else None
         if fused is not None:
-            if self.templates:
-                texts = [t.format(query) for t in self.templates] + [
-                    t.format("") for t in self.templates
-                ]
-            else:
-                texts = [query]
-            results = fused(self.fm.params, self.fm.tokenize(texts))
-            return {
-                layer: {
-                    "ids": np.asarray(idx)[:k].tolist(),
-                    "scores": [round(float(v), 6) for v in np.asarray(vals)[:k]],
-                }
-                for layer, (vals, idx) in results.items()
-            }
+            texts = (
+                [t.format(query) for t in self.templates] if self.templates else [query]
+            )
+            try:
+                return self._format_topk(fused(self.fm.params, self.fm.tokenize(texts)), k)
+            except Exception:
+                logger.warning(
+                    "fused text search failed at dispatch; falling back to the "
+                    "two-step path permanently",
+                    exc_info=True,
+                )
+                self._fused_text_disabled = True
 
         from semanticlens_tpu.lens import _embed_text_probes
 
@@ -230,44 +244,37 @@ class SearchService:
         fm = self.fm
         if not (hasattr(fm, "params") and hasattr(fm, "_encode_image")):
             return None
+        if getattr(self, "_fused_image_disabled", False):
+            return None
         if not hasattr(self, "_fused_image_program"):
             with self._fused_lock:
                 if hasattr(self, "_fused_image_program"):
                     return self._fused_image_program
-                banks_dev = self._device_banks()
-                kk = self.FUSED_K
 
                 @jax.jit
                 def search_image(params, images):
                     emb = fm._encode_image(params, images).astype(jnp.float32)
-                    q = jnp.mean(emb, axis=0, keepdims=True)  # multi-image: mean probe
-                    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-                    out = {}
-                    for layer, bank in banks_dev.items():
-                        sim = jnp.matmul(qn, bank.T, precision=jax.lax.Precision.HIGHEST)[0]
-                        out[layer] = jax.lax.top_k(sim, min(kk, bank.shape[0]))
-                    return out
+                    q = jnp.mean(emb, axis=0, keepdims=True)  # single image in practice
+                    return self._bank_search_traced(q)
 
                 self._fused_image_program = search_image
         return self._fused_image_program
 
     def image_search(self, image: np.ndarray, k: int = 5) -> dict:
         """Top-k components per layer for an image query (H, W, 3 uint8)."""
-        total = sum(int(np.prod(v.shape)) for v in self.banks.values())
-        fused = (
-            self._fused_image_search()
-            if (k <= self.FUSED_K and total <= self.FUSED_SEARCH_MAX_ELEMENTS)
-            else None
-        )
+        fused = self._fused_image_search() if self._fits_fused(k) else None
         if fused is not None:
-            results = fused(self.fm.params, self.fm.preprocess(image[None]))
-            return {
-                layer: {
-                    "ids": np.asarray(idx)[:k].tolist(),
-                    "scores": [round(float(v), 6) for v in np.asarray(vals)[:k]],
-                }
-                for layer, (vals, idx) in results.items()
-            }
+            try:
+                return self._format_topk(
+                    fused(self.fm.params, self.fm.preprocess(image[None])), k
+                )
+            except Exception:
+                logger.warning(
+                    "fused image search failed at dispatch; falling back to the "
+                    "two-step path permanently",
+                    exc_info=True,
+                )
+                self._fused_image_disabled = True
         q = np.asarray(self.fm.encode_image(self.fm.preprocess(image[None])), np.float32)
         return self._bank_topk(q, k)
 

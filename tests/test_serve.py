@@ -345,3 +345,21 @@ def test_fused_image_search_matches_two_step_path():
     want = legacy_svc.image_search(img, k=3)["l"]
     assert got["ids"] == want["ids"]
     np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
+
+
+def test_duck_typed_untraceable_fm_falls_back():
+    """An FM that HAPPENS to define params/_encode_text but is not traceable
+    (numpy internals) must degrade to the two-step path, not crash warmup."""
+
+    class NumpyFM(FakeFM):
+        params = {"unused": 0}
+
+        def _encode_text(self, params, tokens):
+            return np.asarray(self._table)[np.asarray(tokens)[:, 0]]  # host numpy: untraceable
+
+    rng = np.random.default_rng(6)
+    bank = rng.normal(size=(6, 16)).astype(np.float32)
+    svc = SearchService(NumpyFM(), {"l": bank})  # warmup=True: must not raise
+    out = svc.text_search("dog", k=3)
+    legacy = SearchService(FakeFM(), {"l": bank}, warmup=False).text_search("dog", k=3)
+    assert out["l"]["ids"] == legacy["l"]["ids"]

@@ -45,6 +45,11 @@ def main():
     cfg = CLIP_PRESETS[args.model]
     if cfg.vision.kind != "vit":
         raise SystemExit("--model must be a ViT preset")
+    bad = [i for i in args.cuts if not 0 <= i < cfg.vision.layers]
+    if bad:
+        raise SystemExit(
+            f"--cuts {bad} out of range: {args.model} has resblocks 0..{cfg.vision.layers - 1}"
+        )
     params = jax.device_put(
         jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if a.ndim > 0 else a,

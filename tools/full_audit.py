@@ -141,7 +141,9 @@ def main():
     elif args.arch == "vgg":
         from semanticlens_tpu.models import VGG
 
-        depth = args.depth if args.depth in (11, 13, 16, 19) else 16
+        depth = args.depth if args.depth != 50 else 16  # 50 = the resnet default
+        if depth not in (11, 13, 16, 19):
+            ap.error(f"--arch vgg supports --depth 11/13/16/19, got {depth}")
         model = VGG(depth=depth, dtype=jnp.bfloat16)
         if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
             # last conv of each stage (vgg16 torchvision indices)
