@@ -1,6 +1,11 @@
 """Vision-language foundation models (JAX towers + tokenizers)."""
 
 from semanticlens_tpu.foundation_models.base import AbstractVLM
+from semanticlens_tpu.foundation_models.dissect import (
+    attention_head_directions,
+    mlp_neuron_directions,
+    residual_directions_to_embedding,
+)
 from semanticlens_tpu.foundation_models.clip import (
     CLIP_PRESETS,
     CLIPConfig,
@@ -16,6 +21,9 @@ from semanticlens_tpu.foundation_models.siglip import (
 from semanticlens_tpu.foundation_models.tokenizer import ClipBpeTokenizer, HashTokenizer
 
 __all__ = [
+    "mlp_neuron_directions",
+    "attention_head_directions",
+    "residual_directions_to_embedding",
     "AbstractVLM",
     "OpenClip",
     "SigLipV2",
