@@ -64,6 +64,10 @@ class SearchService:
         # single-shot construction under concurrency.
         self._fused_lock = threading.Lock()
         self._vocab_cache: dict = {}
+        # Normalized banks go to the device EAGERLY: building them lazily
+        # inside a traced fused program would store tracers (constants become
+        # tracers under trace) that leak into every later program.
+        self._device_banks()
         if warmup:
             # Compile the query paths BEFORE accepting traffic: on TPU the
             # first encode pays the full tower compile (minutes through a
@@ -77,7 +81,10 @@ class SearchService:
                 try:
                     self.image_search(np.zeros((32, 32, 3), np.uint8), k=1)
                 except Exception:  # FM without a usable image tower — text-only service
-                    logger.warning("image-search warmup failed; image queries disabled cold")
+                    logger.warning(
+                        "image-search warmup failed; image queries disabled cold",
+                        exc_info=True,
+                    )
             logger.info("search service ready (%d layers)", len(self.banks))
 
     # The fused one-dispatch search always answers FUSED_K candidates per
@@ -89,6 +96,9 @@ class SearchService:
     FUSED_SEARCH_MAX_ELEMENTS = 1 << 28
 
     def _device_banks(self):
+        """Normalized device-resident banks. First build happens EAGERLY in
+        __init__ — never under a jit trace, where the 'constants' would be
+        recorded as tracers and leak into every later program."""
         import jax.numpy as jnp
 
         if not hasattr(self, "_banks_dev"):

@@ -363,3 +363,29 @@ def test_duck_typed_untraceable_fm_falls_back():
     out = svc.text_search("dog", k=3)
     legacy = SearchService(FakeFM(), {"l": bank}, warmup=False).text_search("dog", k=3)
     assert out["l"]["ids"] == legacy["l"]["ids"]
+
+
+def test_mixed_fused_programs_share_banks_without_tracer_leak():
+    """Regression: lazily building device banks INSIDE the first traced
+    program stored tracers that poisoned every later program
+    (UnexpectedTracerError when text warmup preceded image/bank search)."""
+
+    class TracedBothFM(TracedFM):
+        def _encode_image(self, params, img):
+            import jax.numpy as jnp
+
+            return jnp.reshape(img, (img.shape[0], -1))[:, : self.dim]
+
+    rng = np.random.default_rng(7)
+    bank = rng.normal(size=(9, 16)).astype(np.float32)
+    svc = SearchService(TracedBothFM(), {"l": bank}, warmup=False)
+    # text program traces first...
+    t = svc.text_search("dog", k=2)
+    # ...then the image program and the plain bank program must still build
+    img = rng.normal(size=(4, 4, 16)).astype(np.float32)
+    i = svc.image_search(img, k=2)
+    b = svc._bank_topk(np.asarray(svc.fm.encode_text(svc.fm.tokenize(["dog"])), np.float32), 2)
+    assert t["l"]["ids"] == b["l"]["ids"]
+    assert len(i["l"]["ids"]) == 2
+    assert not getattr(svc, "_fused_text_disabled", False)
+    assert not getattr(svc, "_fused_image_disabled", False)

@@ -132,6 +132,21 @@ named = lens.label_components(
 for layer, (words, w_scores) in named.items():
     print(f"wpmi labels {layer}[0]:", words[0])
 
+# --- 4d. Dissect the foundation model itself --------------------------------
+# Every CLIP MLP neuron writes a DIRECTION into the joint space; name the
+# most nameable ones with the same labeling machinery (logit-lens
+# linearization, causally validated in tests/foundation_models/test_dissect.py).
+from semanticlens_tpu.foundation_models import mlp_neuron_directions
+
+last_block = fm.cfg.vision.layers - 1
+dirs = mlp_neuron_directions(fm.params, fm.cfg, last_block)  # (4*width, D)
+named_neurons = lens.label_components(
+    ["stripes", "dog", "sky"], dirs, top_m=1,
+)
+n_words, n_scores = named_neurons
+best = int(np.argmax(n_scores[:, 0]))
+print(f"most nameable FM neuron in block {last_block}: #{best} -> {n_words[best][0]}")
+
 # --- 5. Serve the concept DB -------------------------------------------------
 from semanticlens_tpu.serve import SearchService, serve
 
