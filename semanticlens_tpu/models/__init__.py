@@ -2,11 +2,15 @@
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector, validate_layers
 from semanticlens_tpu.models.convnext import ConvNeXt
+from semanticlens_tpu.models.densenet import DenseNet
 from semanticlens_tpu.models.resnet import ResNet
 from semanticlens_tpu.models.vgg import VGG
 from semanticlens_tpu.models.vit import VisionTransformer
 
-__all__ = ["SubjectModel", "TapCollector", "validate_layers", "ResNet", "VisionTransformer", "ConvNeXt", "VGG"]
+__all__ = [
+    "SubjectModel", "TapCollector", "validate_layers",
+    "ResNet", "VisionTransformer", "ConvNeXt", "VGG", "DenseNet",
+]
 
 from semanticlens_tpu.models.flax_adapter import FlaxSubjectModel  # noqa: E402
 

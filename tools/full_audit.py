@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--image-dir", default=None)
     ap.add_argument("--n-synthetic", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
-    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext", "vgg"])
+    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext", "vgg", "densenet"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--variant", default="", help="'' (torchvision) or 'd' (timm resnet*d)")
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
@@ -80,8 +80,8 @@ def main():
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--no-mesh", action="store_true")
     args = ap.parse_args()
-    if args.arch not in ("resnet", "vgg") and args.depth != 50:
-        ap.error("--depth configures --arch resnet/vgg only")
+    if args.arch not in ("resnet", "vgg", "densenet") and args.depth != 50:
+        ap.error("--depth configures --arch resnet/vgg/densenet only")
     if args.arch == "vit" and args.variant:
         ap.error("--variant means timm resnet*d for --arch resnet, or tiny/small/base for --arch convnext")
 
@@ -152,6 +152,17 @@ def main():
             args.layers = [f"features.{i}" for i in stage_last[1:]]
         aggregate_fn = aggregate_conv_mean
         model_name = f"vgg{depth}-audit"
+    elif args.arch == "densenet":
+        from semanticlens_tpu.models import DenseNet
+
+        depth = args.depth if args.depth != 50 else 121  # 50 = the resnet default
+        if depth not in (121, 161, 169, 201):
+            ap.error(f"--arch densenet supports --depth 121/161/169/201, got {depth}")
+        model = DenseNet(depth=depth, dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = [f"features.denseblock{i}" for i in range(1, 5)]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"densenet{depth}-audit"
     else:
         model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, variant=args.variant)
         aggregate_fn = aggregate_conv_mean
