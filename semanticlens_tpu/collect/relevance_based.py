@@ -91,6 +91,15 @@ class RelevanceComponentVisualizer(AbstractComponentVisualizer):
         self.dataset = dataset
         self.layer_names = list(layer_names)
         validate_layers(self.model, self.layer_names)
+        from semanticlens_tpu.models.torch_adapter import TorchSubjectModel
+
+        if isinstance(model, TorchSubjectModel):
+            raise TypeError(
+                "RelevanceComponentVisualizer needs JAX autodiff through the "
+                "subject model; TorchSubjectModel forwards run behind a host "
+                "callback with no VJP. Use a native family (models.ResNet/"
+                "VisionTransformer/...) for attribution-based collection."
+            )
 
         self.preprocess_fn = preprocess_fn
         self.composite = composite

@@ -4,12 +4,14 @@ from semanticlens_tpu.models.base import SubjectModel, TapCollector, validate_la
 from semanticlens_tpu.models.convnext import ConvNeXt
 from semanticlens_tpu.models.densenet import DenseNet
 from semanticlens_tpu.models.resnet import ResNet
+from semanticlens_tpu.models.torch_adapter import TorchSubjectModel
 from semanticlens_tpu.models.vgg import VGG
 from semanticlens_tpu.models.vit import VisionTransformer
 
 __all__ = [
     "SubjectModel", "TapCollector", "validate_layers",
     "ResNet", "VisionTransformer", "ConvNeXt", "VGG", "DenseNet",
+    "TorchSubjectModel",
 ]
 
 from semanticlens_tpu.models.flax_adapter import FlaxSubjectModel  # noqa: E402
