@@ -147,6 +147,27 @@ n_words, n_scores = named_neurons
 best = int(np.argmax(n_scores[:, 0]))
 print(f"most nameable FM neuron in block {last_block}: #{best} -> {n_words[best][0]}")
 
+# --- 4e. Bring your own torch model ------------------------------------------
+# Any torch.nn.Module works as a subject (the reference's hooks promise):
+# the torch forward runs on the host behind jax.pure_callback; aggregation,
+# top-k, and embedding stay on device. Every named_modules() entry taps.
+import torch
+from torch import nn
+
+from semanticlens_tpu.models import TorchSubjectModel
+
+torch_net = nn.Sequential(
+    nn.Conv2d(3, 8, 3, padding=1), nn.ReLU(), nn.Conv2d(8, 16, 3, padding=1), nn.ReLU()
+).eval()
+torch_subject = TorchSubjectModel(torch_net, name="my-torch-net")
+torch_cv = ActivationComponentVisualizer(
+    model=torch_subject, dataset_model=dataset, dataset_fm=dataset,
+    layer_names=["3"], num_samples=4, aggregate_fn=aggregate_conv_mean,
+    cache_dir=None,
+)
+torch_cache = torch_cv.run(batch_size=8)
+print("torch subject top-k:", torch_cache["3"].activations.shape)
+
 # --- 5. Serve the concept DB -------------------------------------------------
 from semanticlens_tpu.serve import SearchService, serve
 
