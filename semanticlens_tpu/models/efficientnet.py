@@ -1,0 +1,293 @@
+"""Functional torchvision-compatible EfficientNet (B0–B7) with named taps.
+
+EfficientNet is the canonical compound-scaled MBConv subject. Module and
+parameter names mirror ``torchvision.models.efficientnet_b*`` exactly
+(``features.{stage}.{block}.block.{idx}...``, SE as ``fc1``/``fc2``), so a
+reference user's ``layer_names=["features.6"]`` works verbatim and pretrained
+torchvision checkpoints import with a pure relayout (reference capability:
+any torch model via forward hooks, reference activation_based.py:41).
+
+Torch-parity details that matter for checkpoint fidelity:
+
+- channel widths go through torchvision's ``_make_divisible(v, 8)`` and block
+  counts through ``ceil(layers * depth_mult)`` — the compound-scaling
+  arithmetic is reproduced exactly (B2's 1408-d head, B4's 1792-d, …);
+- SE squeeze width is ``max(1, block_input_channels // 4)`` computed from the
+  block config's (pre-expansion) input channels, including the
+  input=output rewrite for non-first blocks in a stage;
+- BatchNorm eps is 1e-5 for B0–B4 and 1e-3 for B5–B7 (torchvision passes
+  ``partial(BatchNorm2d, eps=0.001)`` only for the three largest variants);
+- stochastic depth and dropout are train-time-only — inference is identity,
+  but ``stochastic_depth`` / ``classifier.0`` stay hookable names.
+
+TPU mapping: the expand/project 1×1 convs are MXU matmuls; the k×k depthwise
+runs on the VPU (``feature_group_count=C`` — same codegen class as
+ConvNeXt/MobileCLIP, see docs/PERF_NOTES.md "Subject-model zoo"), and the SE
+block reduces to two tiny vector matmuls on the pooled (B, C) tensor.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semanticlens_tpu.models.base import SubjectModel, TapCollector
+from semanticlens_tpu.models.layers import batch_norm, conv2d, global_avg_pool, linear
+
+# Base (B0) stage settings: (expand_ratio, kernel, stride, in_ch, out_ch, layers)
+_B0_STAGES = (
+    (1, 3, 1, 32, 16, 1),
+    (6, 3, 2, 16, 24, 2),
+    (6, 5, 2, 24, 40, 2),
+    (6, 3, 2, 40, 80, 3),
+    (6, 5, 1, 80, 112, 3),
+    (6, 5, 2, 112, 192, 4),
+    (6, 3, 1, 192, 320, 1),
+)
+
+# variant -> (width_mult, depth_mult, bn_eps). Resolutions (224…600) are the
+# training-time choice; inference accepts any stride-compatible size.
+_VARIANTS = {
+    "b0": (1.0, 1.0, 1e-5),
+    "b1": (1.0, 1.1, 1e-5),
+    "b2": (1.1, 1.2, 1e-5),
+    "b3": (1.2, 1.4, 1e-5),
+    "b4": (1.4, 1.8, 1e-5),
+    "b5": (1.6, 2.2, 1e-3),
+    "b6": (1.8, 2.6, 1e-3),
+    "b7": (2.0, 3.1, 1e-3),
+}
+
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """torchvision.models._utils._make_divisible (round-to-nearest-8 with the
+    ≥ 0.9·v guard)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _BlockCfg:
+    """One MBConv instance after compound scaling (torchvision MBConvConfig)."""
+
+    def __init__(self, expand, kernel, stride, c_in, c_out):
+        self.expand = expand
+        self.kernel = kernel
+        self.stride = stride
+        self.c_in = c_in
+        self.c_out = c_out
+        self.c_mid = _make_divisible(c_in * expand)
+        self.c_se = max(1, c_in // 4)
+        self.has_expand = self.c_mid != c_in
+        # block.{idx} positions inside the torchvision MBConv Sequential
+        self.i_dw = 1 if self.has_expand else 0
+        self.i_se = self.i_dw + 1
+        self.i_proj = self.i_se + 1
+        self.residual = stride == 1 and c_in == c_out
+
+
+class EfficientNet(SubjectModel):
+    """EfficientNet-B0…B7, channels-last, torchvision-compatible names.
+
+    Parameters
+    ----------
+    variant : "b0" … "b7".
+    num_classes : classifier width (0 → headless pooled features).
+    dtype : activation dtype (bfloat16 = the MXU-native default).
+    """
+
+    def __init__(self, variant: str = "b0", num_classes: int = 1000, *, dtype=jnp.bfloat16):
+        if variant not in _VARIANTS:
+            raise ValueError(f"variant must be one of {sorted(_VARIANTS)}, got {variant!r}")
+        self.variant = variant
+        self.num_classes = num_classes
+        self.dtype = dtype
+        width, depth, self.bn_eps = _VARIANTS[variant]
+
+        adjust = lambda c: _make_divisible(c * width)  # noqa: E731
+        self.stem_ch = adjust(32)
+        self.stages: list[list[_BlockCfg]] = []
+        for expand, kernel, stride, c_in, c_out, layers in _B0_STAGES:
+            c_in, c_out = adjust(c_in), adjust(c_out)
+            blocks = []
+            for j in range(int(math.ceil(layers * depth))):
+                blocks.append(
+                    _BlockCfg(expand, kernel, stride if j == 0 else 1, c_in if j == 0 else c_out, c_out)
+                )
+            self.stages.append(blocks)
+        self.head_ch = 4 * self.stages[-1][-1].c_out
+        self.num_features = self.head_ch
+        self.module_names = tuple(self._enumerate_module_names())
+
+    # ----------------------------------------------------------------- names
+    def _enumerate_module_names(self):
+        names = ["features", "features.0", "features.0.0", "features.0.1", "features.0.2"]
+        for si, blocks in enumerate(self.stages, start=1):
+            names.append(f"features.{si}")
+            for bi, cfg in enumerate(blocks):
+                base = f"features.{si}.{bi}"
+                names += [base, f"{base}.block"]
+                for idx in ([0] if cfg.has_expand else []):
+                    names += [f"{base}.block.{idx}.{m}" for m in ("", "0", "1", "2")]
+                names += [f"{base}.block.{cfg.i_dw}.{m}" for m in ("", "0", "1", "2")]
+                se = f"{base}.block.{cfg.i_se}"
+                names += [se, f"{se}.avgpool", f"{se}.fc1", f"{se}.activation",
+                          f"{se}.fc2", f"{se}.scale_activation"]
+                names += [f"{base}.block.{cfg.i_proj}.{m}" for m in ("", "0", "1")]
+                names.append(f"{base}.stochastic_depth")
+        last = len(self.stages) + 1
+        names += [f"features.{last}", f"features.{last}.0", f"features.{last}.1", f"features.{last}.2"]
+        names.append("avgpool")
+        if self.num_classes:
+            names += ["classifier", "classifier.0", "classifier.1"]
+        return [n.rstrip(".") for n in names]
+
+    # ------------------------------------------------------------------ specs
+    def _bn_specs(self, prefix: str, ch: int):
+        return [
+            (f"{prefix}.weight", (ch,), "bn_w"),
+            (f"{prefix}.bias", (ch,), "zeros"),
+            (f"{prefix}.running_mean", (ch,), "zeros"),
+            (f"{prefix}.running_var", (ch,), "bn_w"),
+        ]
+
+    def _param_specs(self):
+        specs = [("features.0.0.weight", (3, 3, 3, self.stem_ch), "conv")]
+        specs += self._bn_specs("features.0.1", self.stem_ch)
+        for si, blocks in enumerate(self.stages, start=1):
+            for bi, cfg in enumerate(blocks):
+                base = f"features.{si}.{bi}.block"
+                if cfg.has_expand:
+                    specs.append((f"{base}.0.0.weight", (1, 1, cfg.c_in, cfg.c_mid), "conv"))
+                    specs += self._bn_specs(f"{base}.0.1", cfg.c_mid)
+                k = cfg.kernel
+                specs.append((f"{base}.{cfg.i_dw}.0.weight", (k, k, 1, cfg.c_mid), "dwconv"))
+                specs += self._bn_specs(f"{base}.{cfg.i_dw}.1", cfg.c_mid)
+                specs += [
+                    (f"{base}.{cfg.i_se}.fc1.weight", (cfg.c_mid, cfg.c_se), "fc"),
+                    (f"{base}.{cfg.i_se}.fc1.bias", (cfg.c_se,), "zeros"),
+                    (f"{base}.{cfg.i_se}.fc2.weight", (cfg.c_se, cfg.c_mid), "fc"),
+                    (f"{base}.{cfg.i_se}.fc2.bias", (cfg.c_mid,), "zeros"),
+                ]
+                specs.append((f"{base}.{cfg.i_proj}.0.weight", (1, 1, cfg.c_mid, cfg.c_out), "conv"))
+                specs += self._bn_specs(f"{base}.{cfg.i_proj}.1", cfg.c_out)
+        last = len(self.stages) + 1
+        c_last_in = self.stages[-1][-1].c_out
+        specs.append((f"features.{last}.0.weight", (1, 1, c_last_in, self.head_ch), "conv"))
+        specs += self._bn_specs(f"features.{last}.1", self.head_ch)
+        if self.num_classes:
+            specs += [
+                ("classifier.1.weight", (self.head_ch, self.num_classes), "fc"),
+                ("classifier.1.bias", (self.num_classes,), "zeros"),
+            ]
+        return specs
+
+    def init(self, rng) -> dict[str, jax.Array]:
+        """Kaiming-normal (fan-out) convs, unit BN — torchvision's scheme."""
+        params = {}
+        for name, shape, kind in self._param_specs():
+            rng, sub = jax.random.split(rng)
+            if kind in ("conv", "dwconv"):
+                fan_out = shape[0] * shape[1] * shape[3]
+                params[name] = jax.random.normal(sub, shape, jnp.float32) * math.sqrt(2.0 / fan_out)
+            elif kind == "fc":
+                bound = 1.0 / math.sqrt(shape[0])
+                params[name] = jax.random.uniform(sub, shape, jnp.float32, -bound, bound)
+            elif kind == "bn_w":
+                params[name] = jnp.ones(shape, jnp.float32)
+            else:
+                params[name] = jnp.zeros(shape, jnp.float32)
+        return params
+
+    # ------------------------------------------------------------------ apply
+    def _conv_bn_act(self, params, x, prefix, tap, *, stride=1, kernel=1, groups=1, act=True):
+        """One torchvision Conv2dNormActivation: conv → BN → (SiLU)."""
+        pad = (kernel - 1) // 2
+        x = tap(f"{prefix}.0", conv2d(x, params[f"{prefix}.0.weight"], stride=stride,
+                                      padding=pad, groups=groups))
+        x = batch_norm(
+            x,
+            params[f"{prefix}.1.weight"],
+            params[f"{prefix}.1.bias"],
+            params[f"{prefix}.1.running_mean"],
+            params[f"{prefix}.1.running_var"],
+            eps=self.bn_eps,
+        )
+        x = tap(f"{prefix}.1", x)
+        if act:
+            x = tap(f"{prefix}.2", jax.nn.silu(x))
+        return tap(prefix, x)
+
+    def _squeeze_excite(self, params, x, prefix, tap):
+        pooled = tap(f"{prefix}.avgpool", global_avg_pool(x))
+        s = pooled.reshape(pooled.shape[0], -1)
+        s = tap(f"{prefix}.fc1", linear(s, params[f"{prefix}.fc1.weight"], params[f"{prefix}.fc1.bias"]))
+        s = tap(f"{prefix}.activation", jax.nn.silu(s))
+        s = tap(f"{prefix}.fc2", linear(s, params[f"{prefix}.fc2.weight"], params[f"{prefix}.fc2.bias"]))
+        s = tap(f"{prefix}.scale_activation", jax.nn.sigmoid(s))
+        return tap(prefix, x * s[:, None, None, :])
+
+    def _mbconv(self, params, x, base, cfg: _BlockCfg, tap):
+        h = x
+        if cfg.has_expand:
+            h = self._conv_bn_act(params, h, f"{base}.block.0", tap)
+        h = self._conv_bn_act(params, h, f"{base}.block.{cfg.i_dw}", tap,
+                              stride=cfg.stride, kernel=cfg.kernel, groups=cfg.c_mid)
+        h = self._squeeze_excite(params, h, f"{base}.block.{cfg.i_se}", tap)
+        h = self._conv_bn_act(params, h, f"{base}.block.{cfg.i_proj}", tap, act=False)
+        tap(f"{base}.block", h)
+        # stochastic depth: identity at inference (train-time regularizer)
+        tap(f"{base}.stochastic_depth", h)
+        if cfg.residual:
+            h = h + x
+        return tap(base, h)
+
+    def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
+        """(B, H, W, 3) float → (logits, taps). Conv taps are NHWC."""
+        tap = TapCollector(tap_names)
+        x = x.astype(self.dtype)
+
+        x = self._conv_bn_act(params, x, "features.0", tap, stride=2, kernel=3)
+        for si, blocks in enumerate(self.stages, start=1):
+            for bi, cfg in enumerate(blocks):
+                x = self._mbconv(params, x, f"features.{si}.{bi}", cfg, tap)
+            x = tap(f"features.{si}", x)
+        last = len(self.stages) + 1
+        x = self._conv_bn_act(params, x, f"features.{last}", tap, stride=1, kernel=1)
+        tap("features", x)
+
+        x = tap("avgpool", global_avg_pool(x)).reshape(x.shape[0], -1)
+        x = tap("classifier.0", x)  # dropout: identity at inference
+        if self.num_classes:
+            logits = linear(x, params["classifier.1.weight"], params["classifier.1.bias"])
+            logits = tap("classifier.1", logits)
+            return tap("classifier", logits), tap.taps
+        return x, tap.taps
+
+    # ------------------------------------------------------------- torch load
+    def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:
+        """Convert a torchvision EfficientNet state dict: convs OIHW→HWIO
+        (depthwise (C,1,k,k)→(k,k,1,C) via the same transpose), SE 1×1 convs
+        squeezed to (in, out) linears, classifier transposed."""
+        params = {}
+        for name, shape, kind in self._param_specs():
+            value = state_dict[name]
+            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+            if arr.ndim == 4 and (".fc1." in name or ".fc2." in name):
+                arr = arr[:, :, 0, 0].T  # (out, in, 1, 1) → (in, out)
+            elif arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+            elif name.endswith("weight") and arr.ndim == 2:
+                arr = arr.T
+            if tuple(arr.shape) != tuple(shape):
+                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
+            params[name] = jnp.asarray(arr, jnp.float32)
+        return params
+
+    def __repr__(self):
+        return f"EfficientNet(variant={self.variant!r}, num_classes={self.num_classes})"

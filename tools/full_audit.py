@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--image-dir", default=None)
     ap.add_argument("--n-synthetic", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
-    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext", "vgg", "densenet"])
+    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--variant", default="", help="'' (torchvision) or 'd' (timm resnet*d)")
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
@@ -152,6 +152,14 @@ def main():
             args.layers = [f"features.{i}" for i in stage_last[1:]]
         aggregate_fn = aggregate_conv_mean
         model_name = f"vgg{depth}-audit"
+    elif args.arch == "efficientnet":
+        from semanticlens_tpu.models import EfficientNet
+
+        model = EfficientNet(variant=args.variant or "b0", dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = [f"features.{i}" for i in (2, 4, 6, 8)]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"efficientnet-{model.variant}-audit"
     elif args.arch == "densenet":
         from semanticlens_tpu.models import DenseNet
 
