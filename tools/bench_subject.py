@@ -1,0 +1,102 @@
+"""Subject-model compute-ceiling benchmark for any zoo family.
+
+Chained methodology (docs/PERF_NOTES.md): N batches pre-staged device-
+resident, all N forwards compiled into ONE jitted program with a device-side
+scalar reduction, best of 3 — isolating chip throughput from the tunnel's
+~32 ms per-dispatch floor and its single-digit-MB/s transport.
+
+Usage: python tools/bench_subject.py --arch densenet --depth 121
+       python tools/bench_subject.py --arch efficientnet --variant b0
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_repo = Path(__file__).resolve().parent.parent
+if str(_repo) not in sys.path:
+    sys.path.insert(0, str(_repo))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_model(args, jnp):
+    from semanticlens_tpu import models
+
+    if args.arch == "resnet":
+        return models.ResNet(depth=args.depth, dtype=jnp.bfloat16)
+    if args.arch == "vit":
+        return models.VisionTransformer(image_size=args.image_size, dtype=jnp.bfloat16)
+    if args.arch == "convnext":
+        return models.ConvNeXt(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+    if args.arch == "vgg":
+        return models.VGG(depth=args.depth if args.depth != 50 else 16, dtype=jnp.bfloat16)
+    if args.arch == "densenet":
+        return models.DenseNet(depth=args.depth if args.depth != 50 else 121, dtype=jnp.bfloat16)
+    if args.arch == "efficientnet":
+        return models.EfficientNet(variant=args.variant or "b0", dtype=jnp.bfloat16)
+    raise SystemExit(f"unknown arch {args.arch}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="resnet")
+    ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--variant", default="")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--image-size", type=int, default=224)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlens_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
+    model = build_model(args, jnp)
+    params = model.init(jax.random.PRNGKey(0))
+    b, n_steps, s = args.batch, args.steps, args.image_size
+
+    rng = np.random.default_rng(0)
+    batches = [
+        jax.device_put(rng.integers(0, 255, size=(b, s, s, 3), dtype=np.uint8))
+        for _ in range(n_steps)
+    ]
+
+    @jax.jit
+    def chained(params, batches):
+        acc = jnp.zeros((), jnp.float32)
+        for x in batches:
+            out, _ = model.apply(params, x.astype(jnp.bfloat16) / 255.0)
+            acc = acc + out.astype(jnp.float32).sum()
+        return acc
+
+    # warm compile + one throwaway run
+    np.asarray(chained(params, batches))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(params, batches))
+        best = min(best, time.perf_counter() - t0)
+
+    imgs = b * n_steps
+    label = f"{args.arch}{args.depth if args.arch in ('resnet', 'vgg', 'densenet') else ''}{args.variant}"
+    print(json.dumps({
+        "model": label,
+        "batch": b,
+        "steps": n_steps,
+        "image_size": s,
+        "wall_s": round(best, 4),
+        "imgs_per_s": round(imgs / best, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
