@@ -36,7 +36,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
-from semanticlens_tpu.models.layers import batch_norm, conv2d, global_avg_pool, linear
+from semanticlens_tpu.models.layers import (
+    batch_norm,
+    conv2d,
+    gate_scale,
+    global_avg_pool,
+    linear,
+    residual_add,
+    silu,
+)
 
 # Base (B0) stage settings: (expand_ratio, kernel, stride, in_ch, out_ch, layers)
 _B0_STAGES = (
@@ -169,9 +177,9 @@ class EfficientNet(SubjectModel):
                 specs.append((f"{base}.{cfg.i_dw}.0.weight", (k, k, 1, cfg.c_mid), "dwconv"))
                 specs += self._bn_specs(f"{base}.{cfg.i_dw}.1", cfg.c_mid)
                 specs += [
-                    (f"{base}.{cfg.i_se}.fc1.weight", (cfg.c_mid, cfg.c_se), "fc"),
+                    (f"{base}.{cfg.i_se}.fc1.weight", (cfg.c_mid, cfg.c_se), "se_fc"),
                     (f"{base}.{cfg.i_se}.fc1.bias", (cfg.c_se,), "zeros"),
-                    (f"{base}.{cfg.i_se}.fc2.weight", (cfg.c_se, cfg.c_mid), "fc"),
+                    (f"{base}.{cfg.i_se}.fc2.weight", (cfg.c_se, cfg.c_mid), "se_fc"),
                     (f"{base}.{cfg.i_se}.fc2.bias", (cfg.c_mid,), "zeros"),
                 ]
                 specs.append((f"{base}.{cfg.i_proj}.0.weight", (1, 1, cfg.c_mid, cfg.c_out), "conv"))
@@ -188,15 +196,20 @@ class EfficientNet(SubjectModel):
         return specs
 
     def init(self, rng) -> dict[str, jax.Array]:
-        """Kaiming-normal (fan-out) convs, unit BN — torchvision's scheme."""
+        """torchvision's scheme: kaiming-normal fan-out for every Conv2d
+        (incl. the SE 1×1 convs, where fan-out = out-channels), unit BN,
+        and uniform ±1/√out_features for the classifier Linear."""
         params = {}
         for name, shape, kind in self._param_specs():
             rng, sub = jax.random.split(rng)
             if kind in ("conv", "dwconv"):
                 fan_out = shape[0] * shape[1] * shape[3]
                 params[name] = jax.random.normal(sub, shape, jnp.float32) * math.sqrt(2.0 / fan_out)
+            elif kind == "se_fc":
+                fan_out = shape[1]  # 1×1 conv in torch: receptive field 1
+                params[name] = jax.random.normal(sub, shape, jnp.float32) * math.sqrt(2.0 / fan_out)
             elif kind == "fc":
-                bound = 1.0 / math.sqrt(shape[0])
+                bound = 1.0 / math.sqrt(shape[1])  # torchvision: 1/√out_features
                 params[name] = jax.random.uniform(sub, shape, jnp.float32, -bound, bound)
             elif kind == "bn_w":
                 params[name] = jnp.ones(shape, jnp.float32)
@@ -220,17 +233,20 @@ class EfficientNet(SubjectModel):
         )
         x = tap(f"{prefix}.1", x)
         if act:
-            x = tap(f"{prefix}.2", jax.nn.silu(x))
+            x = tap(f"{prefix}.2", silu(x))  # LRP pass-through rule
         return tap(prefix, x)
 
     def _squeeze_excite(self, params, x, prefix, tap):
+        # The squeeze branch computes a gate; under LRP the gate is a
+        # constant (gate_scale → CP-LRP), so this branch carries no
+        # relevance and its ops stay raw.
         pooled = tap(f"{prefix}.avgpool", global_avg_pool(x))
         s = pooled.reshape(pooled.shape[0], -1)
         s = tap(f"{prefix}.fc1", linear(s, params[f"{prefix}.fc1.weight"], params[f"{prefix}.fc1.bias"]))
         s = tap(f"{prefix}.activation", jax.nn.silu(s))
         s = tap(f"{prefix}.fc2", linear(s, params[f"{prefix}.fc2.weight"], params[f"{prefix}.fc2.bias"]))
         s = tap(f"{prefix}.scale_activation", jax.nn.sigmoid(s))
-        return tap(prefix, x * s[:, None, None, :])
+        return tap(prefix, gate_scale(x, s[:, None, None, :]))
 
     def _mbconv(self, params, x, base, cfg: _BlockCfg, tap):
         h = x
@@ -244,7 +260,7 @@ class EfficientNet(SubjectModel):
         # stochastic depth: identity at inference (train-time regularizer)
         tap(f"{base}.stochastic_depth", h)
         if cfg.residual:
-            h = h + x
+            h = residual_add(x, h)  # LRP: proportional split, not a bare +
         return tap(base, h)
 
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):

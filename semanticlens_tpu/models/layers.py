@@ -341,6 +341,28 @@ def gelu(x, *, approximate=False):
     return jax.nn.gelu(x, approximate=approximate)
 
 
+def silu(x):
+    """SiLU that hands relevance through unchanged under an LRP composite
+    (same rationale as :func:`gelu` — its derivative isn't {0, 1})."""
+    if _lrp_active():
+        return _lrp_passthrough(jax.nn.silu, x)
+    return jax.nn.silu(x)
+
+
+def gate_scale(x, gate):
+    """``x * gate`` for data-dependent gates (SE sigmoid scales, attention
+    probabilities). LRP: the gate is treated as a CONSTANT (the CP-LRP
+    convention, Ali et al. 2022) and the constant-scaled map carries the ε
+    rule — relevance stays in the gated tensor, conserving per coordinate;
+    none flows into the gate-computing branch. Raw autograd would both
+    rescale relevance by the gate AND leak gradient semantics through the
+    sigmoid's saturating derivative."""
+    if _lrp_active():
+        g = jax.lax.stop_gradient(gate)
+        return _lrp_wrap(lambda xx: xx * g, x, "epsilon", _LRP.epsilon)
+    return x * gate
+
+
 def channel_scale(x, gamma):
     """Per-channel scaling (ConvNeXt layer scale). LRP: ε rule — autograd's
     γ·R would rescale relevance instead of conserving it per coordinate."""

@@ -77,6 +77,10 @@ class TorchSubjectModel(SubjectModel):
 
         self._torch = torch
         self.module = module.eval()
+        # Feed the module its own parameter dtype (fp16/bf16/double modules
+        # reject float32 input); captures are cast back to float32.
+        first_param = next(module.parameters(), None)
+        self._in_dtype = first_param.dtype if first_param is not None else torch.float32
         self.channels_last = channels_last
         self.module_names = tuple(n for n, _ in module.named_modules() if n)
         self.params: dict = {}
@@ -116,7 +120,8 @@ class TorchSubjectModel(SubjectModel):
             for tap_name in tap_names:
                 handles.append(modules[tap_name].register_forward_hook(make_hook(tap_name)))
             with torch.no_grad():
-                out = self.module(torch.from_numpy(np.ascontiguousarray(x, np.float32)))
+                xt = torch.from_numpy(np.ascontiguousarray(x, np.float32)).to(self._in_dtype)
+                out = self.module(xt)
         finally:
             for h in handles:
                 h.remove()

@@ -198,6 +198,59 @@ def test_torch_checkpoint_conversion_parity():
     np.testing.assert_allclose(got, want, atol=5e-3 * np.abs(want).max())
 
 
+def test_lrp_conservation_through_mbconv():
+    """ε composite conserves relevance through a full MBConv (expand → dw →
+    SE gate → project → residual): silu pass-through, CP-LRP constant gate,
+    proportional residual split. Biases/means zeroed (they absorb relevance,
+    as in the ViT-block conservation test)."""
+    from semanticlens_tpu.models.layers import lrp_composite
+
+    model = _shrunk_model(num_classes=0)
+    params = model.init(jax.random.PRNGKey(0))
+    params = {
+        k: (jnp.zeros_like(v) if k.endswith((".bias", ".running_mean")) else v)
+        for k, v in params.items()
+    }
+
+    cfg = model.stages[1][1]  # expand-6, stride-1, residual block
+    assert cfg.residual and cfg.has_expand
+
+    def block(x):
+        tap = __import__("semanticlens_tpu.models.base", fromlist=["TapCollector"]).TapCollector(())
+        return model._mbconv(params, x, "features.2.1", cfg, tap)
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 8, 8, 16)).astype(np.float32))
+    with lrp_composite("epsilon", epsilon=1e-9):
+        out, vjp_fn = jax.vjp(block, x)
+        (r_in,) = vjp_fn(out)
+    r_in_sum = float(np.asarray(r_in, np.float64).sum())
+    r_out_sum = float(np.asarray(out, np.float64).sum())
+    np.testing.assert_allclose(r_in_sum, r_out_sum, rtol=1e-3)
+
+    # The SE gate in isolation: ε composite conserves; the raw gradient
+    # rescales relevance by the sigmoid gate (≤ 0.5 at zero-bias init) and
+    # leaks through the squeeze branch — materially non-conserving.
+    from semanticlens_tpu.models.base import TapCollector
+
+    def se_only(h):
+        return model._squeeze_excite(params, h, "features.2.1.block.2", TapCollector(()))
+
+    h = jnp.asarray(np.random.default_rng(4).normal(size=(2, 8, 8, cfg.c_mid)).astype(np.float32))
+    with lrp_composite("epsilon", epsilon=1e-9):
+        out_se, vjp_fn = jax.vjp(se_only, h)
+        (r_se,) = vjp_fn(out_se)
+    np.testing.assert_allclose(
+        float(np.asarray(r_se, np.float64).sum()),
+        float(np.asarray(out_se, np.float64).sum()),
+        rtol=1e-3,
+    )
+    with lrp_composite("gradient"):
+        out_g, vjp_fn = jax.vjp(se_only, h)
+        (g_se,) = vjp_fn(out_g)
+    g_ratio = float(np.asarray(g_se, np.float64).sum()) / float(np.asarray(out_g, np.float64).sum())
+    assert abs(g_ratio - 1.0) > 0.2, g_ratio
+
+
 def test_collect_e2e(tmp_path):
     from semanticlens_tpu.collect import ActivationComponentVisualizer
     from semanticlens_tpu.data import ArrayDataset

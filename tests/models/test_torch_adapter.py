@@ -71,6 +71,20 @@ def test_apply_traces_under_jit_and_eval_shape(subject):
     assert shapes[1]["2"].shape == (2, 8, 8, 16)
 
 
+def test_non_float32_module():
+    """fp64/fp16 modules get input in their own parameter dtype; captures
+    come back float32."""
+    net = _small_cnn(seed=1).double()
+    subject = TorchSubjectModel(net, name="torch-cnn-f64")
+    x = np.random.default_rng(3).normal(size=(2, 16, 16, 3)).astype(np.float32)
+    out, taps = subject.apply({}, jnp.asarray(x), ("2",))
+    assert np.asarray(out).dtype == np.float32
+    assert taps["2"].dtype == jnp.float32
+    with torch.no_grad():
+        want = net(torch.from_numpy(x.transpose(0, 3, 1, 2)).double()).float().numpy()
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
+
+
 def test_unreached_module_raises():
     class TwoPath(nn.Module):
         def __init__(self):

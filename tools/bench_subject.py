@@ -86,7 +86,17 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     imgs = b * n_steps
-    label = f"{args.arch}{args.depth if args.arch in ('resnet', 'vgg', 'densenet') else ''}{args.variant}"
+    depth = args.depth
+    if depth == 50:  # resnet-default sentinel; build_model resolves per family
+        depth = {"vgg": 16, "densenet": 121}.get(args.arch, 50)
+    label = {
+        "resnet": f"resnet{depth}",
+        "vgg": f"vgg{depth}",
+        "densenet": f"densenet{depth}",
+        "vit": "vit-b",
+        "convnext": f"convnext-{args.variant or 'tiny'}",
+        "efficientnet": f"efficientnet-{args.variant or 'b0'}",
+    }[args.arch]
     print(json.dumps({
         "model": label,
         "batch": b,

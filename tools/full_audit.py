@@ -44,7 +44,12 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet"])
     ap.add_argument("--depth", type=int, default=50)
-    ap.add_argument("--variant", default="", help="'' (torchvision) or 'd' (timm resnet*d)")
+    ap.add_argument(
+        "--variant",
+        default="",
+        help="resnet: '' (torchvision) or 'd' (timm resnet*d); convnext: "
+        "tiny/small/base; efficientnet: b0..b7",
+    )
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
     ap.add_argument("--n-samples", type=int, default=25)
     ap.add_argument("--batch", type=int, default=256)
@@ -83,7 +88,7 @@ def main():
     if args.arch not in ("resnet", "vgg", "densenet") and args.depth != 50:
         ap.error("--depth configures --arch resnet/vgg/densenet only")
     if args.arch == "vit" and args.variant:
-        ap.error("--variant means timm resnet*d for --arch resnet, or tiny/small/base for --arch convnext")
+        ap.error("--variant configures --arch resnet (timm *d), convnext (tiny/small/base), or efficientnet (b0..b7)")
 
     import jax
     import jax.numpy as jnp
