@@ -26,6 +26,7 @@ from semanticlens_tpu import (
     ops,
     parallel,
     relevance,
+    sae,
     scores,
     utils,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "ops",
     "parallel",
     "relevance",
+    "sae",
     "scores",
     "utils",
     "Lens",

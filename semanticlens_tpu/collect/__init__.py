@@ -29,5 +29,6 @@ __all__ += [
 ]
 
 from semanticlens_tpu.collect.relevance_based import RelevanceComponentVisualizer  # noqa: E402
+from semanticlens_tpu.collect.sae_based import SAEComponentVisualizer  # noqa: E402
 
-__all__ += ["RelevanceComponentVisualizer"]
+__all__ += ["RelevanceComponentVisualizer", "SAEComponentVisualizer"]

@@ -1,0 +1,458 @@
+"""Sparse-autoencoder components: train an SAE on a tapped layer, then audit
+its latents like any other component.
+
+Beyond-reference capability (the reference analyzes only native neurons /
+conv channels): a sparse autoencoder decomposes a layer's activation space
+into many more, sparser, typically more monosemantic directions
+("dictionary learning", arXiv:2309.08600; Anthropic's Towards
+Monosemanticity). Latent f of the SAE becomes component f of a virtual tap
+``"{layer}.sae"`` and flows through the existing Collect → Embed → Analyze
+machinery unchanged — top-activating examples, CLIP embeddings, text search,
+clarity/polysemanticity scores, CLIP-Dissect naming.
+
+Two SAE flavours, selected by ``SAEConfig.k``:
+
+- ``k > 0`` — **TopK SAE** (arXiv:2406.04093): keep the k largest
+  pre-activations per row, zero the rest; pure MSE objective, sparsity is
+  structural. Dead latents are revived with the paper's AuxK loss (the
+  top-``aux_k`` *dead* latents must reconstruct the residual).
+- ``k == 0`` — **ReLU + L1** SAE: ReLU encoder, ``mse + l1_coef * |z|_1``
+  objective with unit-norm decoder rows (gradient projected off the radial
+  direction, rows renormalized every step).
+
+TPU-native design: the whole optimizer step is one jitted program with the
+(params, opt_state, stats) carry **donated**, and the streaming trainer scans
+many minibatch steps per dispatch. Activation rows never visit the host —
+``train_sae_on_layer`` extracts tap rows and trains on them in the same
+device-resident pass over the dataset. Data parallelism: pass a
+``jax.sharding.Mesh`` with a ``"data"`` axis; rows shard along it and XLA
+inserts the gradient ``psum``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from semanticlens_tpu.models.base import SubjectModel
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class SAEConfig:
+    """Hyperparameters for SAE init + training.
+
+    d_in : width of the tapped layer (conv channels or token features).
+    n_latents : dictionary size (components of the virtual tap).
+    k : TopK sparsity; 0 selects the ReLU+L1 objective.
+    l1_coef : L1 penalty (ReLU+L1 flavour only).
+    aux_k / aux_coef / dead_steps : AuxK dead-latent revival (TopK flavour):
+        a latent silent for ``dead_steps`` optimizer steps is dead; the top
+        ``aux_k`` dead latents must reconstruct the main residual, weighted
+        by ``aux_coef``.
+    lr : Adam learning rate.
+    batch_rows : activation rows per optimizer step.
+    positions_per_image : spatial/token positions sampled per image by the
+        streaming trainer (0 = every position). Conv taps at 224² produce
+        ~200k floats per image; subsampling decorrelates rows AND bounds
+        memory.
+    """
+
+    d_in: int
+    n_latents: int
+    k: int = 32
+    l1_coef: float = 1e-3
+    aux_k: int = 0
+    aux_coef: float = 1.0 / 32.0
+    dead_steps: int = 200
+    lr: float = 1e-3
+    batch_rows: int = 1024
+    positions_per_image: int = 0
+    seed: int = 0
+
+
+def init_sae(rng, cfg: SAEConfig) -> dict:
+    """Decoder rows unit-norm, encoder = decoderᵀ, biases zero — the
+    transpose init of arXiv:2406.04093 §A.1 (makes latents approximately
+    reconstruct their own direction at step 0)."""
+    w = jax.random.normal(rng, (cfg.n_latents, cfg.d_in), jnp.float32)
+    w_dec = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+    return {
+        "W_enc": w_dec.T,
+        "b_enc": jnp.zeros((cfg.n_latents,), jnp.float32),
+        "W_dec": w_dec,
+        "b_dec": jnp.zeros((cfg.d_in,), jnp.float32),
+    }
+
+
+def _topk_mask(pre, k: int):
+    """Zero all but the k largest entries of the last axis (ties: lax.top_k
+    order). Returns the sparsified codes, ReLU-clamped so early-training
+    negative picks cannot inject signed features."""
+    vals, idx = jax.lax.top_k(pre, k)
+    kth = vals[..., -1:]
+    keep = pre >= kth
+    return jnp.maximum(pre * keep, 0.0)
+
+
+def encode(params: Mapping, x, k: int = 0):
+    """Rows (..., d_in) → codes (..., n_latents); TopK when ``k > 0``."""
+    pre = (x.astype(jnp.float32) - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
+    if k > 0:
+        return _topk_mask(pre, k)
+    return jax.nn.relu(pre)
+
+
+def decode(params: Mapping, z):
+    return z @ params["W_dec"] + params["b_dec"]
+
+
+def init_stats(cfg: SAEConfig) -> dict:
+    """Per-latent liveness tracking carried through training (int32 so the
+    donated carry stays fixed-dtype): steps since each latent last fired."""
+    return {
+        "last_fired": jnp.zeros((cfg.n_latents,), jnp.int32),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _loss_fn(params, x, cfg: SAEConfig, last_fired):
+    x = x.astype(jnp.float32)
+    pre = (x - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
+    z = _topk_mask(pre, cfg.k) if cfg.k > 0 else jax.nn.relu(pre)
+    recon = decode(params, z)
+    err = recon - x
+    mse = jnp.mean(jnp.sum(err * err, axis=-1))
+    loss = mse
+    if cfg.k > 0 and cfg.aux_k > 0:
+        # AuxK (arXiv:2406.04093 §A.2): top aux_k DEAD latents reconstruct
+        # the main residual; gradients flow only through dead latents.
+        dead = last_fired >= cfg.dead_steps
+        pre_dead = jnp.where(dead, pre, -jnp.inf)
+        z_aux = _topk_mask(pre_dead, min(cfg.aux_k, cfg.n_latents))
+        z_aux = jnp.where(jnp.isfinite(z_aux), z_aux, 0.0)
+        recon_aux = z_aux @ params["W_dec"]
+        aux_err = recon_aux - jax.lax.stop_gradient(-err)
+        aux = jnp.mean(jnp.sum(aux_err * aux_err, axis=-1))
+        # With no dead latents z_aux ≡ 0 and aux degrades to ‖err‖² — a
+        # constant w.r.t. the dead path but not w.r.t. the main one; gate it.
+        loss = loss + cfg.aux_coef * jnp.where(dead.any(), aux, 0.0)
+    if cfg.k == 0:
+        # Norm-weighted L1 (decoder rows are unit-norm by projection, but
+        # weighting keeps the objective well-defined between renorms).
+        row_norm = jnp.linalg.norm(params["W_dec"], axis=-1)
+        loss = loss + cfg.l1_coef * jnp.mean(jnp.sum(z * row_norm, axis=-1))
+    fired = jnp.any(z > 0.0, axis=tuple(range(z.ndim - 1)))
+    var = jnp.sum((x - jnp.mean(x, axis=0)) ** 2)
+    aux_metrics = {
+        "mse": mse,
+        "fvu": jnp.sum(err * err) / jnp.maximum(var, 1e-9),
+        "l0": jnp.mean(jnp.sum(z > 0.0, axis=-1).astype(jnp.float32)),
+    }
+    return loss, (fired, aux_metrics)
+
+
+def _project_decoder(params, grads):
+    """Remove the gradient component parallel to each decoder row so the
+    optimizer cannot shrink the L1 penalty by scaling rows (ReLU+L1 only)."""
+    w = params["W_dec"]
+    unit = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-9)
+    g = grads["W_dec"]
+    grads = dict(grads)
+    grads["W_dec"] = g - jnp.sum(g * unit, axis=-1, keepdims=True) * unit
+    return grads
+
+
+def _renorm_decoder(params):
+    w = params["W_dec"]
+    return {**params, "W_dec": w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-9)}
+
+
+def make_optimizer(cfg: SAEConfig):
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+
+
+def make_train_step(cfg: SAEConfig, optimizer=None):
+    """One optimizer step: ``step(params, opt_state, stats, x_rows)`` →
+    updated triple + scalar metrics. Pure — callers jit it (alone or inside
+    a scan) with the carry donated."""
+    optimizer = optimizer or make_optimizer(cfg)
+
+    def step(params, opt_state, stats, x):
+        (loss, (fired, metrics)), grads = jax.value_and_grad(
+            _loss_fn, has_aux=True
+        )(params, x, cfg, stats["last_fired"])
+        if cfg.k == 0:
+            grads = _project_decoder(params, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if cfg.k == 0:
+            params = _renorm_decoder(params)
+        stats = {
+            "last_fired": jnp.where(fired, 0, stats["last_fired"] + 1),
+            "step": stats["step"] + 1,
+        }
+        return params, opt_state, stats, {"loss": loss, **metrics}
+
+    return step
+
+
+def _scan_steps(cfg: SAEConfig, optimizer):
+    """Jitted: run one optimizer step per leading-axis minibatch of
+    ``batches`` (S, batch_rows, d_in); carry donated in place in HBM."""
+    step = make_train_step(cfg, optimizer)
+
+    def run(params, opt_state, stats, batches):
+        def body(carry, x):
+            params, opt_state, stats = carry
+            params, opt_state, stats, metrics = step(params, opt_state, stats, x)
+            return (params, opt_state, stats), metrics
+
+        (params, opt_state, stats), metrics = jax.lax.scan(
+            body, (params, opt_state, stats), batches
+        )
+        return params, opt_state, stats, jax.tree.map(lambda m: m[-1], metrics)
+
+    return jax.jit(run, donate_argnums=(0, 1, 2))
+
+
+def train_sae_from_rows(
+    rows,
+    cfg: SAEConfig,
+    *,
+    steps: int = 1000,
+    mesh=None,
+    params: dict | None = None,
+    log_every: int = 0,
+):
+    """Train on a fixed (N, d_in) row matrix (already-extracted activations).
+
+    Rows live on device once; each dispatch scans a chunk of optimizer steps
+    over freshly permuted minibatches. With ``mesh`` (a ``"data"`` axis),
+    minibatches shard row-wise and XLA all-reduces the gradients — the math
+    is identical to single-device (tested).
+
+    Returns ``(params, stats, metrics)`` — metrics from the final step.
+    """
+    rows = jnp.asarray(rows, jnp.float32)
+    n = rows.shape[0]
+    if rows.ndim != 2 or rows.shape[1] != cfg.d_in:
+        raise ValueError(f"rows must be (N, {cfg.d_in}), got {tuple(rows.shape)}")
+    if n < cfg.batch_rows:
+        raise ValueError(f"need at least batch_rows={cfg.batch_rows} rows, got {n}")
+    key = jax.random.PRNGKey(cfg.seed)
+    if params is None:
+        key, sub = jax.random.split(key)
+        params = init_sae(sub, cfg)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    stats = init_stats(cfg)
+    runner = _scan_steps(cfg, optimizer)
+
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        rows = jax.device_put(rows, NamedSharding(mesh, P()))
+
+    rng = np.random.default_rng(cfg.seed)
+    chunk = max(1, min(steps, 32))
+    done = 0
+    metrics = {}
+    while done < steps:
+        s = min(chunk, steps - done)
+        # Host-side permutation indices; the gather happens on device.
+        idx = rng.integers(0, n, size=(s, cfg.batch_rows), dtype=np.int64)
+        batches = rows[jnp.asarray(idx)]
+        if mesh is not None:
+            batches = jax.device_put(batches, batch_sharding)
+        params, opt_state, stats, metrics = runner(params, opt_state, stats, batches)
+        done += s
+        if log_every and (done % log_every < chunk):
+            m = jax.device_get(metrics)
+            logger.info(
+                "sae step %d: loss %.4g fvu %.3f l0 %.1f", done, m["loss"], m["fvu"], m["l0"]
+            )
+    return params, stats, jax.device_get(metrics)
+
+
+def _make_row_extractor(model: SubjectModel, layer_name: str, cfg: SAEConfig):
+    """Jitted (params, images, key) → (rows, d_in-wide f32), flattening all
+    leading/spatial axes; optionally subsampling positions per image."""
+
+    @jax.jit
+    def extract(params, images, key):
+        _, taps = model.apply(params, images, (layer_name,))
+        h = taps[layer_name].astype(jnp.float32)
+        b = h.shape[0]
+        flat = h.reshape(b, -1, h.shape[-1])  # (B, positions, d_in)
+        if cfg.positions_per_image and cfg.positions_per_image < flat.shape[1]:
+            pos = jax.random.randint(
+                key, (b, cfg.positions_per_image), 0, flat.shape[1], jnp.int32
+            )
+            flat = jnp.take_along_axis(flat, pos[..., None], axis=1)
+        return flat.reshape(-1, flat.shape[-1])
+
+    return extract
+
+
+def train_sae_on_layer(
+    model: SubjectModel,
+    params,
+    dataset,
+    layer_name: str,
+    cfg: SAEConfig,
+    *,
+    batch_size: int = 64,
+    epochs: int = 1,
+    mesh=None,
+    input_preprocess=None,
+    log_every: int = 0,
+):
+    """Streaming trainer: one device-resident pass (per epoch) over the
+    dataset — extract the tap's activation rows, shuffle, and scan optimizer
+    minibatches, without the rows ever visiting the host.
+
+    The last partial image batch is dropped (static shapes; an epoch's worth
+    of rows dwarfs one batch). Row order follows the dataset within a pass;
+    ``positions_per_image`` subsampling provides the decorrelation.
+
+    Returns ``(sae_params, stats, metrics)``.
+    """
+    from semanticlens_tpu.data.dataset import device_prefetch_batches, iter_batches
+
+    if cfg.d_in <= 0:
+        raise ValueError("cfg.d_in must be set to the tapped layer's width")
+    prep = input_preprocess or (lambda x: x.astype(jnp.float32))
+    wrapped = _PreprocessedModel(model, prep)
+    extract = _make_row_extractor(wrapped, layer_name, cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, sub = jax.random.split(key)
+    sae_params = init_sae(sub, cfg)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(sae_params)
+    stats = init_stats(cfg)
+    runner = _scan_steps(cfg, optimizer)
+
+    sharding = NamedSharding(mesh, P("data")) if mesh is not None else None
+    n_full = (len(dataset) // batch_size) * batch_size
+    if n_full == 0:
+        raise ValueError(f"dataset of {len(dataset)} samples < batch_size {batch_size}")
+
+    done_steps = 0
+    metrics = {}
+    for epoch in range(epochs):
+        batches = device_prefetch_batches(
+            iter_batches(dataset, batch_size), sharding=sharding
+        )
+        for images, start_index, _ in batches:
+            if start_index + batch_size > len(dataset):
+                continue  # zero-padded tail batch: skip (static-shape training)
+            key, k1, k2 = jax.random.split(key, 3)
+            rows = extract(params, images, k1)
+            n_rows = rows.shape[0]
+            if n_rows < cfg.batch_rows:
+                raise ValueError(
+                    f"batch yields {n_rows} rows < batch_rows={cfg.batch_rows}; "
+                    "raise batch_size or positions_per_image"
+                )
+            perm = jax.random.permutation(k2, n_rows)
+            s = n_rows // cfg.batch_rows
+            mini = rows[perm[: s * cfg.batch_rows]].reshape(s, cfg.batch_rows, cfg.d_in)
+            if sharding is not None:
+                mini = jax.device_put(mini, NamedSharding(mesh, P(None, "data")))
+            sae_params, opt_state, stats, metrics = runner(sae_params, opt_state, stats, mini)
+            done_steps += s
+            if log_every and done_steps % log_every < s:
+                m = jax.device_get(metrics)
+                logger.info(
+                    "sae epoch %d step %d: loss %.4g fvu %.3f l0 %.1f",
+                    epoch, done_steps, m["loss"], m["fvu"], m["l0"],
+                )
+    return sae_params, stats, jax.device_get(metrics)
+
+
+class _PreprocessedModel(SubjectModel):
+    """Compose an input_preprocess fn in front of a subject model (engine
+    parity for the row extractor)."""
+
+    def __init__(self, base: SubjectModel, prep):
+        self.base = base
+        self.prep = prep
+        self.module_names = tuple(base.module_names)
+
+    def apply(self, params, x, tap_names=()):
+        return self.base.apply(params, self.prep(x), tap_names)
+
+
+class SAESubjectModel(SubjectModel):
+    """Subject model exposing a trained SAE's codes as a virtual tap.
+
+    Wraps a base model and adds ``"{layer}.sae"`` to ``module_names``: its
+    activation is the SAE code field with the layer's spatial/token structure
+    preserved — (B, H, W, n_latents) for conv taps, (B, T, n_latents) for
+    transformer taps — so every existing aggregator applies. Base taps stay
+    available through the wrapper.
+
+    ``params`` is ``{"base": base_params, "sae": sae_params}``.
+    """
+
+    def __init__(
+        self,
+        base: SubjectModel,
+        layer_name: str,
+        sae_params: Mapping,
+        *,
+        k: int = 0,
+        base_params=None,
+        name: str | None = None,
+    ):
+        if not base.has_module(layer_name):
+            raise ValueError(f"Layer '{layer_name}' not found in model.")
+        self.base = base
+        self.layer_name = layer_name
+        self.k = int(k)
+        self.sae_tap = f"{layer_name}.sae"
+        self.module_names = tuple(base.module_names) + (self.sae_tap,)
+        base_params = base_params if base_params is not None else getattr(base, "params", None)
+        if base_params is not None:
+            self.params = {"base": base_params, "sae": dict(sae_params)}
+        self._sae_params = dict(sae_params)
+        if name is None:
+            base_name = getattr(base, "name", base.__class__.__name__)
+            n_latents = int(np.shape(sae_params["W_dec"])[0])
+            digest = _params_digest(sae_params)
+            name = f"{base_name}-sae_{layer_name}_{n_latents}k{self.k}_{digest}"
+        self.name = name
+
+    def init(self, rng):
+        return {"base": self.base.init(rng), "sae": self._sae_params}
+
+    def apply(self, params, x, tap_names=()):
+        tap_names = tuple(tap_names)
+        want_sae = self.sae_tap in tap_names
+        base_taps = tuple(t for t in tap_names if t != self.sae_tap)
+        need = base_taps if not want_sae else tuple(dict.fromkeys(base_taps + (self.layer_name,)))
+        out, taps = self.base.apply(params["base"], x, need)
+        if want_sae:
+            codes = encode(params["sae"], taps[self.layer_name], k=self.k)
+            if self.layer_name not in base_taps:
+                del taps[self.layer_name]
+            taps[self.sae_tap] = codes
+        return out, taps
+
+
+def _params_digest(sae_params: Mapping, n: int = 8) -> str:
+    """Short content hash of the decoder so cache identity follows the
+    trained dictionary (a retrained SAE must not hit a stale cache)."""
+    import hashlib
+
+    w = np.ascontiguousarray(np.asarray(sae_params["W_dec"], np.float32))
+    return hashlib.sha256(w.tobytes()).hexdigest()[:n]

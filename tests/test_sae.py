@@ -1,0 +1,244 @@
+"""Sparse autoencoder: encode/decode semantics, training, dictionary recovery.
+
+Ground-truth methodology: plant a sparse dictionary (unit atoms, k-sparse
+positive codes), train, and require the learned decoder rows to align with
+the planted atoms — the strongest available correctness signal for a
+dictionary learner (arXiv:2406.04093 evaluates the same way on toy data).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semanticlens_tpu.sae import (
+    SAEConfig,
+    _loss_fn,
+    decode,
+    encode,
+    init_sae,
+    init_stats,
+    make_optimizer,
+    make_train_step,
+    train_sae_from_rows,
+    train_sae_on_layer,
+)
+
+
+def _planted_dictionary(d_in=16, f_true=24, k_true=3, n=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    atoms = rng.normal(size=(f_true, d_in))
+    atoms /= np.linalg.norm(atoms, axis=1, keepdims=True)
+    codes = np.zeros((n, f_true), np.float32)
+    for i in range(n):
+        idx = rng.choice(f_true, k_true, replace=False)
+        codes[i, idx] = rng.uniform(0.5, 2.0, k_true)
+    x = codes @ atoms + 0.01 * rng.normal(size=(n, d_in))
+    return atoms, x.astype(np.float32)
+
+
+def _recovery(atoms, params):
+    w = np.asarray(params["W_dec"])
+    w = w / np.linalg.norm(w, axis=1, keepdims=True)
+    return np.abs(atoms @ w.T).max(axis=1)  # per planted atom: best match
+
+
+# ----------------------------------------------------------- encode semantics
+def test_topk_encode_keeps_k_largest_nonnegative():
+    cfg = SAEConfig(d_in=8, n_latents=12, k=3)
+    params = init_sae(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 8))
+    z = np.asarray(encode(params, x, k=3))
+    assert z.shape == (5, 12)
+    assert (z >= 0).all()
+    assert ((z > 0).sum(axis=1) <= 3).all()
+    # The kept entries are the largest pre-activations.
+    pre = np.asarray((x - params["b_dec"]) @ params["W_enc"] + params["b_enc"])
+    for i in range(5):
+        kept = np.flatnonzero(z[i] > 0)
+        thresh = np.sort(pre[i])[-3]
+        assert (pre[i][kept] >= thresh - 1e-6).all()
+
+
+def test_relu_encode_and_decode_roundtrip_shapes():
+    cfg = SAEConfig(d_in=8, n_latents=12, k=0)
+    params = init_sae(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 7, 8))  # any leading axes
+    z = encode(params, x, k=0)
+    assert z.shape == (4, 7, 12)
+    assert (np.asarray(z) >= 0).all()
+    assert decode(params, z).shape == (4, 7, 8)
+
+
+def test_init_transpose_and_unit_norm():
+    cfg = SAEConfig(d_in=8, n_latents=12)
+    params = init_sae(jax.random.PRNGKey(0), cfg)
+    np.testing.assert_allclose(
+        np.linalg.norm(params["W_dec"], axis=1), np.ones(12), rtol=1e-6
+    )
+    np.testing.assert_array_equal(params["W_enc"], np.asarray(params["W_dec"]).T)
+
+
+# ------------------------------------------------------------------- recovery
+def test_topk_recovers_planted_dictionary():
+    atoms, x = _planted_dictionary()
+    cfg = SAEConfig(d_in=16, n_latents=32, k=3, lr=2e-3, batch_rows=512, seed=0)
+    params, stats, metrics = train_sae_from_rows(x, cfg, steps=800)
+    assert metrics["fvu"] < 0.1  # explains >90% of variance
+    assert metrics["l0"] == 3.0  # structural sparsity
+    best = _recovery(atoms, params)
+    assert best.mean() > 0.95 and best.min() > 0.9  # measured: 0.995 / 0.990
+
+
+def test_relu_l1_trains_sparse_with_unit_decoder():
+    _, x = _planted_dictionary()
+    cfg = SAEConfig(d_in=16, n_latents=32, k=0, l1_coef=1e-2, lr=2e-3, batch_rows=512, seed=0)
+    params, stats, metrics = train_sae_from_rows(x, cfg, steps=600)
+    assert metrics["fvu"] < 0.05
+    assert metrics["l0"] < 0.9 * cfg.n_latents  # L1 actually sparsifies
+    np.testing.assert_allclose(
+        np.linalg.norm(params["W_dec"], axis=1), np.ones(32), rtol=1e-5
+    )
+
+
+def test_determinism_same_seed():
+    _, x = _planted_dictionary()
+    cfg = SAEConfig(d_in=16, n_latents=32, k=3, batch_rows=512, seed=7)
+    p1, _, _ = train_sae_from_rows(x, cfg, steps=40)
+    p2, _, _ = train_sae_from_rows(x, cfg, steps=40)
+    np.testing.assert_array_equal(np.asarray(p1["W_dec"]), np.asarray(p2["W_dec"]))
+
+
+# ----------------------------------------------------------------------- AuxK
+def test_auxk_routes_gradient_to_dead_latents():
+    """The AuxK term must inject gradient into latents the main TopK path
+    cannot reach (that is its entire mechanism, arXiv:2406.04093 §A.2)."""
+    cfg_aux = SAEConfig(d_in=8, n_latents=16, k=2, aux_k=4, dead_steps=10)
+    cfg_off = SAEConfig(d_in=8, n_latents=16, k=2, aux_k=0, dead_steps=10)
+    params = init_sae(jax.random.PRNGKey(0), cfg_aux)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 8))
+    # Mark latents 0..7 dead; give them positive pre-activations via b_enc so
+    # the ReLU'd aux codes are live.
+    params = dict(params)
+    params["b_enc"] = params["b_enc"].at[:8].set(2.0)
+    last_fired = jnp.where(jnp.arange(16) < 8, 100, 0).astype(jnp.int32)
+
+    def grads(cfg):
+        g = jax.grad(lambda p: _loss_fn(p, x, cfg, last_fired)[0])(params)
+        return np.asarray(g["W_dec"])
+
+    g_aux, g_off = grads(cfg_aux), grads(cfg_off)
+    dead_rows_aux = np.abs(g_aux[:8]).sum()
+    # b_enc=2.0 floods the main TopK with the dead latents too, so compare
+    # against the aux-off gradient instead of zero: aux must ADD signal.
+    assert not np.allclose(g_aux[:8], g_off[:8])
+    assert dead_rows_aux > 0
+
+
+def test_auxk_inactive_without_dead_latents():
+    cfg = SAEConfig(d_in=8, n_latents=16, k=2, aux_k=4, dead_steps=10)
+    params = init_sae(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 8))
+    alive = jnp.zeros(16, jnp.int32)
+    cfg_off = SAEConfig(d_in=8, n_latents=16, k=2, aux_k=0, dead_steps=10)
+    l_aux = _loss_fn(params, x, cfg, alive)[0]
+    l_off = _loss_fn(params, x, cfg_off, alive)[0]
+    np.testing.assert_allclose(float(l_aux), float(l_off), rtol=1e-6)
+
+
+def test_stats_track_firing():
+    cfg = SAEConfig(d_in=8, n_latents=16, k=2, lr=1e-3, batch_rows=32)
+    params = init_sae(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(cfg)
+    step = jax.jit(make_train_step(cfg, opt))
+    stats = init_stats(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 8))
+    params, opt_state, stats, _ = step(params, opt.init(params), stats, x)
+    lf = np.asarray(stats["last_fired"])
+    assert int(stats["step"]) == 1
+    assert (lf == 0).any() and set(np.unique(lf)) <= {0, 1}
+
+
+# ------------------------------------------------------------------ sharding
+def test_mesh_data_parallel_training_parity():
+    """Row-sharded minibatches + XLA's gradient all-reduce must match the
+    single-device math (same seed → same dictionary)."""
+    from jax.sharding import Mesh
+
+    _, x = _planted_dictionary(n=2048)
+    cfg = SAEConfig(d_in=16, n_latents=32, k=3, batch_rows=256, seed=3)
+    p_single, _, _ = train_sae_from_rows(x, cfg, steps=30)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    p_mesh, _, _ = train_sae_from_rows(x, cfg, steps=30, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(p_single["W_dec"]), np.asarray(p_mesh["W_dec"]), atol=1e-5
+    )
+
+
+# ------------------------------------------------------------- streaming fit
+class _TinyTapModel:
+    """Minimal SubjectModel-shaped fixture: one conv-ish tap."""
+
+    module_names = ("proj",)
+
+    def __init__(self, d_out=8):
+        rng = np.random.default_rng(5)
+        self.w = jnp.asarray(rng.normal(size=(3, d_out)).astype(np.float32))
+
+    def has_module(self, name):
+        return name in self.module_names
+
+    def apply(self, params, x, tap_names=()):
+        h = jax.nn.relu(x @ self.w)  # (B, H, W, d_out)
+        taps = {"proj": h} if "proj" in tap_names else {}
+        return jnp.mean(h, axis=(1, 2)), taps
+
+
+def test_streaming_trainer_on_layer():
+    from semanticlens_tpu.data import ArrayDataset
+
+    model = _TinyTapModel()
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.normal(size=(70, 12, 12, 3)).astype(np.float32), name="ds")
+    cfg = SAEConfig(d_in=8, n_latents=16, k=2, lr=2e-3, batch_rows=128,
+                    positions_per_image=16, seed=0)
+    params, stats, metrics = train_sae_on_layer(
+        model, {}, ds, "proj", cfg, batch_size=32, epochs=3
+    )
+    assert np.isfinite(metrics["loss"])
+    assert metrics["fvu"] < 1.0  # better than predicting the mean
+    assert params["W_dec"].shape == (16, 8)
+    # 3 epochs × 2 full batches × (32·16 rows // 128) = 24 steps
+    assert int(stats["step"]) == 24
+
+
+def test_streaming_trainer_subsamples_positions():
+    from semanticlens_tpu.sae import _make_row_extractor
+
+    model = _TinyTapModel()
+    cfg = SAEConfig(d_in=8, n_latents=16, k=2, positions_per_image=4)
+    extract = _make_row_extractor(model, "proj", cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 12, 12, 3)), jnp.float32)
+    rows = extract({}, x, jax.random.PRNGKey(0))
+    assert rows.shape == (6 * 4, 8)
+
+
+# ---------------------------------------------------------------- error paths
+def test_error_paths():
+    cfg = SAEConfig(d_in=16, n_latents=8, k=2, batch_rows=64)
+    with pytest.raises(ValueError, match="rows must be"):
+        train_sae_from_rows(np.zeros((100, 4), np.float32), cfg, steps=1)
+    with pytest.raises(ValueError, match="batch_rows"):
+        train_sae_from_rows(np.zeros((32, 16), np.float32), cfg, steps=1)
+
+    from semanticlens_tpu.data import ArrayDataset
+
+    model = _TinyTapModel()
+    tiny = ArrayDataset(np.zeros((4, 12, 12, 3), np.float32), name="tiny")
+    with pytest.raises(ValueError, match="batch_size"):
+        train_sae_on_layer(model, {}, tiny, "proj", cfg, batch_size=8)
+    big_rows = SAEConfig(d_in=8, n_latents=8, k=2, batch_rows=10_000)
+    ds = ArrayDataset(np.zeros((16, 12, 12, 3), np.float32), name="ds")
+    with pytest.raises(ValueError, match="rows <"):
+        train_sae_on_layer(model, {}, ds, "proj", big_rows, batch_size=8)
