@@ -66,12 +66,15 @@ class SAEComponentVisualizer(ActivationComponentVisualizer):
         params=None,
         model_preprocess=None,
     ):
+        base_params = params if params is not None else getattr(model, "params", None)
+        if base_params is None:
+            raise ValueError("Model weights required: pass `params=` or set `model.params`.")
         wrapped = SAESubjectModel(
             model,
             layer_name,
             sae_params,
             k=k,
-            base_params=params if params is not None else getattr(model, "params", None),
+            base_params=base_params,
         )
         self.base_model = model
         self.sae_layer = layer_name

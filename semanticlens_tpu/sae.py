@@ -60,6 +60,15 @@ class SAEConfig:
         by ``aux_coef``.
     lr : Adam learning rate.
     batch_rows : activation rows per optimizer step.
+    approx_topk : use ``jax.lax.approx_max_k`` for the TRAINING TopK
+        selection (TPU PartialReduce; measured on v5e at (4096, 8192) k=32:
+        2.5 ms vs 12.0 ms for exact ``lax.top_k`` (4.8×), recall 0.985 —
+        a 2.2× whole-step win, 27.3 → 12.6 ms, docs/PERF_NOTES.md).
+        Training picks a handful of near-boundary latents differently; the
+        objective is unchanged in expectation. Non-TPU backends lower it to
+        the exact reduction, so CPU tests are bit-stable. Inference
+        (:func:`encode`) always uses the exact top-k so collected evidence
+        is deterministic.
     positions_per_image : spatial/token positions sampled per image by the
         streaming trainer (0 = every position). Conv taps at 224² produce
         ~200k floats per image; subsampling decorrelates rows AND bounds
@@ -76,6 +85,7 @@ class SAEConfig:
     lr: float = 1e-3
     batch_rows: int = 1024
     positions_per_image: int = 0
+    approx_topk: bool = True
     seed: int = 0
 
 
@@ -103,6 +113,21 @@ def _topk_mask(pre, k: int):
     return jnp.maximum(pre * keep, 0.0)
 
 
+def _topk_scatter_approx(pre, k: int):
+    """Training-path sparsifier: ``approx_max_k`` + scatter of the ReLU'd
+    winners — exactly k candidate slots per row, gradient flows through the
+    scattered values. 2-D rows only (the training loss's layout)."""
+    vals, idx = jax.lax.approx_max_k(pre, k)
+    rows = jnp.arange(pre.shape[0])[:, None]
+    return jnp.zeros_like(pre).at[rows, idx].set(jnp.maximum(vals, 0.0))
+
+
+def _sparsify(pre, k: int, approx: bool):
+    if approx and pre.ndim == 2:
+        return _topk_scatter_approx(pre, k)
+    return _topk_mask(pre, k)
+
+
 def encode(params: Mapping, x, k: int = 0):
     """Rows (..., d_in) → codes (..., n_latents); TopK when ``k > 0``."""
     pre = (x.astype(jnp.float32) - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
@@ -127,7 +152,7 @@ def init_stats(cfg: SAEConfig) -> dict:
 def _loss_fn(params, x, cfg: SAEConfig, last_fired):
     x = x.astype(jnp.float32)
     pre = (x - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
-    z = _topk_mask(pre, cfg.k) if cfg.k > 0 else jax.nn.relu(pre)
+    z = _sparsify(pre, cfg.k, cfg.approx_topk) if cfg.k > 0 else jax.nn.relu(pre)
     recon = decode(params, z)
     err = recon - x
     mse = jnp.mean(jnp.sum(err * err, axis=-1))
@@ -137,6 +162,9 @@ def _loss_fn(params, x, cfg: SAEConfig, last_fired):
         # the main residual; gradients flow only through dead latents.
         dead = last_fired >= cfg.dead_steps
         pre_dead = jnp.where(dead, pre, -jnp.inf)
+        # Exact top-k here: at aux_k=256 approx_max_k measured only 1.14×
+        # faster on v5e (24.9 vs 22.0 ms, docs/PERF_NOTES.md) — not worth
+        # the recall loss on the dead-revival path, which fires rarely.
         z_aux = _topk_mask(pre_dead, min(cfg.aux_k, cfg.n_latents))
         z_aux = jnp.where(jnp.isfinite(z_aux), z_aux, 0.0)
         recon_aux = z_aux @ params["W_dec"]

@@ -155,3 +155,13 @@ def test_subject_model_wrapper(sae_setup):
     assert set(taps2) == {"1.sae"}
     with pytest.raises(ValueError, match="not found"):
         SAESubjectModel(model, "nope", sae_params, k=K)
+
+
+def test_ctor_requires_weights(sae_setup):
+    """A paramless functional model must fail loudly at construction, not
+    with an AttributeError deep in the base-class wiring (found by driving
+    a fresh ResNet on the chip)."""
+    _, ds, sae_params = sae_setup
+    bare = TinyConvNet()  # no .params attached
+    with pytest.raises(ValueError, match="weights required"):
+        _make_cv(bare, ds, sae_params)

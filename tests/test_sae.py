@@ -242,3 +242,34 @@ def test_error_paths():
     ds = ArrayDataset(np.zeros((16, 12, 12, 3), np.float32), name="ds")
     with pytest.raises(ValueError, match="rows <"):
         train_sae_on_layer(model, {}, ds, "proj", big_rows, batch_size=8)
+
+
+# -------------------------------------------------- approx-topk training path
+def test_approx_topk_matches_exact_on_cpu():
+    """`approx_max_k` lowers to the exact reduction on CPU, so the approx
+    training sparsifier must bit-match `_topk_mask` here — and its gradient
+    must flow to every row (the scatter is differentiable through `vals`)."""
+    from semanticlens_tpu.sae import _sparsify, _topk_mask, _topk_scatter_approx
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(8, 64)).astype(np.float32))
+    assert jnp.array_equal(_topk_scatter_approx(x, 5), _topk_mask(x, 5))
+    assert jnp.array_equal(_sparsify(x, 5, True), _sparsify(x, 5, False))
+    g = jax.grad(lambda v: _topk_scatter_approx(v, 5).sum())(x)
+    assert (np.abs(np.asarray(g)).sum(-1) > 0).all()
+    # non-2D input falls back to the exact masked path
+    x3 = x.reshape(2, 4, 64)
+    assert jnp.array_equal(_sparsify(x3, 5, True), _topk_mask(x3, 5))
+
+
+def test_approx_topk_training_identical_on_cpu():
+    """End-to-end wiring guard: training with ``approx_topk`` on and off
+    produces bit-identical params on CPU (where ``approx_max_k`` lowers to
+    the exact reduction) — so flipping the flag changes nothing but the
+    TPU lowering."""
+    _, x = _planted_dictionary()
+    out = {}
+    for flag in (False, True):
+        cfg = SAEConfig(d_in=16, n_latents=32, k=3, batch_rows=256, approx_topk=flag)
+        out[flag], _, _ = train_sae_from_rows(x, cfg, steps=40)
+    for key in out[True]:
+        assert jnp.array_equal(out[True][key], out[False][key]), key
