@@ -349,6 +349,24 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+def relu6(x):
+    """min(max(x, 0), 6) (MobileNet family). LRP: pass-through — unlike
+    plain ReLU, the clip at 6 has NONZERO post-activation with zero
+    derivative, so the raw gradient mask would wrongly erase relevance
+    for every saturated unit."""
+    if _lrp_active():
+        return _lrp_passthrough(jax.nn.relu6, x)
+    return jax.nn.relu6(x)
+
+
+def hardswish(x):
+    """x·relu6(x+3)/6 (torch ``nn.Hardswish``). LRP: pass-through
+    (piecewise derivative is not {0, 1})."""
+    if _lrp_active():
+        return _lrp_passthrough(jax.nn.hard_swish, x)
+    return jax.nn.hard_swish(x)
+
+
 def gate_scale(x, gate):
     """``x * gate`` for data-dependent gates (SE sigmoid scales, attention
     probabilities). LRP: the gate is treated as a CONSTANT (the CP-LRP

@@ -40,6 +40,10 @@ def build_model(args, jnp):
         return models.DenseNet(depth=args.depth if args.depth != 50 else 121, dtype=jnp.bfloat16)
     if args.arch == "efficientnet":
         return models.EfficientNet(variant=args.variant or "b0", dtype=jnp.bfloat16)
+    if args.arch == "mobilenetv2":
+        return models.MobileNetV2(dtype=jnp.bfloat16)
+    if args.arch == "mobilenetv3":
+        return models.MobileNetV3(variant=args.variant or "large", dtype=jnp.bfloat16)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -96,6 +100,8 @@ def main():
         "vit": "vit-b",
         "convnext": f"convnext-{args.variant or 'tiny'}",
         "efficientnet": f"efficientnet-{args.variant or 'b0'}",
+        "mobilenetv2": "mobilenet_v2",
+        "mobilenetv3": f"mobilenet_v3_{args.variant or 'large'}",
     }[args.arch]
     print(json.dumps({
         "model": label,

@@ -42,13 +42,14 @@ def main():
     ap.add_argument("--image-dir", default=None)
     ap.add_argument("--n-synthetic", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
-    ap.add_argument("--arch", default="resnet", choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet"])
+    ap.add_argument("--arch", default="resnet",
+                    choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet", "mobilenet"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument(
         "--variant",
         default="",
         help="resnet: '' (torchvision) or 'd' (timm resnet*d); convnext: "
-        "tiny/small/base; efficientnet: b0..b7",
+        "tiny/small/base; efficientnet: b0..b7; mobilenet: v2/large/small",
     )
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
     ap.add_argument("--n-samples", type=int, default=25)
@@ -88,7 +89,10 @@ def main():
     if args.arch not in ("resnet", "vgg", "densenet") and args.depth != 50:
         ap.error("--depth configures --arch resnet/vgg/densenet only")
     if args.arch == "vit" and args.variant:
-        ap.error("--variant configures --arch resnet (timm *d), convnext (tiny/small/base), or efficientnet (b0..b7)")
+        ap.error(
+            "--variant configures --arch resnet (timm *d), convnext (tiny/small/base), "
+            "efficientnet (b0..b7), or mobilenet (v2/large/small)"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -165,6 +169,22 @@ def main():
             args.layers = [f"features.{i}" for i in (2, 4, 6, 8)]
         aggregate_fn = aggregate_conv_mean
         model_name = f"efficientnet-{model.variant}-audit"
+    elif args.arch == "mobilenet":
+        from semanticlens_tpu.models import MobileNetV2, MobileNetV3
+
+        variant = args.variant or "v2"
+        if variant == "v2":
+            model = MobileNetV2(dtype=jnp.bfloat16)
+            stage_taps = (4, 7, 14, 18)  # last block of each stride stage + tail
+        elif variant in ("large", "small"):
+            model = MobileNetV3(variant=variant, dtype=jnp.bfloat16)
+            stage_taps = (4, 7, 13, 16) if variant == "large" else (2, 4, 9, 12)
+        else:
+            ap.error("--arch mobilenet supports --variant v2/large/small")
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = [f"features.{i}" for i in stage_taps]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"mobilenet-{variant}-audit"
     elif args.arch == "densenet":
         from semanticlens_tpu.models import DenseNet
 
