@@ -59,11 +59,25 @@ class ResNet(SubjectModel):
         quickstart's subject model. Parameter names follow timm
         (``conv1.0`` … ``conv1.6``, ``downsample.1``/``downsample.2``) so
         timm state dicts import by relayout.
+    groups, width_per_group : torchvision's ResNeXt / Wide-ResNet knobs
+        (bottleneck depths only). ``groups=32, width_per_group=4`` is
+        ``resnext50_32x4d`` / ``resnext101_32x8d`` (with 8);
+        ``width_per_group=128`` is ``wide_resnet50_2`` / ``wide_resnet101_2``.
+        Bottleneck inner width follows torchvision:
+        ``int(planes * width_per_group / 64) * groups``.
     """
 
     STEM_WIDTH_D = 32  # timm resnet*d default
 
-    def __init__(self, depth: int = 18, num_classes: int = 1000, dtype=jnp.bfloat16, variant: str = ""):
+    def __init__(
+        self,
+        depth: int = 18,
+        num_classes: int = 1000,
+        dtype=jnp.bfloat16,
+        variant: str = "",
+        groups: int = 1,
+        width_per_group: int = 64,
+    ):
         if depth not in _STAGE_BLOCKS:
             raise ValueError(f"Unsupported ResNet depth {depth}")
         if variant not in ("", "d"):
@@ -73,9 +87,21 @@ class ResNet(SubjectModel):
         self.num_classes = num_classes
         self.dtype = dtype
         self.bottleneck = depth in _BOTTLENECK
+        if (groups != 1 or width_per_group != 64) and not self.bottleneck:
+            raise ValueError(
+                "groups/width_per_group configure bottleneck ResNets only "
+                "(torchvision raises the same constraint)"
+            )
+        self.groups = groups
+        self.width_per_group = width_per_group
         self.expansion = 4 if self.bottleneck else 1
         self.stage_blocks = _STAGE_BLOCKS[depth]
         self.module_names = tuple(self._enumerate_module_names())
+
+    def _inner_width(self, stage: int) -> int:
+        """Bottleneck conv2 width — torchvision's Bottleneck.__init__ formula."""
+        planes = 64 * (2 ** (stage - 1))
+        return int(planes * self.width_per_group / 64) * self.groups
 
     # ------------------------------------------------------------------ names
     def _block_module_names(self, prefix: str, has_downsample: bool):
@@ -128,14 +154,16 @@ class ResNet(SubjectModel):
             specs += self._bn_specs("bn1", 64)
         in_ch = 64
         for stage, n_blocks in enumerate(self.stage_blocks, start=1):
-            width = 64 * (2 ** (stage - 1))
-            out_ch = width * self.expansion
+            width = self._inner_width(stage) if self.bottleneck else 64 * (2 ** (stage - 1))
+            out_ch = 64 * (2 ** (stage - 1)) * self.expansion
             for b in range(n_blocks):
                 prefix = f"layer{stage}.{b}"
                 if self.bottleneck:
                     specs += [(f"{prefix}.conv1.weight", _conv_shape(width, in_ch, 1), "conv")]
                     specs += self._bn_specs(f"{prefix}.bn1", width)
-                    specs += [(f"{prefix}.conv2.weight", _conv_shape(width, width, 3), "conv")]
+                    specs += [
+                        (f"{prefix}.conv2.weight", _conv_shape(width, width // self.groups, 3), "conv")
+                    ]
                     specs += self._bn_specs(f"{prefix}.bn2", width)
                     specs += [(f"{prefix}.conv3.weight", _conv_shape(out_ch, width, 1), "conv")]
                     specs += self._bn_specs(f"{prefix}.bn3", out_ch)
@@ -235,7 +263,10 @@ class ResNet(SubjectModel):
         identity = x
         out = tap(f"{prefix}.conv1", conv2d(x, params[f"{prefix}.conv1.weight"]))
         out = jax.nn.relu(tap(f"{prefix}.bn1", self._bn(params, f"{prefix}.bn1", out)))
-        out = tap(f"{prefix}.conv2", conv2d(out, params[f"{prefix}.conv2.weight"], stride=stride, padding=1))
+        out = tap(
+            f"{prefix}.conv2",
+            conv2d(out, params[f"{prefix}.conv2.weight"], stride=stride, padding=1, groups=self.groups),
+        )
         out = jax.nn.relu(tap(f"{prefix}.bn2", self._bn(params, f"{prefix}.bn2", out)))
         out = tap(f"{prefix}.conv3", conv2d(out, params[f"{prefix}.conv3.weight"]))
         out = tap(f"{prefix}.bn3", self._bn(params, f"{prefix}.bn3", out))
@@ -294,4 +325,6 @@ class ResNet(SubjectModel):
 
     def __repr__(self):
         v = f", variant='{self.variant}'" if self.variant else ""
+        if self.groups != 1 or self.width_per_group != 64:
+            v += f", groups={self.groups}, width_per_group={self.width_per_group}"
         return f"ResNet(depth={self.depth}, num_classes={self.num_classes}{v})"

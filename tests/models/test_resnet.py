@@ -217,3 +217,120 @@ def test_resnet_d_variant_validation():
 
     with pytest.raises(ValueError):
         ResNet(variant="c")
+
+
+def test_resnext_spec_shapes():
+    """resnext50_32x4d widths follow torchvision's int(planes*4/64)*32 formula."""
+    m = ResNet(depth=50, num_classes=10, groups=32, width_per_group=4)
+    specs = {name: shape for name, shape, _ in m._param_specs()}
+    # stage1: planes=64 → width=128; grouped conv2 stores in_ch/groups=4.
+    assert specs["layer1.0.conv1.weight"] == (1, 1, 64, 128)
+    assert specs["layer1.0.conv2.weight"] == (3, 3, 4, 128)
+    assert specs["layer1.0.conv3.weight"] == (1, 1, 128, 256)
+    # stage4: planes=512 → width=1024; block output stays 2048.
+    assert specs["layer4.0.conv2.weight"] == (3, 3, 32, 1024)
+    assert specs["fc.weight"] == (2048, 10)
+
+
+def test_wide_resnet_spec_shapes():
+    """wide_resnet50_2 doubles the bottleneck inner width, not the output."""
+    m = ResNet(depth=50, num_classes=10, width_per_group=128)
+    specs = {name: shape for name, shape, _ in m._param_specs()}
+    assert specs["layer1.0.conv2.weight"] == (3, 3, 128, 128)
+    assert specs["layer4.0.conv2.weight"] == (3, 3, 1024, 1024)
+    assert specs["fc.weight"] == (2048, 10)
+
+
+def test_groups_require_bottleneck():
+    with pytest.raises(ValueError):
+        ResNet(depth=18, groups=32, width_per_group=4)
+    with pytest.raises(ValueError):
+        ResNet(depth=34, width_per_group=128)
+
+
+@pytest.mark.parametrize(
+    "groups,base_width",
+    [(32, 4), (1, 128)],  # resnext50_32x4d / wide_resnet50_2
+    ids=["resnext50_32x4d", "wide_resnet50_2"],
+)
+def test_grouped_bottleneck_torch_parity(groups, base_width):
+    """Full-depth ResNeXt-50 / Wide-ResNet-50 torch twins (torchvision
+    Bottleneck semantics: stride on conv2, grouped 3×3) convert by relayout
+    and match numerically."""
+    torch = pytest.importorskip("torch")
+
+    nn = torch.nn
+    g = torch.Generator().manual_seed(0)
+
+    def randn_(t, scale=0.05):
+        with torch.no_grad():
+            t.copy_(torch.randn(t.shape, generator=g) * scale)
+
+    def bn(c):
+        m = nn.BatchNorm2d(c).eval()
+        with torch.no_grad():
+            m.weight.copy_(torch.rand(c, generator=g) + 0.5)
+            m.bias.copy_(torch.randn(c, generator=g) * 0.1)
+            m.running_mean.copy_(torch.randn(c, generator=g) * 0.2)
+            m.running_var.copy_(torch.rand(c, generator=g) + 0.3)
+        return m
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, planes, stride):
+            super().__init__()
+            width = int(planes * base_width / 64) * groups
+            self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = bn(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, groups=groups, bias=False)
+            self.bn2 = bn(width)
+            self.conv3 = nn.Conv2d(width, planes * 4, 1, bias=False)
+            self.bn3 = bn(planes * 4)
+            randn_(self.conv1.weight), randn_(self.conv2.weight), randn_(self.conv3.weight)
+            if stride != 1 or cin != planes * 4:
+                conv = nn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False)
+                randn_(conv.weight)
+                self.downsample = nn.Sequential(conv, bn(planes * 4))
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            h = torch.relu(self.bn1(self.conv1(x)))
+            h = torch.relu(self.bn2(self.conv2(h)))
+            h = self.bn3(self.conv3(h))
+            return torch.relu(h + idn)
+
+    def stage(cin, planes, n_blocks, stride):
+        blocks = [Bottleneck(cin, planes, stride)]
+        blocks += [Bottleneck(planes * 4, planes, 1) for _ in range(n_blocks - 1)]
+        return nn.Sequential(*blocks)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            randn_(self.conv1.weight)
+            self.bn1 = bn(64)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = stage(64, 64, 3, 1)
+            self.layer2 = stage(256, 128, 4, 2)
+            self.layer3 = stage(512, 256, 6, 2)
+            self.layer4 = stage(1024, 512, 3, 2)
+            self.fc = nn.Linear(2048, 5)
+            randn_(self.fc.weight), randn_(self.fc.bias, 0.02)
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(x.mean(dim=(2, 3)))
+
+    tmodel = Net().eval()
+    x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        want = tmodel(x).numpy()
+
+    m = ResNet(depth=50, num_classes=5, dtype=jnp.float32, groups=groups, width_per_group=base_width)
+    params = m.load_torch_state_dict(tmodel.state_dict())
+    got, taps = m.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), ("layer4",))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+    assert taps["layer4"].shape == (2, 2, 2, 2048)

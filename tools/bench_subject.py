@@ -44,6 +44,11 @@ def build_model(args, jnp):
         return models.MobileNetV2(dtype=jnp.bfloat16)
     if args.arch == "mobilenetv3":
         return models.MobileNetV3(variant=args.variant or "large", dtype=jnp.bfloat16)
+    if args.arch == "resnext":  # torchvision resnext{50_32x4d,101_32x8d}
+        width = 8 if args.depth == 101 else 4
+        return models.ResNet(depth=args.depth, groups=32, width_per_group=width, dtype=jnp.bfloat16)
+    if args.arch == "wide_resnet":  # torchvision wide_resnet{50,101}_2
+        return models.ResNet(depth=args.depth, width_per_group=128, dtype=jnp.bfloat16)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -102,6 +107,8 @@ def main():
         "efficientnet": f"efficientnet-{args.variant or 'b0'}",
         "mobilenetv2": "mobilenet_v2",
         "mobilenetv3": f"mobilenet_v3_{args.variant or 'large'}",
+        "resnext": f"resnext{args.depth}_32x{8 if args.depth == 101 else 4}d",
+        "wide_resnet": f"wide_resnet{args.depth}_2",
     }[args.arch]
     print(json.dumps({
         "model": label,

@@ -48,8 +48,9 @@ def main():
     ap.add_argument(
         "--variant",
         default="",
-        help="resnet: '' (torchvision) or 'd' (timm resnet*d); convnext: "
-        "tiny/small/base; efficientnet: b0..b7; mobilenet: v2/large/small",
+        help="resnet: '' (torchvision), 'd' (timm resnet*d), 'x' (resnext 32x4d/32x8d), "
+        "or 'wide' (wide_resnet*_2); convnext: tiny/small/base; efficientnet: b0..b7; "
+        "mobilenet: v2/large/small",
     )
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
     ap.add_argument("--n-samples", type=int, default=25)
@@ -197,9 +198,20 @@ def main():
         aggregate_fn = aggregate_conv_mean
         model_name = f"densenet{depth}-audit"
     else:
-        model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, variant=args.variant)
+        if args.variant in ("", "d"):
+            model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, variant=args.variant)
+            model_name = f"resnet{args.depth}{args.variant}-audit"
+        elif args.variant == "x":  # torchvision resnext{50_32x4d,101_32x8d}
+            width = 8 if args.depth == 101 else 4
+            model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16,
+                           groups=32, width_per_group=width)
+            model_name = f"resnext{args.depth}_32x{width}d-audit"
+        elif args.variant == "wide":  # torchvision wide_resnet{50,101}_2
+            model = ResNet(depth=args.depth, num_classes=1000, dtype=jnp.bfloat16, width_per_group=128)
+            model_name = f"wide_resnet{args.depth}_2-audit"
+        else:
+            ap.error("--arch resnet supports --variant ''/d/x/wide")
         aggregate_fn = aggregate_conv_mean
-        model_name = f"resnet{args.depth}{args.variant}-audit"
     if args.model_checkpoint:
         import torch
 
