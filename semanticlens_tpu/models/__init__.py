@@ -4,6 +4,7 @@ from semanticlens_tpu.models.base import SubjectModel, TapCollector, validate_la
 from semanticlens_tpu.models.convnext import ConvNeXt
 from semanticlens_tpu.models.densenet import DenseNet
 from semanticlens_tpu.models.efficientnet import EfficientNet
+from semanticlens_tpu.models.inception import GoogLeNet, InceptionV3
 from semanticlens_tpu.models.mobilenet import MobileNetV2, MobileNetV3
 from semanticlens_tpu.models.resnet import ResNet
 from semanticlens_tpu.models.torch_adapter import TorchSubjectModel
@@ -13,7 +14,7 @@ from semanticlens_tpu.models.vit import VisionTransformer
 __all__ = [
     "SubjectModel", "TapCollector", "validate_layers",
     "ResNet", "VisionTransformer", "ConvNeXt", "VGG", "DenseNet", "EfficientNet",
-    "MobileNetV2", "MobileNetV3",
+    "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3",
     "TorchSubjectModel",
 ]
 

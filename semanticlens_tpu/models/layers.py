@@ -268,15 +268,30 @@ def linear(x, weight, bias=None):
     return out
 
 
-def max_pool(x, *, window=3, stride=2, padding=1):
-    """Max pooling, NHWC, torch-style int padding."""
+def _ceil_extra_pad(size: int, window: int, stride: int, padding: int) -> int:
+    """Extra right/bottom -inf padding reproducing torch ``ceil_mode=True``.
+
+    torch: output = ceil((size + 2p - k)/s) + 1, minus one if the last
+    window would start entirely inside the right padding
+    (``(out-1)*s >= size + p``).
+    """
+    out = -((size + 2 * padding - window) // -stride) + 1
+    if (out - 1) * stride >= size + padding:
+        out -= 1
+    return max(0, (out - 1) * stride + window - (size + 2 * padding))
+
+
+def max_pool(x, *, window=3, stride=2, padding=1, ceil_mode=False):
+    """Max pooling, NHWC, torch-style int padding (optionally ceil_mode)."""
+    eh = _ceil_extra_pad(x.shape[1], window, stride, padding) if ceil_mode else 0
+    ew = _ceil_extra_pad(x.shape[2], window, stride, padding) if ceil_mode else 0
     return jax.lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        padding=((0, 0), (padding, padding + eh), (padding, padding + ew), (0, 0)),
     )
 
 

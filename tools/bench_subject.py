@@ -44,6 +44,10 @@ def build_model(args, jnp):
         return models.MobileNetV2(dtype=jnp.bfloat16)
     if args.arch == "mobilenetv3":
         return models.MobileNetV3(variant=args.variant or "large", dtype=jnp.bfloat16)
+    if args.arch == "googlenet":
+        return models.GoogLeNet(dtype=jnp.bfloat16)
+    if args.arch == "inception_v3":
+        return models.InceptionV3(dtype=jnp.bfloat16)
     if args.arch == "resnext":  # torchvision resnext{50_32x4d,101_32x8d}
         width = 8 if args.depth == 101 else 4
         return models.ResNet(depth=args.depth, groups=32, width_per_group=width, dtype=jnp.bfloat16)
@@ -109,6 +113,8 @@ def main():
         "mobilenetv3": f"mobilenet_v3_{args.variant or 'large'}",
         "resnext": f"resnext{args.depth}_32x{8 if args.depth == 101 else 4}d",
         "wide_resnet": f"wide_resnet{args.depth}_2",
+        "googlenet": "googlenet",
+        "inception_v3": "inception_v3",
     }[args.arch]
     print(json.dumps({
         "model": label,

@@ -43,7 +43,8 @@ def main():
     ap.add_argument("--n-synthetic", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--arch", default="resnet",
-                    choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet", "mobilenet"])
+                    choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet",
+                             "mobilenet", "inception"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument(
         "--variant",
@@ -186,6 +187,22 @@ def main():
             args.layers = [f"features.{i}" for i in stage_taps]
         aggregate_fn = aggregate_conv_mean
         model_name = f"mobilenet-{variant}-audit"
+    elif args.arch == "inception":
+        from semanticlens_tpu.models import GoogLeNet, InceptionV3
+
+        variant = args.variant or "v1"
+        if variant == "v1":
+            model = GoogLeNet(dtype=jnp.bfloat16)
+            default_taps = ["inception3b", "inception4c", "inception4e", "inception5b"]
+        elif variant == "v3":
+            model = InceptionV3(dtype=jnp.bfloat16)
+            default_taps = ["Mixed_5d", "Mixed_6b", "Mixed_6e", "Mixed_7c"]
+        else:
+            ap.error("--arch inception supports --variant v1/v3")
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = default_taps
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"{'googlenet' if variant == 'v1' else 'inception_v3'}-audit"
     elif args.arch == "densenet":
         from semanticlens_tpu.models import DenseNet
 
