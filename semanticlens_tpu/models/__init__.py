@@ -7,6 +7,7 @@ from semanticlens_tpu.models.efficientnet import EfficientNet
 from semanticlens_tpu.models.inception import GoogLeNet, InceptionV3
 from semanticlens_tpu.models.mobilenet import MobileNetV2, MobileNetV3
 from semanticlens_tpu.models.resnet import ResNet
+from semanticlens_tpu.models.swin import SwinTransformer
 from semanticlens_tpu.models.torch_adapter import TorchSubjectModel
 from semanticlens_tpu.models.vgg import VGG
 from semanticlens_tpu.models.vit import VisionTransformer
@@ -14,7 +15,7 @@ from semanticlens_tpu.models.vit import VisionTransformer
 __all__ = [
     "SubjectModel", "TapCollector", "validate_layers",
     "ResNet", "VisionTransformer", "ConvNeXt", "VGG", "DenseNet", "EfficientNet",
-    "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3",
+    "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3", "SwinTransformer",
     "TorchSubjectModel",
 ]
 

@@ -433,8 +433,10 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
     Uses XLA's fused attention (``jax.nn.dot_product_attention``) — measured
     1.72× over the explicit matmul→softmax→matmul formulation at ViT shapes
     on v5e (docs/PERF_NOTES.md); output matches within bf16 resolution.
-    ``mask`` is an additive (T, S) float mask (−inf to block), the torch
-    ``attn_mask`` convention.
+    ``mask`` is an additive float mask (−inf to block), the torch
+    ``attn_mask`` convention: (T, S), or (H, T, S) for per-head biases, or
+    (B, H, T, S) for fully batched biases (e.g. Swin's relative-position
+    bias + shifted-window masks) — lower ranks broadcast from the left.
 
     Under an LRP composite this is **CP-LRP** (conservative-propagation
     attention, Ali et al. 2022): the softmax attention matrix is computed
@@ -450,6 +452,12 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
     def split(x, length):
         return x.reshape(b, length, n_heads, head_dim)
 
+    def to_4d(m):
+        m = m.astype(jnp.float32)
+        while m.ndim < 4:
+            m = m[None]
+        return m
+
     if _lrp_active():
         logits = (
             jnp.einsum(
@@ -461,7 +469,7 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
             * head_dim**-0.5
         )
         if mask is not None:
-            logits = logits + mask.astype(jnp.float32)[None, None, :, :]
+            logits = logits + to_4d(mask)
         probs = jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
         eps_r = _LRP.epsilon
 
@@ -476,6 +484,6 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
 
         return _lrp_wrap(f, v, "epsilon", eps_r)
 
-    bias = None if mask is None else mask.astype(jnp.float32)[None, None, :, :]
+    bias = None if mask is None else to_4d(mask)
     out = jax.nn.dot_product_attention(split(q, t), split(k, s), split(v, s), bias=bias)
     return out.reshape(b, t, d)

@@ -44,6 +44,8 @@ def build_model(args, jnp):
         return models.MobileNetV2(dtype=jnp.bfloat16)
     if args.arch == "mobilenetv3":
         return models.MobileNetV3(variant=args.variant or "large", dtype=jnp.bfloat16)
+    if args.arch == "swin":
+        return models.SwinTransformer(variant=args.variant or "tiny", dtype=jnp.bfloat16)
     if args.arch == "googlenet":
         return models.GoogLeNet(dtype=jnp.bfloat16)
     if args.arch == "inception_v3":
@@ -115,6 +117,7 @@ def main():
         "wide_resnet": f"wide_resnet{args.depth}_2",
         "googlenet": "googlenet",
         "inception_v3": "inception_v3",
+        "swin": f"swin_{(args.variant or 'tiny')[0]}",
     }[args.arch]
     print(json.dumps({
         "model": label,

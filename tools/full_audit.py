@@ -44,14 +44,14 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--arch", default="resnet",
                     choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet",
-                             "mobilenet", "inception"])
+                             "mobilenet", "inception", "swin"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument(
         "--variant",
         default="",
         help="resnet: '' (torchvision), 'd' (timm resnet*d), 'x' (resnext 32x4d/32x8d), "
-        "or 'wide' (wide_resnet*_2); convnext: tiny/small/base; efficientnet: b0..b7; "
-        "mobilenet: v2/large/small",
+        "or 'wide' (wide_resnet*_2); convnext/swin: tiny/small/base; efficientnet: b0..b7; "
+        "mobilenet: v2/large/small; inception: v1/v3",
     )
     ap.add_argument("--layers", nargs="*", default=["layer1", "layer2", "layer3", "layer4"])
     ap.add_argument("--n-samples", type=int, default=25)
@@ -187,6 +187,14 @@ def main():
             args.layers = [f"features.{i}" for i in stage_taps]
         aggregate_fn = aggregate_conv_mean
         model_name = f"mobilenet-{variant}-audit"
+    elif args.arch == "swin":
+        from semanticlens_tpu.models import SwinTransformer
+
+        model = SwinTransformer(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = ["features.1", "features.3", "features.5", "features.7"]
+        aggregate_fn = aggregate_conv_mean  # swin taps are (B, H, W, C)
+        model_name = f"swin-{model.variant}-audit"
     elif args.arch == "inception":
         from semanticlens_tpu.models import GoogLeNet, InceptionV3
 
