@@ -41,6 +41,9 @@ __all__ = [
     "topk_cosine_search",
     "soft_wpmi",
     "fastcav",
+    "drift_score",
+    "match_components",
+    "semantic_coverage",
 ]
 
 
@@ -396,6 +399,72 @@ def soft_wpmi(
             )
         )
     return np.concatenate(out, axis=0).astype(np.float32)
+
+
+def _aggregate_concepts(V):
+    """(C, k, D) concept DB → (C, D) aggregated concepts (mean over the
+    sample axis, the reference's probing aggregation, ref lens.py:79-84);
+    (C, D) passes through."""
+    V = jnp.asarray(V, jnp.float32)
+    if V.ndim == 3:
+        V = jnp.mean(V, axis=1)
+    if V.ndim != 2:
+        raise ValueError(f"expected (C, k, D) or (C, D) concept DB, got shape {V.shape}")
+    return V
+
+
+@jax.jit
+def _drift_jit(a, b):
+    cos = jnp.sum(_normalize(a) * _normalize(b), axis=-1)
+    return 1.0 - cos
+
+
+def drift_score(V_a, V_b):
+    """Per-component semantic drift between two concept DBs of the SAME
+    layer shape — e.g. the same architecture before/after fine-tuning.
+
+    Component ``i`` of model A is compared with component ``i`` of model B
+    in the shared FM embedding space: ``1 − cos(mean_k A_i, mean_k B_i)``.
+    0 = the component kept its meaning; values near 1 = its concept moved
+    orthogonally; > 1 = it flipped sign. Accepts (C, k, D) or aggregated
+    (C, D) inputs (new capability — the reference has no cross-model
+    comparison; composes with its concept-DB artifacts).
+
+    Returns (C,) float32.
+    """
+    a, b = _aggregate_concepts(V_a), _aggregate_concepts(V_b)
+    if a.shape != b.shape:
+        raise ValueError(f"component mismatch: {a.shape} vs {b.shape}")
+    return _drift_jit(a, b)
+
+
+@jax.jit
+def _match_jit(a, b):
+    cos = _cosine_matrix(a, b.T)
+    return jnp.argmax(cos, axis=1), jnp.max(cos, axis=1)
+
+
+def match_components(V_a, V_b):
+    """Best semantic match in B for every component of A.
+
+    Works across DIFFERENT architectures/layers (C_a need not equal C_b):
+    for each aggregated concept of A, the highest-cosine concept of B.
+    Returns ``(indices, cosines)`` — (C_a,) int32 indices into B and the
+    (C_a,) match cosines.
+    """
+    a, b = _aggregate_concepts(V_a), _aggregate_concepts(V_b)
+    if a.shape[-1] != b.shape[-1]:
+        raise ValueError(f"embedding dim mismatch: {a.shape[-1]} vs {b.shape[-1]}")
+    idx, cos = _match_jit(a, b)
+    return idx, cos
+
+
+def semantic_coverage(V_a, V_b, *, threshold: float = 0.9):
+    """Fraction of A's components whose concept survives somewhere in B
+    (best match cosine ≥ ``threshold``). Order matters: coverage(A, B)
+    asks "does B still express A's concepts", not the converse."""
+    _, cos = match_components(V_a, V_b)
+    return float(jnp.mean((cos >= threshold).astype(jnp.float32)))
 
 
 @jax.jit

@@ -285,3 +285,97 @@ def test_fastcav_closed_form():
     # raw positive mean does NOT cancel style
     raw = pos.mean(0) / np.linalg.norm(pos.mean(0))
     assert abs(raw[1]) > 0.5
+
+
+# ------------------------------------------------------------------- drift
+def test_drift_score_identical_and_flipped():
+    from semanticlens_tpu.scores import drift_score
+
+    rng = np.random.default_rng(11)
+    db = rng.normal(size=(6, 4, 16)).astype(np.float32)
+    drift = np.asarray(drift_score(db, db))
+    np.testing.assert_allclose(drift, 0.0, atol=1e-6)
+    flipped = np.asarray(drift_score(db, -db))
+    np.testing.assert_allclose(flipped, 2.0, atol=1e-6)
+
+
+def test_drift_score_orthogonal_and_aggregated_input():
+    from semanticlens_tpu.scores import drift_score
+
+    a = np.zeros((3, 8), np.float32)
+    b = np.zeros((3, 8), np.float32)
+    a[:, 0] = 1.0
+    b[:, 1] = 1.0
+    np.testing.assert_allclose(np.asarray(drift_score(a, b)), 1.0, atol=1e-6)
+    # (C, k, D) vs (C, D) mix is fine — both aggregate to (C, D).
+    a3 = np.repeat(a[:, None, :], 5, axis=1)
+    np.testing.assert_allclose(np.asarray(drift_score(a3, a)), 0.0, atol=1e-6)
+
+
+def test_drift_score_validates_shapes():
+    from semanticlens_tpu.scores import drift_score
+
+    with pytest.raises(ValueError):
+        drift_score(np.zeros((3, 4, 8), np.float32), np.zeros((4, 4, 8), np.float32))
+    with pytest.raises(ValueError):
+        drift_score(np.zeros((8,), np.float32), np.zeros((8,), np.float32))
+
+
+def test_match_components_and_coverage_permutation():
+    from semanticlens_tpu.scores import match_components, semantic_coverage
+
+    rng = np.random.default_rng(12)
+    a = rng.normal(size=(10, 32)).astype(np.float32)
+    perm = rng.permutation(10)
+    b = a[perm]
+    idx, cos = match_components(a, b)
+    # every component of A finds its permuted copy at cosine 1
+    np.testing.assert_array_equal(np.asarray(idx), np.argsort(perm))
+    np.testing.assert_allclose(np.asarray(cos), 1.0, atol=1e-5)
+    assert semantic_coverage(a, b, threshold=0.99) == 1.0
+    # dropping half of B's components halves coverage at a strict threshold
+    assert semantic_coverage(a, b[:5], threshold=0.99) == pytest.approx(0.5)
+
+
+def test_match_components_dim_mismatch():
+    from semanticlens_tpu.scores import match_components
+
+    with pytest.raises(ValueError):
+        match_components(np.zeros((3, 8), np.float32), np.zeros((3, 16), np.float32))
+
+
+def test_diff_models_cli(tmp_path):
+    """tools/diff_models.py end-to-end on Lens-format concept-DB artifacts."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(6, 4, 16)).astype(np.float32)
+    drifted = base.copy()
+    drifted[2] = rng.normal(size=(4, 16))
+    save_file({"features.2": base}, str(tmp_path / "a.safetensors"))
+    save_file({"features.2": drifted, "features.9": base}, str(tmp_path / "b.safetensors"))
+
+    tool = Path(__file__).resolve().parent.parent / "tools" / "diff_models.py"
+    out = subprocess.run(
+        [sys.executable, str(tool), str(tmp_path / "a.safetensors"),
+         str(tmp_path / "b.safetensors"), "--top", "1"],
+        capture_output=True, text=True, timeout=300, check=True,
+    )
+    lines = [json.loads(line) for line in out.stdout.strip().splitlines()]
+    assert lines[0]["warning"] == "unshared layers skipped"
+    assert lines[0]["only_b"] == ["features.9"]
+    assert lines[1]["layer"] == "features.2" and lines[1]["components"] == 6
+    assert lines[-1]["top_drifted"][0]["component"] == 2
+
+    cov = subprocess.run(
+        [sys.executable, str(tool), str(tmp_path / "a.safetensors"),
+         str(tmp_path / "b.safetensors"), "--coverage", "--threshold", "0.99"],
+        capture_output=True, text=True, timeout=300, check=True,
+    )
+    cov_lines = [json.loads(line) for line in cov.stdout.strip().splitlines()]
+    assert cov_lines[1]["coverage"] == pytest.approx(5 / 6, abs=1e-4)
