@@ -39,9 +39,12 @@ class SAEComponentVisualizer(ActivationComponentVisualizer):
     ----------
     model : the *base* subject model (not pre-wrapped).
     layer_name : single tap the SAE was trained on.
-    sae_params : trained SAE parameters (``semanticlens_tpu.sae``).
-    k : TopK sparsity used at encode time (0 = ReLU encoder). Match the
-        training configuration.
+    sae_params : trained SAE parameters (``semanticlens_tpu.sae``). The
+        trainers stamp the encode-time sparsity into the artifact as a
+        ``"k"`` entry, so it normally travels with the weights.
+    k : override of the encode-time TopK sparsity (0 = ReLU encoder).
+        Defaults to the value stored in ``sae_params``; raises if neither is
+        available or if both are given and disagree.
 
     The per-image score of latent ``f`` defaults to the max of its code over
     spatial/token positions (``aggregate_max_auto``) — the standard
@@ -58,7 +61,7 @@ class SAEComponentVisualizer(ActivationComponentVisualizer):
         sae_params: Mapping,
         num_samples: int,
         *,
-        k: int = 0,
+        k: int | None = None,
         device=None,
         aggregate_fn=None,
         cache_dir: str | None = None,

@@ -38,6 +38,7 @@ from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.layers import (
     avg_pool,
     batch_norm,
+    bn_param_specs,
     conv2d,
     global_avg_pool,
     linear,
@@ -102,12 +103,7 @@ class DenseNet(SubjectModel):
 
     # ------------------------------------------------------------------ specs
     def _bn_specs(self, prefix: str, ch: int):
-        return [
-            (f"{prefix}.weight", (ch,), "ones"),
-            (f"{prefix}.bias", (ch,), "zeros"),
-            (f"{prefix}.running_mean", (ch,), "zeros"),
-            (f"{prefix}.running_var", (ch,), "ones"),
-        ]
+        return bn_param_specs(prefix, ch, ones_kind="ones")
 
     def _param_specs(self):
         g, bottleneck = self.growth_rate, _BN_SIZE * self.growth_rate
@@ -212,7 +208,7 @@ class DenseNet(SubjectModel):
                 x = tap(f"{t}.norm", x)
                 x = tap(f"{t}.relu", jax.nn.relu(x))
                 x = tap(f"{t}.conv", conv2d(x, params[f"{t}.conv.weight"]))
-                x = tap(f"{t}.pool", avg_pool(x, window=2, stride=2, padding=0))
+                x = tap(t, tap(f"{t}.pool", avg_pool(x, window=2, stride=2, padding=0)))
 
         x = batch_norm(
             x,

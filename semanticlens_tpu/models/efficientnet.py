@@ -38,6 +38,7 @@ import numpy as np
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.layers import (
     batch_norm,
+    bn_param_specs,
     conv2d,
     gate_scale,
     global_avg_pool,
@@ -157,12 +158,7 @@ class EfficientNet(SubjectModel):
 
     # ------------------------------------------------------------------ specs
     def _bn_specs(self, prefix: str, ch: int):
-        return [
-            (f"{prefix}.weight", (ch,), "bn_w"),
-            (f"{prefix}.bias", (ch,), "zeros"),
-            (f"{prefix}.running_mean", (ch,), "zeros"),
-            (f"{prefix}.running_var", (ch,), "bn_w"),
-        ]
+        return bn_param_specs(prefix, ch)
 
     def _param_specs(self):
         specs = [("features.0.0.weight", (3, 3, 3, self.stem_ch), "conv")]

@@ -43,6 +43,7 @@ from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.layers import (
     avg_pool,
     batch_norm,
+    bn_param_specs,
     conv2d,
     global_avg_pool,
     linear,
@@ -65,13 +66,7 @@ _GOOGLENET_BLOCKS = (
 )
 
 
-def _bn_specs(prefix: str, ch: int):
-    return [
-        (f"{prefix}.weight", (ch,), "bn_w"),
-        (f"{prefix}.bias", (ch,), "zeros"),
-        (f"{prefix}.running_mean", (ch,), "zeros"),
-        (f"{prefix}.running_var", (ch,), "bn_w"),
-    ]
+_bn_specs = bn_param_specs  # shared BN param layout (models/layers.py)
 
 
 class GoogLeNet(SubjectModel):

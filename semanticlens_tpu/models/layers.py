@@ -487,3 +487,20 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
     bias = None if mask is None else to_4d(mask)
     out = jax.nn.dot_product_attention(split(q, t), split(k, s), split(v, s), bias=bias)
     return out.reshape(b, t, d)
+
+
+def bn_param_specs(prefix: str, ch: int, *, ones_kind: str = "bn_w",
+                   zeros_kind: str = "zeros") -> list:
+    """(name, shape, init-kind) rows for one torch BatchNorm layer.
+
+    Single source of truth for the 4-tensor BN parameter layout
+    (weight/bias/running_mean/running_var) that every CNN family's
+    ``_param_specs`` emits; the ``*_kind`` tokens parameterize each
+    family's ``init`` vocabulary (scale-like vs offset-like tensors).
+    """
+    return [
+        (f"{prefix}.weight", (ch,), ones_kind),
+        (f"{prefix}.bias", (ch,), zeros_kind),
+        (f"{prefix}.running_mean", (ch,), zeros_kind),
+        (f"{prefix}.running_var", (ch,), ones_kind),
+    ]

@@ -44,6 +44,7 @@ from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.efficientnet import _make_divisible
 from semanticlens_tpu.models.layers import (
     batch_norm,
+    bn_param_specs,
     conv2d,
     gate_scale,
     global_avg_pool,
@@ -100,13 +101,7 @@ _V3_SMALL = (
 _V3_VARIANTS = {"large": (_V3_LARGE, 1280), "small": (_V3_SMALL, 1024)}
 
 
-def _bn_specs(prefix: str, ch: int):
-    return [
-        (f"{prefix}.weight", (ch,), "bn_w"),
-        (f"{prefix}.bias", (ch,), "zeros"),
-        (f"{prefix}.running_mean", (ch,), "zeros"),
-        (f"{prefix}.running_var", (ch,), "bn_w"),
-    ]
+_bn_specs = bn_param_specs  # shared BN param layout (models/layers.py)
 
 
 class _MobileNetBase(SubjectModel):

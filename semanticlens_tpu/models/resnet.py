@@ -25,6 +25,7 @@ from semanticlens_tpu.models.layers import (
     residual_add,
     avg_pool,
     batch_norm,
+    bn_param_specs,
     conv2d,
     global_avg_pool,
     linear,
@@ -192,12 +193,7 @@ class ResNet(SubjectModel):
 
     @staticmethod
     def _bn_specs(prefix, ch):
-        return [
-            (f"{prefix}.weight", (ch,), "bn_scale"),
-            (f"{prefix}.bias", (ch,), "bias"),
-            (f"{prefix}.running_mean", (ch,), "bias"),
-            (f"{prefix}.running_var", (ch,), "bn_scale"),
-        ]
+        return bn_param_specs(prefix, ch, ones_kind="bn_scale", zeros_kind="bias")
 
     def init(self, rng) -> dict[str, jax.Array]:
         """Kaiming-normal convs (fan_out, torchvision default), unit BN."""

@@ -118,9 +118,15 @@ class SwinTransformer(SubjectModel):
             base = f"features.{fi}"
             names.append(base)
             for b in range(depth):
+                # NOTE: ``attn.qkv`` / ``attn.proj`` are deliberately absent:
+                # torchvision computes them with F.linear inside the functional
+                # shifted_window_attention, so forward hooks on those
+                # submodules never fire in the reference either — and their
+                # windowed (B*nW, 49, C) layout would break the engine's
+                # batch-leading tap contract.
                 blk = f"{base}.{b}"
-                names += [blk, f"{blk}.norm1", f"{blk}.attn", f"{blk}.attn.qkv",
-                          f"{blk}.attn.proj", f"{blk}.stochastic_depth", f"{blk}.norm2",
+                names += [blk, f"{blk}.norm1", f"{blk}.attn",
+                          f"{blk}.stochastic_depth", f"{blk}.norm2",
                           f"{blk}.mlp"] + [f"{blk}.mlp.{i}" for i in range(5)]
             fi += 1
             if stage < len(self.depths) - 1:
@@ -246,8 +252,7 @@ class SwinTransformer(SubjectModel):
             bias = bias + region.reshape(b * nh * nw, 1, t, t)
 
         out = scaled_dot_product_attention(q, k, v, heads, mask=bias)
-        out = tap(f"{blk}.attn.proj",
-                  linear(out, params[f"{blk}.attn.proj.weight"], params[f"{blk}.attn.proj.bias"]))
+        out = linear(out, params[f"{blk}.attn.proj.weight"], params[f"{blk}.attn.proj.bias"])
 
         out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, ph, pw, c)
         if sh or sw:
@@ -259,12 +264,18 @@ class SwinTransformer(SubjectModel):
     def _block(self, params, x, blk, heads, shift, tap):
         h = self._window_attention(params, tap(f"{blk}.norm1", self._ln(params, f"{blk}.norm1", x)),
                                    blk, heads, shift, tap)
+        # torchvision applies ONE StochasticDepth module to both branches
+        # (identity at inference); tapping both keeps the documented
+        # last-hook-wins semantics for shared modules.
+        h = tap(f"{blk}.stochastic_depth", h)
         x = residual_add(x, h)  # LRP: proportional split, not a bare +
         n2 = tap(f"{blk}.norm2", self._ln(params, f"{blk}.norm2", x))
         m = tap(f"{blk}.mlp.0", linear(n2, params[f"{blk}.mlp.0.weight"], params[f"{blk}.mlp.0.bias"]))
-        m = tap(f"{blk}.mlp.1", gelu(m))
+        m = tap(f"{blk}.mlp.2", tap(f"{blk}.mlp.1", gelu(m)))  # mlp.2: inference-identity Dropout
         m = tap(f"{blk}.mlp.3", linear(m, params[f"{blk}.mlp.3.weight"], params[f"{blk}.mlp.3.bias"]))
+        m = tap(f"{blk}.mlp.4", m)  # mlp.4: inference-identity Dropout
         tap(f"{blk}.mlp", m)
+        m = tap(f"{blk}.stochastic_depth", m)
         return tap(blk, residual_add(x, m))
 
     def _patch_merge(self, params, x, merge, tap):

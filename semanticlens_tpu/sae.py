@@ -140,6 +140,19 @@ def decode(params: Mapping, z):
     return z @ params["W_dec"] + params["b_dec"]
 
 
+def finalize_sae_params(params: Mapping, cfg: SAEConfig) -> dict:
+    """Stamp the encode-time sparsity into the trained artifact.
+
+    A TopK dictionary only makes sense encoded with the ``k`` it was trained
+    for; storing it with the weights makes the artifact self-describing, so
+    :class:`SAESubjectModel` cannot silently fall back to a dense ReLU
+    encoder. ``encode``/``decode`` ignore the entry; the training entry
+    points strip it before differentiating.
+    """
+    return {**{n: v for n, v in params.items() if n != "k"},
+            "k": jnp.asarray(cfg.k, jnp.int32)}
+
+
 def init_stats(cfg: SAEConfig) -> dict:
     """Per-latent liveness tracking carried through training (int32 so the
     donated carry stays fixed-dtype): steps since each latent last fired."""
@@ -264,11 +277,14 @@ def train_sae_from_rows(
     """Train on a fixed (N, d_in) row matrix (already-extracted activations).
 
     Rows live on device once; each dispatch scans a chunk of optimizer steps
-    over freshly permuted minibatches. With ``mesh`` (a ``"data"`` axis),
+    over epoch-permuted minibatches (chained shuffles — every row is visited
+    once per epoch-equivalent). With ``mesh`` (a ``"data"`` axis),
     minibatches shard row-wise and XLA all-reduces the gradients — the math
     is identical to single-device (tested).
 
-    Returns ``(params, stats, metrics)`` — metrics from the final step.
+    Returns ``(params, stats, metrics)`` — metrics from the final step. The
+    returned params carry a ``"k"`` entry recording the encode-time sparsity
+    the dictionary was trained for (see :func:`finalize_sae_params`).
     """
     rows = jnp.asarray(rows, jnp.float32)
     n = rows.shape[0]
@@ -280,6 +296,8 @@ def train_sae_from_rows(
     if params is None:
         key, sub = jax.random.split(key)
         params = init_sae(sub, cfg)
+    else:
+        params = {name: v for name, v in params.items() if name != "k"}
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     stats = init_stats(cfg)
@@ -290,13 +308,33 @@ def train_sae_from_rows(
         rows = jax.device_put(rows, NamedSharding(mesh, P()))
 
     rng = np.random.default_rng(cfg.seed)
+    # Epoch-style sampling: indices come from chained host-side permutations,
+    # so every row is visited once per ceil(n / batch_rows) steps (i.i.d.
+    # draws would leave ~1/e of the rows unseen per epoch-equivalent).
+    perm = rng.permutation(n)
+    pos = 0
+
+    def _take(count: int) -> np.ndarray:
+        nonlocal perm, pos
+        out = np.empty(count, np.int64)
+        filled = 0
+        while filled < count:
+            avail = min(count - filled, n - pos)
+            out[filled : filled + avail] = perm[pos : pos + avail]
+            pos += avail
+            filled += avail
+            if pos == n:
+                perm = rng.permutation(n)
+                pos = 0
+        return out
+
     chunk = max(1, min(steps, 32))
     done = 0
     metrics = {}
     while done < steps:
         s = min(chunk, steps - done)
         # Host-side permutation indices; the gather happens on device.
-        idx = rng.integers(0, n, size=(s, cfg.batch_rows), dtype=np.int64)
+        idx = _take(s * cfg.batch_rows).reshape(s, cfg.batch_rows)
         batches = rows[jnp.asarray(idx)]
         if mesh is not None:
             batches = jax.device_put(batches, batch_sharding)
@@ -307,7 +345,7 @@ def train_sae_from_rows(
             logger.info(
                 "sae step %d: loss %.4g fvu %.3f l0 %.1f", done, m["loss"], m["fvu"], m["l0"]
             )
-    return params, stats, jax.device_get(metrics)
+    return finalize_sae_params(params, cfg), stats, jax.device_get(metrics)
 
 
 def _make_row_extractor(model: SubjectModel, layer_name: str, cfg: SAEConfig):
@@ -351,7 +389,8 @@ def train_sae_on_layer(
     of rows dwarfs one batch). Row order follows the dataset within a pass;
     ``positions_per_image`` subsampling provides the decorrelation.
 
-    Returns ``(sae_params, stats, metrics)``.
+    Returns ``(sae_params, stats, metrics)``; the params carry a ``"k"``
+    entry recording the encode-time sparsity (:func:`finalize_sae_params`).
     """
     from semanticlens_tpu.data.dataset import device_prefetch_batches, iter_batches
 
@@ -404,7 +443,7 @@ def train_sae_on_layer(
                     "sae epoch %d step %d: loss %.4g fvu %.3f l0 %.1f",
                     epoch, done_steps, m["loss"], m["fvu"], m["l0"],
                 )
-    return sae_params, stats, jax.device_get(metrics)
+    return finalize_sae_params(sae_params, cfg), stats, jax.device_get(metrics)
 
 
 class _PreprocessedModel(SubjectModel):
@@ -438,7 +477,7 @@ class SAESubjectModel(SubjectModel):
         layer_name: str,
         sae_params: Mapping,
         *,
-        k: int = 0,
+        k: int | None = None,
         base_params=None,
         name: str | None = None,
     ):
@@ -446,6 +485,23 @@ class SAESubjectModel(SubjectModel):
             raise ValueError(f"Layer '{layer_name}' not found in model.")
         self.base = base
         self.layer_name = layer_name
+        stored_k = sae_params.get("k")
+        if k is None:
+            if stored_k is None:
+                raise ValueError(
+                    "Encode-time sparsity unknown: sae_params carries no 'k' "
+                    "entry and none was passed. A TopK-trained dictionary "
+                    "encoded densely (k=0) collects evidence on a code "
+                    "distribution it was never trained for — pass k= "
+                    "explicitly, or train via semanticlens_tpu.sae (whose "
+                    "trainers stamp 'k' into the params)."
+                )
+            k = int(stored_k)
+        elif stored_k is not None and int(stored_k) != int(k):
+            raise ValueError(
+                f"k={int(k)} contradicts the sparsity the dictionary was "
+                f"trained for (sae_params['k']={int(stored_k)})."
+            )
         self.k = int(k)
         self.sae_tap = f"{layer_name}.sae"
         self.module_names = tuple(base.module_names) + (self.sae_tap,)

@@ -413,10 +413,16 @@ def _aggregate_concepts(V):
     return V
 
 
+_DEAD_NORM = 1e-8  # aggregated FM embeddings are O(1); sentinel rows are 0
+
+
 @jax.jit
 def _drift_jit(a, b):
     cos = jnp.sum(_normalize(a) * _normalize(b), axis=-1)
-    return 1.0 - cos
+    dead = (jnp.linalg.norm(a, axis=-1) < _DEAD_NORM) | (
+        jnp.linalg.norm(b, axis=-1) < _DEAD_NORM
+    )
+    return jnp.where(dead, jnp.nan, 1.0 - cos)
 
 
 def drift_score(V_a, V_b):
@@ -430,7 +436,12 @@ def drift_score(V_a, V_b):
     (C, D) inputs (new capability — the reference has no cross-model
     comparison; composes with its concept-DB artifacts).
 
-    Returns (C,) float32.
+    Components dead on either side (all-zero sentinel concept rows, i.e.
+    latents with no firing evidence) return **NaN**, not 1.0 — an
+    unchanged-but-dead latent is not drift, and letting it score 1.0 would
+    drown the audit's top-drifted list in dead components.
+
+    Returns (C,) float32 (NaN for dead components).
     """
     a, b = _aggregate_concepts(V_a), _aggregate_concepts(V_b)
     if a.shape != b.shape:
@@ -441,7 +452,12 @@ def drift_score(V_a, V_b):
 @jax.jit
 def _match_jit(a, b):
     cos = _cosine_matrix(a, b.T)
-    return jnp.argmax(cos, axis=1), jnp.max(cos, axis=1)
+    dead_b = jnp.linalg.norm(b, axis=-1) < _DEAD_NORM
+    cos = jnp.where(dead_b[None, :], -jnp.inf, cos)
+    idx = jnp.argmax(cos, axis=1)
+    best = jnp.max(cos, axis=1)
+    dead = jnp.linalg.norm(a, axis=-1) < _DEAD_NORM
+    return jnp.where(dead, -1, idx), jnp.where(dead, jnp.nan, best)
 
 
 def match_components(V_a, V_b):
@@ -450,7 +466,9 @@ def match_components(V_a, V_b):
     Works across DIFFERENT architectures/layers (C_a need not equal C_b):
     for each aggregated concept of A, the highest-cosine concept of B.
     Returns ``(indices, cosines)`` — (C_a,) int32 indices into B and the
-    (C_a,) match cosines.
+    (C_a,) match cosines. Dead components of A (all-zero sentinel rows)
+    return index ``-1`` and cosine NaN; dead rows of B are excluded from
+    the argmax (a dead latent is not a semantic match).
     """
     a, b = _aggregate_concepts(V_a), _aggregate_concepts(V_b)
     if a.shape[-1] != b.shape[-1]:
@@ -460,11 +478,16 @@ def match_components(V_a, V_b):
 
 
 def semantic_coverage(V_a, V_b, *, threshold: float = 0.9):
-    """Fraction of A's components whose concept survives somewhere in B
-    (best match cosine ≥ ``threshold``). Order matters: coverage(A, B)
-    asks "does B still express A's concepts", not the converse."""
+    """Fraction of A's LIVE components whose concept survives somewhere in
+    B (best match cosine ≥ ``threshold``). Dead components of A (NaN match
+    cosine) are excluded from the denominator — a latent with no evidence
+    is not a lost concept. NaN if A has no live components. Order matters:
+    coverage(A, B) asks "does B still express A's concepts"."""
     _, cos = match_components(V_a, V_b)
-    return float(jnp.mean((cos >= threshold).astype(jnp.float32)))
+    live = ~jnp.isnan(cos)  # NaN = dead in A; −inf (all of B dead) stays live
+    n_live = jnp.sum(live.astype(jnp.float32))
+    hits = jnp.sum(jnp.where(live, (cos >= threshold).astype(jnp.float32), 0.0))
+    return float(jnp.where(n_live > 0, hits / jnp.maximum(n_live, 1.0), jnp.nan))
 
 
 @jax.jit

@@ -20,10 +20,27 @@ def swin_t():
 def test_module_names_torchvision_compatible(swin_t):
     model, _ = swin_t
     for name in ["features.0.0", "features.0.2", "features.1.0.norm1",
-                 "features.1.1.attn.qkv", "features.2.reduction", "features.2.norm",
-                 "features.5.5.mlp.3", "features.7.1.attn.proj",
+                 "features.1.1.attn", "features.2.reduction", "features.2.norm",
+                 "features.5.5.mlp.3", "features.7.1.stochastic_depth",
                  "norm", "avgpool", "flatten", "head"]:
         assert name in model.module_names, name
+    # torchvision computes qkv/proj with F.linear inside the functional
+    # shifted_window_attention — hooks on them never fire there, so they
+    # must not be advertised as tappable here either.
+    assert "features.1.1.attn.qkv" not in model.module_names
+    assert "features.1.1.attn.proj" not in model.module_names
+
+
+def test_every_module_name_is_tappable(swin_t):
+    """Contract: every advertised module name yields a batch-leading tap."""
+    model, params = swin_t
+    x = jnp.zeros((2, 56, 56, 3), jnp.float32)
+    names = tuple(model.module_names)
+    _, taps = model.apply(params, x, tap_names=names)
+    missing = [n for n in names if n not in taps]
+    assert not missing, f"advertised but never tapped: {missing}"
+    bad = {n: v.shape for n, v in taps.items() if v.shape[0] != 2}
+    assert not bad, f"taps whose leading axis is not batch: {bad}"
 
 
 def test_forward_shapes_and_taps(swin_t):

@@ -344,6 +344,36 @@ def test_match_components_dim_mismatch():
         match_components(np.zeros((3, 8), np.float32), np.zeros((3, 16), np.float32))
 
 
+def test_dead_components_are_nan_not_max_drift():
+    """All-zero sentinel concept rows (dead SAE latents / never-firing
+    units) must NOT read as drift=1 or as lost concepts — they carry no
+    evidence at all. drift → NaN; match → (-1, NaN); coverage excludes
+    them from the denominator and never matches INTO a dead B row."""
+    from semanticlens_tpu.scores import drift_score, match_components, semantic_coverage
+
+    rng = np.random.default_rng(13)
+    a = rng.normal(size=(6, 16)).astype(np.float32)
+    b = a.copy()
+    a[2] = 0.0  # dead in A only
+    b[4] = 0.0  # dead in B only
+    a[5] = b[5] = 0.0  # dead in both
+
+    drift = np.asarray(drift_score(a, b))
+    assert np.isnan(drift[[2, 4, 5]]).all()
+    np.testing.assert_allclose(drift[[0, 1, 3]], 0.0, atol=1e-6)
+
+    idx, cos = match_components(a, b)
+    idx, cos = np.asarray(idx), np.asarray(cos)
+    assert idx[2] == -1 and idx[5] == -1
+    assert np.isnan(cos[[2, 5]]).all()
+    assert 4 not in idx[[0, 1, 3]]  # dead B row can't win a match
+    np.testing.assert_allclose(cos[[0, 1, 3]], 1.0, atol=1e-5)
+
+    # 4 live components of A; 3 survive (a[4] is live but b[4] died).
+    assert semantic_coverage(a, b, threshold=0.99) == pytest.approx(3 / 4)
+    assert np.isnan(semantic_coverage(np.zeros((3, 16), np.float32), b))
+
+
 def test_diff_models_cli(tmp_path):
     """tools/diff_models.py end-to-end on Lens-format concept-DB artifacts."""
     import json

@@ -69,24 +69,31 @@ def main():
     for layer in layers:
         if args.coverage:
             idx, cos = scores.match_components(a[layer], b[layer])
-            cov = float(np.mean(np.asarray(cos) >= args.threshold))
+            cos = np.asarray(cos)
+            live = ~np.isnan(cos)  # dead components of A: no evidence, no concept
+            cov = scores.semantic_coverage(a[layer], b[layer], threshold=args.threshold)
             print(json.dumps({
                 "layer": layer,
                 "components_a": int(np.asarray(idx).shape[0]),
-                "coverage": round(cov, 4),
-                "median_match_cos": round(float(np.median(np.asarray(cos))), 4),
+                "dead_a": int((~live).sum()),
+                "coverage": round(cov, 4) if np.isfinite(cov) else None,
+                "median_match_cos": round(float(np.median(cos[live])), 4) if live.any() else None,
             }))
-            worst += [(layer, int(i), 1.0 - float(c)) for i, c in enumerate(np.asarray(cos))]
+            worst += [(layer, int(i), 1.0 - float(c))
+                      for i, c in enumerate(cos) if live[i]]
         else:
             drift = np.asarray(scores.drift_score(a[layer], b[layer]))
+            live = ~np.isnan(drift)  # dead on either side: not drift (scores.py)
+            d = drift[live]
             print(json.dumps({
                 "layer": layer,
                 "components": int(drift.shape[0]),
-                "mean_drift": round(float(drift.mean()), 4),
-                "p95_drift": round(float(np.percentile(drift, 95)), 4),
-                "max_drift": round(float(drift.max()), 4),
+                "dead": int((~live).sum()),
+                "mean_drift": round(float(d.mean()), 4) if d.size else None,
+                "p95_drift": round(float(np.percentile(d, 95)), 4) if d.size else None,
+                "max_drift": round(float(d.max()), 4) if d.size else None,
             }))
-            worst += [(layer, int(i), float(d)) for i, d in enumerate(drift)]
+            worst += [(layer, int(i), float(x)) for i, x in enumerate(drift) if live[i]]
 
     worst.sort(key=lambda t: -t[2])
     print(json.dumps({
