@@ -1,12 +1,15 @@
 """Subject models with named activation taps."""
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector, validate_layers
+from semanticlens_tpu.models.classic import AlexNet, SqueezeNet
 from semanticlens_tpu.models.convnext import ConvNeXt
 from semanticlens_tpu.models.densenet import DenseNet
 from semanticlens_tpu.models.efficientnet import EfficientNet
 from semanticlens_tpu.models.inception import GoogLeNet, InceptionV3
 from semanticlens_tpu.models.mobilenet import MobileNetV2, MobileNetV3
+from semanticlens_tpu.models.regnet import RegNet
 from semanticlens_tpu.models.resnet import ResNet
+from semanticlens_tpu.models.shufflenet import ShuffleNetV2
 from semanticlens_tpu.models.swin import SwinTransformer
 from semanticlens_tpu.models.torch_adapter import TorchSubjectModel
 from semanticlens_tpu.models.vgg import VGG
@@ -16,7 +19,7 @@ __all__ = [
     "SubjectModel", "TapCollector", "validate_layers",
     "ResNet", "VisionTransformer", "ConvNeXt", "VGG", "DenseNet", "EfficientNet",
     "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3", "SwinTransformer",
-    "TorchSubjectModel",
+    "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "TorchSubjectModel",
 ]
 
 from semanticlens_tpu.models.flax_adapter import FlaxSubjectModel  # noqa: E402

@@ -55,6 +55,10 @@ def build_model(args, jnp):
         return models.ResNet(depth=args.depth, groups=32, width_per_group=width, dtype=jnp.bfloat16)
     if args.arch == "wide_resnet":  # torchvision wide_resnet{50,101}_2
         return models.ResNet(depth=args.depth, width_per_group=128, dtype=jnp.bfloat16)
+    if args.arch == "regnet":  # torchvision regnet_{x,y}_*
+        return models.RegNet(variant=args.variant or "y_400mf", dtype=jnp.bfloat16)
+    if args.arch == "shufflenet":  # torchvision shufflenet_v2_x*
+        return models.ShuffleNetV2(variant=args.variant or "x1_0", dtype=jnp.bfloat16)
     raise SystemExit(f"unknown arch {args.arch}")
 
 

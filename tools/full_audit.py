@@ -44,7 +44,8 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--arch", default="resnet",
                     choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet",
-                             "mobilenet", "inception", "swin"])
+                             "mobilenet", "inception", "swin", "regnet", "shufflenet",
+                             "alexnet", "squeezenet"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument(
         "--variant",
@@ -211,6 +212,39 @@ def main():
             args.layers = default_taps
         aggregate_fn = aggregate_conv_mean
         model_name = f"{'googlenet' if variant == 'v1' else 'inception_v3'}-audit"
+    elif args.arch == "regnet":
+        from semanticlens_tpu.models import RegNet
+
+        model = RegNet(variant=args.variant or "y_400mf", dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = [f"trunk_output.block{i}" for i in range(1, 5)]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"regnet_{model.variant}-audit"
+    elif args.arch == "shufflenet":
+        from semanticlens_tpu.models import ShuffleNetV2
+
+        model = ShuffleNetV2(variant=args.variant or "x1_0", dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = ["stage2", "stage3", "stage4", "conv5"]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"shufflenet_v2_{model.variant}-audit"
+    elif args.arch == "alexnet":
+        from semanticlens_tpu.models import AlexNet
+
+        model = AlexNet(dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = ["features.4", "features.7", "features.9", "features.12"]
+        aggregate_fn = aggregate_conv_mean
+        model_name = "alexnet-audit"
+    elif args.arch == "squeezenet":
+        from semanticlens_tpu.models import SqueezeNet
+
+        model = SqueezeNet(version=args.variant or "1_0", dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            # fire-module outputs present in BOTH versions' plans
+            args.layers = ["features.4", "features.7", "features.10", "features.12"]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"squeezenet{model.version}-audit"
     elif args.arch == "densenet":
         from semanticlens_tpu.models import DenseNet
 
