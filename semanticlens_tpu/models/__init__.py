@@ -4,8 +4,9 @@ from semanticlens_tpu.models.base import SubjectModel, TapCollector, validate_la
 from semanticlens_tpu.models.classic import AlexNet, SqueezeNet
 from semanticlens_tpu.models.convnext import ConvNeXt
 from semanticlens_tpu.models.densenet import DenseNet
-from semanticlens_tpu.models.efficientnet import EfficientNet
+from semanticlens_tpu.models.efficientnet import EfficientNet, EfficientNetV2
 from semanticlens_tpu.models.inception import GoogLeNet, InceptionV3
+from semanticlens_tpu.models.mnasnet import MNASNet
 from semanticlens_tpu.models.mobilenet import MobileNetV2, MobileNetV3
 from semanticlens_tpu.models.regnet import RegNet
 from semanticlens_tpu.models.resnet import ResNet
@@ -18,8 +19,10 @@ from semanticlens_tpu.models.vit import VisionTransformer
 __all__ = [
     "SubjectModel", "TapCollector", "validate_layers",
     "ResNet", "VisionTransformer", "ConvNeXt", "VGG", "DenseNet", "EfficientNet",
+    "EfficientNetV2",
     "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3", "SwinTransformer",
-    "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "TorchSubjectModel",
+    "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "MNASNet",
+    "TorchSubjectModel",
 ]
 
 from semanticlens_tpu.models.flax_adapter import FlaxSubjectModel  # noqa: E402

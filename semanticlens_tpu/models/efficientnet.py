@@ -303,3 +303,205 @@ class EfficientNet(SubjectModel):
 
     def __repr__(self):
         return f"EfficientNet(variant={self.variant!r}, num_classes={self.num_classes})"
+
+
+# EfficientNetV2 stage rows: (fused, expand, kernel, stride, c_in, c_out, layers)
+_V2_CONFS = {
+    "v2_s": (24, (
+        (True, 1, 3, 1, 24, 24, 2),
+        (True, 4, 3, 2, 24, 48, 4),
+        (True, 4, 3, 2, 48, 64, 4),
+        (False, 4, 3, 2, 64, 128, 6),
+        (False, 6, 3, 1, 128, 160, 9),
+        (False, 6, 3, 2, 160, 256, 15),
+    )),
+    "v2_m": (24, (
+        (True, 1, 3, 1, 24, 24, 3),
+        (True, 4, 3, 2, 24, 48, 5),
+        (True, 4, 3, 2, 48, 80, 5),
+        (False, 4, 3, 2, 80, 160, 7),
+        (False, 6, 3, 1, 160, 176, 14),
+        (False, 6, 3, 2, 176, 304, 18),
+        (False, 6, 3, 1, 304, 512, 5),
+    )),
+    "v2_l": (32, (
+        (True, 1, 3, 1, 32, 32, 4),
+        (True, 4, 3, 2, 32, 64, 7),
+        (True, 4, 3, 2, 64, 96, 7),
+        (False, 4, 3, 2, 96, 192, 10),
+        (False, 6, 3, 1, 192, 224, 19),
+        (False, 6, 3, 2, 224, 384, 25),
+        (False, 6, 3, 1, 384, 640, 7),
+    )),
+}
+
+
+class _FusedBlockCfg:
+    """One FusedMBConv instance (torchvision FusedMBConvConfig): the 3×3
+    does the expansion in one dense conv; no SE, no depthwise."""
+
+    fused = True
+
+    def __init__(self, expand, kernel, stride, c_in, c_out):
+        self.expand = expand
+        self.kernel = kernel
+        self.stride = stride
+        self.c_in = c_in
+        self.c_out = c_out
+        self.c_mid = _make_divisible(c_in * expand)
+        self.has_expand = self.c_mid != c_in
+        self.residual = stride == 1 and c_in == c_out
+
+
+class EfficientNetV2(EfficientNet):
+    """EfficientNetV2-S/M/L, channels-last, torchvision-compatible names.
+
+    Mixed fused-MBConv (early stages — one dense k×k expansion conv, no SE)
+    and MBConv (late stages, identical to V1) trunk with explicit per-stage
+    channel tables (no compound scaling), BN eps 1e-3, fixed 1280-d head —
+    all per torchvision's ``efficientnet_v2_{s,m,l}`` configuration.
+    Everything else (taps, LRP rules, checkpoint relayout, engine
+    integration) is inherited from :class:`EfficientNet`.
+
+    TPU note: the fused early stages are MXU-dense convolutions (no VPU
+    depthwise), which is exactly the V2 paper's training-speed argument —
+    it applies verbatim to this framework's sweep throughput.
+    """
+
+    def __init__(self, variant: str = "v2_s", num_classes: int = 1000, *, dtype=jnp.bfloat16):
+        if variant not in _V2_CONFS:
+            raise ValueError(f"variant must be one of {sorted(_V2_CONFS)}, got {variant!r}")
+        self.variant = variant
+        self.num_classes = num_classes
+        self.dtype = dtype
+        self.bn_eps = 1e-3
+        stem, rows = _V2_CONFS[variant]
+        self.stem_ch = stem
+        self.stages = []
+        for fused, expand, kernel, stride, c_in, c_out, layers in rows:
+            blocks = []
+            for j in range(layers):
+                cin_j = c_in if j == 0 else c_out
+                s_j = stride if j == 0 else 1
+                if fused:
+                    blocks.append(_FusedBlockCfg(expand, kernel, s_j, cin_j, c_out))
+                else:
+                    blocks.append(_BlockCfg(expand, kernel, s_j, cin_j, c_out))
+            self.stages.append(blocks)
+        self.head_ch = 1280  # torchvision: last_channel fixed for V2
+        self.num_features = self.head_ch
+        self.module_names = tuple(self._enumerate_module_names())
+
+    # ----------------------------------------------------------------- names
+    def _enumerate_module_names(self):
+        names = ["features", "features.0", "features.0.0", "features.0.1", "features.0.2"]
+        for si, blocks in enumerate(self.stages, start=1):
+            names.append(f"features.{si}")
+            for bi, cfg in enumerate(blocks):
+                base = f"features.{si}.{bi}"
+                names += [base, f"{base}.block"]
+                if getattr(cfg, "fused", False):
+                    if cfg.has_expand:
+                        names += [f"{base}.block.0.{m}" for m in ("", "0", "1", "2")]
+                        names += [f"{base}.block.1.{m}" for m in ("", "0", "1")]
+                    else:
+                        names += [f"{base}.block.0.{m}" for m in ("", "0", "1", "2")]
+                else:
+                    for idx in ([0] if cfg.has_expand else []):
+                        names += [f"{base}.block.{idx}.{m}" for m in ("", "0", "1", "2")]
+                    names += [f"{base}.block.{cfg.i_dw}.{m}" for m in ("", "0", "1", "2")]
+                    se = f"{base}.block.{cfg.i_se}"
+                    names += [se, f"{se}.avgpool", f"{se}.fc1", f"{se}.activation",
+                              f"{se}.fc2", f"{se}.scale_activation"]
+                    names += [f"{base}.block.{cfg.i_proj}.{m}" for m in ("", "0", "1")]
+                names.append(f"{base}.stochastic_depth")
+        last = len(self.stages) + 1
+        names += [f"features.{last}", f"features.{last}.0", f"features.{last}.1", f"features.{last}.2"]
+        names.append("avgpool")
+        if self.num_classes:
+            names += ["classifier", "classifier.0", "classifier.1"]
+        return [n.rstrip(".") for n in names]
+
+    # ------------------------------------------------------------------ specs
+    def _param_specs(self):
+        specs = [("features.0.0.weight", (3, 3, 3, self.stem_ch), "conv")]
+        specs += self._bn_specs("features.0.1", self.stem_ch)
+        for si, blocks in enumerate(self.stages, start=1):
+            for bi, cfg in enumerate(blocks):
+                base = f"features.{si}.{bi}.block"
+                k = cfg.kernel
+                if getattr(cfg, "fused", False):
+                    if cfg.has_expand:
+                        specs.append((f"{base}.0.0.weight", (k, k, cfg.c_in, cfg.c_mid), "conv"))
+                        specs += self._bn_specs(f"{base}.0.1", cfg.c_mid)
+                        specs.append((f"{base}.1.0.weight", (1, 1, cfg.c_mid, cfg.c_out), "conv"))
+                        specs += self._bn_specs(f"{base}.1.1", cfg.c_out)
+                    else:
+                        specs.append((f"{base}.0.0.weight", (k, k, cfg.c_in, cfg.c_out), "conv"))
+                        specs += self._bn_specs(f"{base}.0.1", cfg.c_out)
+                    continue
+                if cfg.has_expand:
+                    specs.append((f"{base}.0.0.weight", (1, 1, cfg.c_in, cfg.c_mid), "conv"))
+                    specs += self._bn_specs(f"{base}.0.1", cfg.c_mid)
+                specs.append((f"{base}.{cfg.i_dw}.0.weight", (k, k, 1, cfg.c_mid), "dwconv"))
+                specs += self._bn_specs(f"{base}.{cfg.i_dw}.1", cfg.c_mid)
+                specs += [
+                    (f"{base}.{cfg.i_se}.fc1.weight", (cfg.c_mid, cfg.c_se), "se_fc"),
+                    (f"{base}.{cfg.i_se}.fc1.bias", (cfg.c_se,), "zeros"),
+                    (f"{base}.{cfg.i_se}.fc2.weight", (cfg.c_se, cfg.c_mid), "se_fc"),
+                    (f"{base}.{cfg.i_se}.fc2.bias", (cfg.c_mid,), "zeros"),
+                ]
+                specs.append((f"{base}.{cfg.i_proj}.0.weight", (1, 1, cfg.c_mid, cfg.c_out), "conv"))
+                specs += self._bn_specs(f"{base}.{cfg.i_proj}.1", cfg.c_out)
+        last = len(self.stages) + 1
+        c_last_in = self.stages[-1][-1].c_out
+        specs.append((f"features.{last}.0.weight", (1, 1, c_last_in, self.head_ch), "conv"))
+        specs += self._bn_specs(f"features.{last}.1", self.head_ch)
+        if self.num_classes:
+            specs += [
+                ("classifier.1.weight", (self.head_ch, self.num_classes), "fc"),
+                ("classifier.1.bias", (self.num_classes,), "zeros"),
+            ]
+        return specs
+
+    # ------------------------------------------------------------------ apply
+    def _fused_mbconv(self, params, x, base, cfg: _FusedBlockCfg, tap):
+        if cfg.has_expand:
+            h = self._conv_bn_act(params, x, f"{base}.block.0", tap,
+                                  stride=cfg.stride, kernel=cfg.kernel)
+            h = self._conv_bn_act(params, h, f"{base}.block.1", tap, act=False)
+        else:
+            h = self._conv_bn_act(params, x, f"{base}.block.0", tap,
+                                  stride=cfg.stride, kernel=cfg.kernel)
+        tap(f"{base}.block", h)
+        tap(f"{base}.stochastic_depth", h)  # identity at inference
+        if cfg.residual:
+            h = residual_add(x, h)  # LRP: proportional split
+        return tap(base, h)
+
+    def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
+        """(B, H, W, 3) float → (logits, taps). Conv taps are NHWC."""
+        tap = TapCollector(tap_names)
+        x = x.astype(self.dtype)
+        x = self._conv_bn_act(params, x, "features.0", tap, stride=2, kernel=3)
+        for si, blocks in enumerate(self.stages, start=1):
+            for bi, cfg in enumerate(blocks):
+                base = f"features.{si}.{bi}"
+                if getattr(cfg, "fused", False):
+                    x = self._fused_mbconv(params, x, base, cfg, tap)
+                else:
+                    x = self._mbconv(params, x, base, cfg, tap)
+            x = tap(f"features.{si}", x)
+        last = len(self.stages) + 1
+        x = self._conv_bn_act(params, x, f"features.{last}", tap, stride=1, kernel=1)
+        tap("features", x)
+        x = tap("avgpool", global_avg_pool(x)).reshape(x.shape[0], -1)
+        x = tap("classifier.0", x)  # dropout: identity at inference
+        if self.num_classes:
+            logits = linear(x, params["classifier.1.weight"], params["classifier.1.bias"])
+            logits = tap("classifier.1", logits)
+            return tap("classifier", logits), tap.taps
+        return x, tap.taps
+
+    def __repr__(self):
+        return f"EfficientNetV2(variant={self.variant!r}, num_classes={self.num_classes})"

@@ -20,8 +20,10 @@ from semanticlens_tpu.models import (
     ConvNeXt,
     DenseNet,
     EfficientNet,
+    EfficientNetV2,
     GoogLeNet,
     InceptionV3,
+    MNASNet,
     MobileNetV2,
     MobileNetV3,
     RegNet,
@@ -49,6 +51,8 @@ _CASES = [
     ("vgg11bn", lambda: VGG(11, num_classes=7, batch_norm=True, dtype=jnp.float32), 224),
     ("densenet121", lambda: DenseNet(121, num_classes=7, dtype=jnp.float32), 64),
     ("efficientnet_b0", lambda: EfficientNet("b0", num_classes=7, dtype=jnp.float32), 64),
+    ("efficientnet_v2_s", lambda: EfficientNetV2("v2_s", num_classes=7, dtype=jnp.float32), 64),
+    ("mnasnet_0_5", lambda: MNASNet("0_5", num_classes=7, dtype=jnp.float32), 64),
     ("mobilenet_v2", lambda: MobileNetV2(num_classes=7, dtype=jnp.float32), 64),
     ("mobilenet_v3_small", lambda: MobileNetV3("small", num_classes=7,
                                                dtype=jnp.float32), 64),

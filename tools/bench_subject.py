@@ -59,6 +59,14 @@ def build_model(args, jnp):
         return models.RegNet(variant=args.variant or "y_400mf", dtype=jnp.bfloat16)
     if args.arch == "shufflenet":  # torchvision shufflenet_v2_x*
         return models.ShuffleNetV2(variant=args.variant or "x1_0", dtype=jnp.bfloat16)
+    if args.arch == "efficientnet_v2":  # torchvision efficientnet_v2_{s,m,l}
+        return models.EfficientNetV2(variant=args.variant or "v2_s", dtype=jnp.bfloat16)
+    if args.arch == "alexnet":
+        return models.AlexNet(dtype=jnp.bfloat16)
+    if args.arch == "squeezenet":  # torchvision squeezenet{1_0,1_1}
+        return models.SqueezeNet(version=args.variant or "1_0", dtype=jnp.bfloat16)
+    if args.arch == "mnasnet":  # torchvision mnasnet{0_5,0_75,1_0,1_3}
+        return models.MNASNet(variant=args.variant or "1_0", dtype=jnp.bfloat16)
     raise SystemExit(f"unknown arch {args.arch}")
 
 

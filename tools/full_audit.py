@@ -45,7 +45,7 @@ def main():
     ap.add_argument("--arch", default="resnet",
                     choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet",
                              "mobilenet", "inception", "swin", "regnet", "shufflenet",
-                             "alexnet", "squeezenet"])
+                             "alexnet", "squeezenet", "mnasnet"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument(
         "--variant",
@@ -165,11 +165,18 @@ def main():
         aggregate_fn = aggregate_conv_mean
         model_name = f"vgg{depth}-audit"
     elif args.arch == "efficientnet":
-        from semanticlens_tpu.models import EfficientNet
+        from semanticlens_tpu.models import EfficientNet, EfficientNetV2
 
-        model = EfficientNet(variant=args.variant or "b0", dtype=jnp.bfloat16)
+        variant = args.variant or "b0"
+        if variant.startswith("v2"):
+            model = EfficientNetV2(variant=variant, dtype=jnp.bfloat16)
+            n_stages = len(model.stages)
+            default = [f"features.{i}" for i in (2, 3, n_stages - 1, n_stages)]
+        else:
+            model = EfficientNet(variant=variant, dtype=jnp.bfloat16)
+            default = [f"features.{i}" for i in (2, 4, 6, 8)]
         if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
-            args.layers = [f"features.{i}" for i in (2, 4, 6, 8)]
+            args.layers = default
         aggregate_fn = aggregate_conv_mean
         model_name = f"efficientnet-{model.variant}-audit"
     elif args.arch == "mobilenet":
@@ -228,6 +235,14 @@ def main():
             args.layers = ["stage2", "stage3", "stage4", "conv5"]
         aggregate_fn = aggregate_conv_mean
         model_name = f"shufflenet_v2_{model.variant}-audit"
+    elif args.arch == "mnasnet":
+        from semanticlens_tpu.models import MNASNet
+
+        model = MNASNet(variant=args.variant or "1_0", dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = ["layers.9", "layers.10", "layers.12", "layers.13"]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"mnasnet{model.variant}-audit"
     elif args.arch == "alexnet":
         from semanticlens_tpu.models import AlexNet
 
