@@ -18,6 +18,7 @@ Workflow (same three stages as the reference, README.md:46-53):
 """
 
 from semanticlens_tpu import (
+    causal,
     collect,
     core,
     data,
@@ -34,6 +35,7 @@ from semanticlens_tpu.lens import Lens
 from semanticlens_tpu.scores import clarity_score, polysemanticity_score, redundancy_score
 
 __all__ = [
+    "causal",
     "collect",
     "core",
     "data",

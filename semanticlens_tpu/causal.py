@@ -1,0 +1,196 @@
+"""Causal interventions on subject-model components: ablate, patch, steer.
+
+Beyond-reference capability. SemanticLens names what a component *encodes*
+(correlational: top-activating evidence embedded by the FM, reference
+activation_based.py:41); this module tests what a component *causes* —
+the other half of an interpretability audit. Because every subject model
+routes activations through the tap contract
+(:class:`semanticlens_tpu.models.base.TapCollector`), the
+:func:`~semanticlens_tpu.models.base.interventions` context rewrites any
+named activation in ANY family (ResNet … Swin … SAE virtual taps) with no
+per-model code.
+
+Primitives (all pure JAX — one traced program evaluates a whole batch of
+interventions via ``vmap`` over masks; the MXU sees K forwards as one
+batched program rather than K dispatches):
+
+- :func:`ablation_effects` — zero- or mean-ablate components, return the
+  per-component output delta ("necessity" of the component);
+- :func:`activation_patch` — interchange intervention: run target images
+  with selected components' activations transplanted from source images
+  (causal-tracing style);
+- :func:`steer` — add a concept direction at a layer ("concept steering");
+- :func:`necessity_ratio` — ablation effect on a component's own evidence
+  images relative to control images: a causal validation score for the
+  Collect stage's concept examples.
+
+Typical audit: collect evidence with ActivationComponentVisualizer, name
+components with ``Lens.label_components``, then confirm the named concept
+is causally load-bearing with ``necessity_ratio`` — components whose
+naming is an artifact of correlated context score ≈ 1 (no more necessary
+on their own evidence than anywhere else).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from semanticlens_tpu.models.base import SubjectModel, interventions, validate_layers
+
+__all__ = [
+    "ablation_effects",
+    "activation_patch",
+    "steer",
+    "necessity_ratio",
+]
+
+
+def _component_masks(component_ids, width: int):
+    ids = jnp.asarray(component_ids, jnp.int32)
+    if ids.ndim != 1:
+        raise ValueError(f"component_ids must be 1-D, got shape {tuple(ids.shape)}")
+    return 1.0 - jax.nn.one_hot(ids, width, dtype=jnp.float32)  # (K, C) keep-masks
+
+
+def ablation_effects(
+    model: SubjectModel,
+    params,
+    layer_name: str,
+    images,
+    component_ids: Sequence[int],
+    *,
+    mode: str = "zero",
+    target_class: int | None = None,
+):
+    """Output change caused by knocking out each component of a layer.
+
+    For every ``component_ids[k]``, runs the model with that channel of
+    ``layer_name`` replaced by 0 (``mode="zero"``) or by its batch-mean
+    activation (``mode="mean"``, the gentler ablation that stays on the
+    layer's manifold) and returns ``clean_output − ablated_output``:
+
+    - shape ``(K, B, n_out)``, or ``(K, B)`` when ``target_class`` picks a
+      single output column.
+
+    All K ablations compile into ONE program (vmap over keep-masks), so a
+    whole layer's necessity profile is a single dispatch.
+    """
+    if mode not in ("zero", "mean"):
+        raise ValueError(f"mode must be 'zero' or 'mean', got {mode!r}")
+    validate_layers(model, [layer_name])
+    clean_out, taps = model.apply(params, images, (layer_name,))
+    act = taps[layer_name]
+    width = act.shape[-1]
+    masks = _component_masks(component_ids, width)
+    if mode == "mean":
+        fill = jnp.mean(
+            act.astype(jnp.float32), axis=tuple(range(act.ndim - 1))
+        )  # (C,) dataset-free batch mean
+    else:
+        fill = jnp.zeros((width,), jnp.float32)
+
+    def run(mask):
+        def rewrite(v):
+            return (v * mask + (1.0 - mask) * fill).astype(v.dtype)
+
+        with interventions({layer_name: rewrite}):
+            out, _ = model.apply(params, images, ())
+        return out
+
+    ablated = jax.jit(jax.vmap(run))(masks)  # (K, B, n_out)
+    delta = clean_out[None].astype(jnp.float32) - ablated.astype(jnp.float32)
+    if target_class is not None:
+        delta = delta[..., target_class]
+    return delta
+
+
+def activation_patch(
+    model: SubjectModel,
+    params,
+    layer_name: str,
+    target_images,
+    source_images,
+    component_ids: Sequence[int] | None = None,
+):
+    """Interchange intervention: run ``target_images`` with the selected
+    components of ``layer_name`` carrying the activations they would have
+    on ``source_images`` (rows are paired 1:1 — shapes must match).
+
+    ``component_ids=None`` patches the whole layer (a full causal trace of
+    everything downstream). Returns ``(patched_output, clean_output)``.
+    """
+    validate_layers(model, [layer_name])
+    _, src_taps = model.apply(params, source_images, (layer_name,))
+    src = src_taps[layer_name]
+    clean_out, tgt_taps = model.apply(params, target_images, (layer_name,))
+    if tgt_taps[layer_name].shape != src.shape:
+        raise ValueError(
+            f"source/target activations must align 1:1 at {layer_name}: "
+            f"{src.shape} vs {tgt_taps[layer_name].shape}"
+        )
+    if component_ids is None:
+        patch_mask = jnp.ones((src.shape[-1],), jnp.float32)
+    else:
+        patch_mask = 1.0 - _component_masks(component_ids, src.shape[-1]).prod(axis=0)
+
+    def rewrite(v):
+        return (v * (1.0 - patch_mask) + src.astype(jnp.float32) * patch_mask).astype(v.dtype)
+
+    with interventions({layer_name: rewrite}):
+        patched_out, _ = model.apply(params, target_images, ())
+    return patched_out, clean_out
+
+
+def steer(
+    model: SubjectModel,
+    params,
+    layer_name: str,
+    images,
+    direction,
+    *,
+    alpha: float = 1.0,
+):
+    """Concept steering: add ``alpha · direction`` to ``layer_name``'s
+    activation (direction broadcasts against the activation's last axis —
+    pass a (C,) vector for channel-space steering) and return the output."""
+    validate_layers(model, [layer_name])
+    direction = jnp.asarray(direction)
+
+    def rewrite(v):
+        return (v.astype(jnp.float32) + alpha * direction).astype(v.dtype)
+
+    with interventions({layer_name: rewrite}):
+        out, _ = model.apply(params, images, ())
+    return out
+
+
+def necessity_ratio(
+    model: SubjectModel,
+    params,
+    layer_name: str,
+    component_ids: Sequence[int],
+    evidence_images,
+    control_images,
+    *,
+    mode: str = "zero",
+    eps: float = 1e-9,
+):
+    """Causal validation of concept evidence: how much MORE the model's
+    output depends on a component on that component's own top-activating
+    images than on control images.
+
+    Returns ``(K,)`` ratios ``‖Δ_evidence‖ / (‖Δ_control‖ + eps)`` of
+    mean ablation-induced output-change norms. Ratios ≫ 1 mean the
+    component is causally load-bearing exactly where the Collect stage
+    says it fires — the named concept is not a passenger correlation.
+    """
+    d_ev = ablation_effects(model, params, layer_name, evidence_images,
+                            component_ids, mode=mode)
+    d_ct = ablation_effects(model, params, layer_name, control_images,
+                            component_ids, mode=mode)
+    n_ev = jnp.linalg.norm(d_ev, axis=-1).mean(axis=-1)  # (K,)
+    n_ct = jnp.linalg.norm(d_ct, axis=-1).mean(axis=-1)
+    return n_ev / (n_ct + eps)

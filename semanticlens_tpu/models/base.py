@@ -17,9 +17,44 @@ activation_based.py:217-228).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Mapping, Sequence
 
 import jax
+
+# Stack of active intervention maps (name -> fn(value) -> value). Appended
+# by the `interventions` context manager; consulted by every TapCollector
+# call, so EVERY subject model supports activation interventions without
+# per-model changes. Not thread-local by design: JAX tracing is
+# single-threaded per trace, and the context is entered around the trace.
+_ACTIVE_INTERVENTIONS: list[dict[str, Callable]] = []
+
+
+@contextlib.contextmanager
+def interventions(mapping: Mapping[str, Callable]):
+    """Intervene on named activations during ``model.apply``.
+
+    ``mapping`` takes a module name (any entry of ``model.module_names``)
+    to a function ``fn(value) -> value``; the returned tensor REPLACES the
+    activation for everything downstream — the semantics of a torch forward
+    hook that returns a modified output (the reference registers such hooks
+    at activation_caching.py:266-277; it only ever reads, this framework
+    also writes). Enables ablation, activation patching, and concept
+    steering over every subject family (see :mod:`semanticlens_tpu.causal`).
+
+    Interventions compose with taps: a requested tap records the
+    POST-intervention value (what the network actually saw downstream).
+
+    JAX note: enter the context around the TRACE. Closures may reference
+    tracers (e.g. a vmapped mask), so one traced program can evaluate many
+    interventions; a Python-level change of ``mapping`` requires re-tracing
+    (build a fresh jitted fn, as ``semanticlens_tpu.causal`` does).
+    """
+    _ACTIVE_INTERVENTIONS.append(dict(mapping))
+    try:
+        yield
+    finally:
+        _ACTIVE_INTERVENTIONS.pop()
 
 
 class TapCollector:
@@ -32,10 +67,16 @@ class TapCollector:
     def __call__(self, name: str, value):
         """Record ``value`` under ``name`` if requested; returns ``value``.
 
-        Recording twice under the same name keeps the last write — matching
-        torch hook semantics for modules invoked multiple times (e.g. the
-        shared ReLU in torchvision blocks).
+        Active ``interventions`` rewrite ``value`` first (outermost context
+        first), so downstream compute and the recorded tap both see the
+        intervened activation. Recording twice under the same name keeps
+        the last write — matching torch hook semantics for modules invoked
+        multiple times (e.g. the shared ReLU in torchvision blocks).
         """
+        for mapping in _ACTIVE_INTERVENTIONS:
+            fn = mapping.get(name)
+            if fn is not None:
+                value = fn(value)
         if name in self.requested:
             self.taps[name] = value
         return value
