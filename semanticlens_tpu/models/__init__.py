@@ -11,7 +11,7 @@ from semanticlens_tpu.models.mobilenet import MobileNetV2, MobileNetV3
 from semanticlens_tpu.models.regnet import RegNet
 from semanticlens_tpu.models.resnet import ResNet
 from semanticlens_tpu.models.shufflenet import ShuffleNetV2
-from semanticlens_tpu.models.swin import SwinTransformer
+from semanticlens_tpu.models.swin import SwinTransformer, SwinTransformerV2
 from semanticlens_tpu.models.torch_adapter import TorchSubjectModel
 from semanticlens_tpu.models.vgg import VGG
 from semanticlens_tpu.models.vit import VisionTransformer
@@ -21,6 +21,7 @@ __all__ = [
     "ResNet", "VisionTransformer", "ConvNeXt", "VGG", "DenseNet", "EfficientNet",
     "EfficientNetV2",
     "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3", "SwinTransformer",
+    "SwinTransformerV2",
     "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "MNASNet",
     "TorchSubjectModel",
 ]

@@ -46,6 +46,8 @@ def build_model(args, jnp):
         return models.MobileNetV3(variant=args.variant or "large", dtype=jnp.bfloat16)
     if args.arch == "swin":
         return models.SwinTransformer(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+    if args.arch == "swin_v2":
+        return models.SwinTransformerV2(variant=args.variant or "tiny", dtype=jnp.bfloat16)
     if args.arch == "googlenet":
         return models.GoogLeNet(dtype=jnp.bfloat16)
     if args.arch == "inception_v3":

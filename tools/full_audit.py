@@ -45,7 +45,7 @@ def main():
     ap.add_argument("--arch", default="resnet",
                     choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet",
                              "mobilenet", "inception", "swin", "regnet", "shufflenet",
-                             "alexnet", "squeezenet", "mnasnet"])
+                             "alexnet", "squeezenet", "mnasnet", "swin_v2"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument(
         "--variant",
@@ -195,14 +195,15 @@ def main():
             args.layers = [f"features.{i}" for i in stage_taps]
         aggregate_fn = aggregate_conv_mean
         model_name = f"mobilenet-{variant}-audit"
-    elif args.arch == "swin":
-        from semanticlens_tpu.models import SwinTransformer
+    elif args.arch in ("swin", "swin_v2"):
+        from semanticlens_tpu.models import SwinTransformer, SwinTransformerV2
 
-        model = SwinTransformer(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+        cls = SwinTransformerV2 if args.arch == "swin_v2" else SwinTransformer
+        model = cls(variant=args.variant or "tiny", dtype=jnp.bfloat16)
         if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
             args.layers = ["features.1", "features.3", "features.5", "features.7"]
         aggregate_fn = aggregate_conv_mean  # swin taps are (B, H, W, C)
-        model_name = f"swin-{model.variant}-audit"
+        model_name = f"{args.arch}-{model.variant}-audit"
     elif args.arch == "inception":
         from semanticlens_tpu.models import GoogLeNet, InceptionV3
 
