@@ -35,7 +35,13 @@ import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.efficientnet import _make_divisible
-from semanticlens_tpu.models.layers import batch_norm, bn_param_specs, conv2d, linear
+from semanticlens_tpu.models.layers import (
+    batch_norm,
+    bn_param_specs,
+    conv2d,
+    linear,
+    residual_add,
+)
 
 _bn_specs = bn_param_specs  # shared BN param layout (models/layers.py)
 
@@ -188,7 +194,7 @@ class MNASNet(SubjectModel):
         h = tap(f"{p}.7", self._bn(params, f"{p}.7", h))
         h = tap(p, h)
         if blk.residual:
-            h = x + h  # torch: plain add (LRP flows through both summands)
+            h = residual_add(x, h)  # LRP: proportional split, not a bare +
         return tap(base, h)
 
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):

@@ -168,6 +168,29 @@ torch_cv = ActivationComponentVisualizer(
 torch_cache = torch_cv.run(batch_size=8)
 print("torch subject top-k:", torch_cache["3"].activations.shape)
 
+# --- 4f. Causally validate the evidence (ablate-and-measure) -----------------
+# The Collect stage is correlational; the causal module tests whether a
+# component is load-bearing exactly where its evidence says it fires.
+# Every family supports interventions through the tap contract.
+from semanticlens_tpu import causal
+
+top_neuron = int(np.asarray(idx)[0][0])
+evidence_ids = np.asarray(cv.get_max_reference("layer4")[top_neuron])
+evidence_ids = evidence_ids[evidence_ids >= 0]
+ev_imgs = jnp.asarray(
+    np.stack([dataset[int(i)][0] for i in evidence_ids]), jnp.float32) / 255.0
+ct_imgs = jnp.asarray(
+    np.stack([dataset[int(i)][0] for i in rng.choice(len(dataset), evidence_ids.size,
+                                                     replace=False)]), jnp.float32) / 255.0
+ratio = causal.necessity_ratio(model, model.params, "layer4", [top_neuron],
+                               ev_imgs, ct_imgs)
+print(f"necessity ratio of neuron {top_neuron} on its own evidence:",
+      round(float(np.asarray(ratio)[0]), 3))
+# Also available: causal.ablation_effects (whole-layer knockout profiles in
+# ONE vmapped program), causal.activation_patch (interchange interventions),
+# causal.steer (concept-direction steering). tools/causal_audit.py runs the
+# full collect -> ablate -> report loop from the command line.
+
 # --- 5. Serve the concept DB -------------------------------------------------
 from semanticlens_tpu.serve import SearchService, serve
 
