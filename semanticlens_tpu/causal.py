@@ -45,6 +45,7 @@ __all__ = [
     "activation_patch",
     "steer",
     "necessity_ratio",
+    "sae_latent_ablation",
 ]
 
 
@@ -165,6 +166,66 @@ def steer(
     with interventions({layer_name: rewrite}):
         out, _ = model.apply(params, images, ())
     return out
+
+
+def sae_latent_ablation(
+    model: SubjectModel,
+    params,
+    layer_name: str,
+    sae_params,
+    images,
+    latent_ids: Sequence[int],
+    *,
+    k: int | None = None,
+    substitute_clean: bool = False,
+):
+    """Causal effect of individual SAE latents on the model output.
+
+    An SAE latent is a virtual component — it never feeds the forward pass
+    directly — so knocking it out means rewriting the layer it was trained
+    on: ``activation → encode → zero latent f → decode`` replaces
+    ``layer_name``'s activation for everything downstream. Returns
+    ``(K, B, n_out)`` deltas ``baseline_output − ablated_output`` where the
+    baseline runs the full SAE reconstruction through the same path (so the
+    measured effect isolates the LATENT, not the SAE's reconstruction
+    error; pass ``substitute_clean=True`` to baseline against the raw
+    un-reconstructed forward instead).
+
+    ``k`` defaults to the encode-time sparsity stamped into ``sae_params``
+    (see :func:`semanticlens_tpu.sae.finalize_sae_params`).
+    """
+    from semanticlens_tpu.sae import decode, encode
+
+    validate_layers(model, [layer_name])
+    stored_k = sae_params.get("k") if hasattr(sae_params, "get") else None
+    if k is None:
+        if stored_k is None:
+            raise ValueError(
+                "encode-time sparsity unknown: pass k= or use sae_params "
+                "carrying a 'k' entry (the trainers stamp it)"
+            )
+        k = int(stored_k)
+    ids = jnp.asarray(latent_ids, jnp.int32)
+    if ids.ndim != 1:
+        raise ValueError(f"latent_ids must be 1-D, got shape {tuple(ids.shape)}")
+    n_latents = sae_params["W_dec"].shape[0]
+    keep_masks = 1.0 - jax.nn.one_hot(ids, n_latents, dtype=jnp.float32)  # (K, L)
+
+    def run(keep):
+        def rewrite(v):
+            z = encode(sae_params, v, k=k)
+            return decode(sae_params, z * keep).astype(v.dtype)
+
+        with interventions({layer_name: rewrite}):
+            out, _ = model.apply(params, images, ())
+        return out
+
+    ablated = jax.jit(jax.vmap(run))(keep_masks)  # (K, B, n_out)
+    if substitute_clean:
+        baseline, _ = model.apply(params, images, ())
+    else:
+        baseline = run(jnp.ones((n_latents,), jnp.float32))
+    return baseline[None].astype(jnp.float32) - ablated.astype(jnp.float32)
 
 
 def necessity_ratio(

@@ -155,3 +155,37 @@ def test_resnet_family_smoke():
     assert delta.shape == (3, 2, 7)
     assert np.isfinite(np.asarray(delta)).all()
     assert np.abs(np.asarray(delta)).sum() > 0  # post-BN channels are live
+
+
+def test_sae_latent_ablation():
+    """Knocking out an SAE latent removes exactly its decoder direction's
+    contribution: on LinearTapModel the delta is z_f * (W_dec[f] @ w2)."""
+    from semanticlens_tpu.sae import SAEConfig, encode, finalize_sae_params, init_sae
+
+    model = LinearTapModel()
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 6), jnp.float32)
+    cfg = SAEConfig(d_in=4, n_latents=10, k=3)
+    sae_params = finalize_sae_params(init_sae(jax.random.PRNGKey(7), cfg), cfg)
+
+    delta = causal.sae_latent_ablation(model, params, "hidden", sae_params, x, [2, 7])
+    assert delta.shape == (2, 5, 3)
+
+    # closed form: baseline and ablated differ only by latent f's decode row
+    h = x @ params["w1"]
+    z = np.asarray(encode(sae_params, h, k=3))
+    w_dec = np.asarray(sae_params["W_dec"])
+    w2 = np.asarray(params["w2"])
+    for j, f in enumerate([2, 7]):
+        want = z[:, f : f + 1] * (w_dec[f] @ w2)[None, :]
+        np.testing.assert_allclose(np.asarray(delta[j]), want, rtol=1e-4, atol=1e-5)
+
+    # k is derived from the artifact; a bare dict without it raises
+    bare = init_sae(jax.random.PRNGKey(7), cfg)
+    with pytest.raises(ValueError, match="sparsity unknown"):
+        causal.sae_latent_ablation(model, params, "hidden", bare, x, [0])
+    # substitute_clean baselines against the raw forward
+    d2 = causal.sae_latent_ablation(model, params, "hidden", sae_params, x, [2],
+                                    substitute_clean=True)
+    assert d2.shape == (1, 5, 3)
+    assert np.isfinite(np.asarray(d2)).all()
