@@ -6,6 +6,7 @@ from semanticlens_tpu.models.convnext import ConvNeXt
 from semanticlens_tpu.models.densenet import DenseNet
 from semanticlens_tpu.models.efficientnet import EfficientNet, EfficientNetV2
 from semanticlens_tpu.models.inception import GoogLeNet, InceptionV3
+from semanticlens_tpu.models.maxvit import MaxViT
 from semanticlens_tpu.models.mnasnet import MNASNet
 from semanticlens_tpu.models.mobilenet import MobileNetV2, MobileNetV3
 from semanticlens_tpu.models.regnet import RegNet
@@ -22,7 +23,7 @@ __all__ = [
     "EfficientNetV2",
     "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3", "SwinTransformer",
     "SwinTransformerV2",
-    "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "MNASNet",
+    "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "MNASNet", "MaxViT",
     "TorchSubjectModel",
 ]
 

@@ -456,17 +456,22 @@ class SwinTransformerV2(SwinTransformer):
         hd = c // heads
         bw = q.shape[0]
 
-        def split(z):
-            return z.reshape(bw, t, heads, hd).transpose(0, 2, 1, 3).astype(jnp.float32)
+        # Cosine attention folded into the shared fused helper (which also
+        # carries CP-LRP): normalize q/k per head, then pre-scale q by
+        # exp(clamp(logit_scale))·√hd so the helper's 1/√hd cancels.
+        def heads_split(z):
+            return z.reshape(bw, t, heads, hd).astype(jnp.float32)
 
-        qn = split(q)
-        kn = split(k)
+        qn = heads_split(q)
+        kn = heads_split(k)
         qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
         kn = kn / jnp.maximum(jnp.linalg.norm(kn, axis=-1, keepdims=True), 1e-12)
         scale = jnp.exp(jnp.minimum(
             params[f"{blk}.attn.logit_scale"].astype(jnp.float32), math.log(100.0)
         ))  # (H, 1, 1)
-        logits = jnp.einsum("bhtc,bhsc->bhts", qn, kn) * scale[None]
+        qn = qn * (scale[:, 0, 0] * math.sqrt(hd))[None, None, :, None]
+        q2 = qn.reshape(bw, t, c).astype(x.dtype)
+        k2 = kn.reshape(bw, t, c).astype(x.dtype)
 
         # continuous position bias: MLP over the log-coords table, 16·sigmoid
         cpb = jax.nn.relu(
@@ -474,15 +479,16 @@ class SwinTransformerV2(SwinTransformer):
             + params[f"{blk}.attn.cpb_mlp.0.bias"]
         ) @ params[f"{blk}.attn.cpb_mlp.2.weight"]  # ((2ws-1)^2, heads)
         rel_bias = 16.0 * jax.nn.sigmoid(cpb[self._rel_index].reshape(t, t, heads))
-        logits = logits + rel_bias.transpose(2, 0, 1)[None]
+        bias = rel_bias.transpose(2, 0, 1)[None]  # (1, H, T, T)
 
         if sh or sw:
             region = jnp.asarray(_shift_region_mask(ph, pw, ws, sh, sw))  # (nW, T, T)
             region = jnp.broadcast_to(region[None, :, None], (b, nh * nw, 1, t, t))
-            logits = logits + region.reshape(bw, 1, t, t)
+            bias = bias + region.reshape(bw, 1, t, t)
+        else:
+            bias = jnp.broadcast_to(bias, (bw, heads, t, t))
 
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhts,bhsc->bthc", probs, split(v)).reshape(bw, t, c).astype(x.dtype)
+        out = scaled_dot_product_attention(q2, k2, v, heads, mask=bias)
         out = linear(out, params[f"{blk}.attn.proj.weight"], params[f"{blk}.attn.proj.bias"])
 
         out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, ph, pw, c)

@@ -23,6 +23,7 @@ from semanticlens_tpu.models import (
     EfficientNetV2,
     GoogLeNet,
     InceptionV3,
+    MaxViT,
     MNASNet,
     MobileNetV2,
     MobileNetV3,
@@ -64,6 +65,7 @@ _CASES = [
     ("inception_v3", lambda: InceptionV3(num_classes=7, dtype=jnp.float32), 96),
     ("swin_t", lambda: SwinTransformer("tiny", num_classes=7, dtype=jnp.float32), 56),
     ("swin_v2_t", lambda: SwinTransformerV2("tiny", num_classes=7, dtype=jnp.float32), 64),
+    ("maxvit_t", lambda: MaxViT("tiny", num_classes=7, partition_size=2, dtype=jnp.float32), 64),
     # AlexNet's AdaptiveAvgPool2d((6,6)) needs the feature map to reach 6×6.
     ("alexnet", lambda: AlexNet(num_classes=7, dtype=jnp.float32), 224),
     ("squeezenet1_1", lambda: SqueezeNet("1_1", num_classes=7, dtype=jnp.float32), 96),

@@ -69,6 +69,8 @@ def build_model(args, jnp):
         return models.SqueezeNet(version=args.variant or "1_0", dtype=jnp.bfloat16)
     if args.arch == "mnasnet":  # torchvision mnasnet{0_5,0_75,1_0,1_3}
         return models.MNASNet(variant=args.variant or "1_0", dtype=jnp.bfloat16)
+    if args.arch == "maxvit":  # torchvision maxvit_t (224-divisible inputs)
+        return models.MaxViT(variant=args.variant or "tiny", dtype=jnp.bfloat16)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -132,6 +134,14 @@ def main():
         "googlenet": "googlenet",
         "inception_v3": "inception_v3",
         "swin": f"swin_{(args.variant or 'tiny')[0]}",
+        "swin_v2": f"swin_v2_{(args.variant or 'tiny')[0]}",
+        "regnet": f"regnet_{args.variant or 'y_400mf'}",
+        "shufflenet": f"shufflenet_v2_{args.variant or 'x1_0'}",
+        "efficientnet_v2": f"efficientnet_{args.variant or 'v2_s'}",
+        "alexnet": "alexnet",
+        "squeezenet": f"squeezenet{args.variant or '1_0'}",
+        "mnasnet": f"mnasnet{args.variant or '1_0'}",
+        "maxvit": f"maxvit_{args.variant or 'tiny'}",
     }[args.arch]
     print(json.dumps({
         "model": label,

@@ -45,7 +45,7 @@ def main():
     ap.add_argument("--arch", default="resnet",
                     choices=["resnet", "vit", "convnext", "vgg", "densenet", "efficientnet",
                              "mobilenet", "inception", "swin", "regnet", "shufflenet",
-                             "alexnet", "squeezenet", "mnasnet", "swin_v2"])
+                             "alexnet", "squeezenet", "mnasnet", "swin_v2", "maxvit"])
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument(
         "--variant",
@@ -236,6 +236,14 @@ def main():
             args.layers = ["stage2", "stage3", "stage4", "conv5"]
         aggregate_fn = aggregate_conv_mean
         model_name = f"shufflenet_v2_{model.variant}-audit"
+    elif args.arch == "maxvit":
+        from semanticlens_tpu.models import MaxViT
+
+        model = MaxViT(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+        if args.layers == ["layer1", "layer2", "layer3", "layer4"]:  # resnet default
+            args.layers = [f"blocks.{i}" for i in range(4)]
+        aggregate_fn = aggregate_conv_mean
+        model_name = f"maxvit_{model.variant}-audit"
     elif args.arch == "mnasnet":
         from semanticlens_tpu.models import MNASNet
 
