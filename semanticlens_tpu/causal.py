@@ -37,6 +37,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, interventions, validate_layers
 
@@ -48,11 +49,31 @@ __all__ = [
     "sae_latent_ablation",
 ]
 
+# Compiled ablation programs, keyed by (id(model), layer_name[, k]). The
+# cached fn closes over the model (keeping it alive, so ids are never
+# reused while an entry exists) and takes masks/params/images as jit
+# ARGUMENTS — a fresh `jax.jit(vmap(run))` per call would embed the full
+# parameter set as jaxpr constants and pay a retrace+compile every call.
+_PROGRAMS: dict[tuple, object] = {}
+
+
+def _validated_ids(ids, width: int, what: str) -> np.ndarray:
+    """Host-side id validation. out-of-range ids would one_hot to an
+    all-zero row — a silently clean 'ablation' — so reject them loudly."""
+    ids = np.asarray(ids, np.int64)
+    if ids.ndim != 1:
+        raise ValueError(f"{what} must be 1-D, got shape {tuple(ids.shape)}")
+    if ids.size and (ids.min() < 0 or ids.max() >= width):
+        bad = ids[(ids < 0) | (ids >= width)]
+        raise ValueError(
+            f"{what} out of range for width {width}: {bad.tolist()} "
+            "(ids must index the tapped layer, 0 <= id < width)"
+        )
+    return ids.astype(np.int32)
+
 
 def _component_masks(component_ids, width: int):
-    ids = jnp.asarray(component_ids, jnp.int32)
-    if ids.ndim != 1:
-        raise ValueError(f"component_ids must be 1-D, got shape {tuple(ids.shape)}")
+    ids = _validated_ids(component_ids, width, "component_ids")
     return 1.0 - jax.nn.one_hot(ids, width, dtype=jnp.float32)  # (K, C) keep-masks
 
 
@@ -93,15 +114,22 @@ def ablation_effects(
     else:
         fill = jnp.zeros((width,), jnp.float32)
 
-    def run(mask):
-        def rewrite(v):
-            return (v * mask + (1.0 - mask) * fill).astype(v.dtype)
+    key = (id(model), layer_name)
+    program = _PROGRAMS.get(key)
+    if program is None:
 
-        with interventions({layer_name: rewrite}):
-            out, _ = model.apply(params, images, ())
-        return out
+        def run(mask, fill, params, images):
+            def rewrite(v):
+                return (v * mask + (1.0 - mask) * fill).astype(v.dtype)
 
-    ablated = jax.jit(jax.vmap(run))(masks)  # (K, B, n_out)
+            with interventions({layer_name: rewrite}):
+                out, _ = model.apply(params, images, ())
+            return out
+
+        program = jax.jit(jax.vmap(run, in_axes=(0, None, None, None)))
+        _PROGRAMS[key] = program
+
+    ablated = program(masks, fill, params, images)  # (K, B, n_out)
     delta = clean_out[None].astype(jnp.float32) - ablated.astype(jnp.float32)
     if target_class is not None:
         delta = delta[..., target_class]
@@ -205,26 +233,34 @@ def sae_latent_ablation(
                 "carrying a 'k' entry (the trainers stamp it)"
             )
         k = int(stored_k)
-    ids = jnp.asarray(latent_ids, jnp.int32)
-    if ids.ndim != 1:
-        raise ValueError(f"latent_ids must be 1-D, got shape {tuple(ids.shape)}")
     n_latents = sae_params["W_dec"].shape[0]
+    ids = _validated_ids(latent_ids, n_latents, "latent_ids")
     keep_masks = 1.0 - jax.nn.one_hot(ids, n_latents, dtype=jnp.float32)  # (K, L)
 
-    def run(keep):
-        def rewrite(v):
-            z = encode(sae_params, v, k=k)
-            return decode(sae_params, z * keep).astype(v.dtype)
+    cache_key = (id(model), layer_name, "sae", int(k))
+    program = _PROGRAMS.get(cache_key)
+    if program is None:
 
-        with interventions({layer_name: rewrite}):
-            out, _ = model.apply(params, images, ())
-        return out
+        def run(keep, params, sae_params, images):
+            def rewrite(v):
+                z = encode(sae_params, v, k=k)
+                return decode(sae_params, z * keep).astype(v.dtype)
 
-    ablated = jax.jit(jax.vmap(run))(keep_masks)  # (K, B, n_out)
+            with interventions({layer_name: rewrite}):
+                out, _ = model.apply(params, images, ())
+            return out
+
+        program = jax.jit(jax.vmap(run, in_axes=(0, None, None, None)))
+        _PROGRAMS[cache_key] = program
+
+    ablated = program(keep_masks, params, sae_params, images)  # (K, B, n_out)
     if substitute_clean:
         baseline, _ = model.apply(params, images, ())
     else:
-        baseline = run(jnp.ones((n_latents,), jnp.float32))
+        # full-reconstruction baseline = the same program with a keep-all mask
+        baseline = program(
+            jnp.ones((1, n_latents), jnp.float32), params, sae_params, images
+        )[0]
     return baseline[None].astype(jnp.float32) - ablated.astype(jnp.float32)
 
 

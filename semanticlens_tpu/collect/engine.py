@@ -39,7 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from semanticlens_tpu.data.dataset import device_prefetch_batches, get_image, iter_batches
-from semanticlens_tpu.models.base import SubjectModel
+from semanticlens_tpu.models.base import SubjectModel, interventions_fingerprint
 from semanticlens_tpu.ops.topk import TopKState, init_topk, topk_merge, topk_update
 from semanticlens_tpu.utils.helper import host_c_array
 
@@ -78,8 +78,12 @@ class CollectEngine:
         self.mesh = mesh
         self.n_shards = mesh.shape["data"] if mesh is not None else 1
         self.input_preprocess = input_preprocess or (lambda x: x.astype(jnp.float32))
-        self._step = None  # memoized jitted step — rebuilt closures would recompile
-        self._fused_steps: dict[int, Callable] = {}  # id(embed_fn) → combined step
+        # Memoized jitted steps (rebuilt closures would recompile). Keyed by
+        # the active interventions fingerprint: a step traced inside a
+        # `models.base.interventions` context bakes the rewrites into the
+        # executable, so it must never be reused outside it (and vice versa).
+        self._steps: dict[tuple, Callable] = {}
+        self._fused_steps: dict[tuple, Callable] = {}  # (id(embed_fn), fp) → step
 
     # ----------------------------------------------------------------- shapes
     def infer_n_latents(self, params, batch_shape, dtype=jnp.float32) -> dict[str, int]:
@@ -112,8 +116,9 @@ class CollectEngine:
         (batch start index, dataset length) — per-step host→device traffic is
         the image tensor plus two scalars, nothing else.
         """
-        if self._step is not None:
-            return self._step
+        fp = interventions_fingerprint()
+        if fp in self._steps:
+            return self._steps[fp]
 
         if self.mesh is None:
 
@@ -124,7 +129,7 @@ class CollectEngine:
                 valid = sample_ids < n_total
                 return self._local_step(states, params, images, sample_ids, valid)
 
-            self._step = step
+            self._steps[fp] = step
             return step
 
         mesh = self.mesh
@@ -146,8 +151,9 @@ class CollectEngine:
             out_specs=P("data"),
             check_vma=False,
         )
-        self._step = jax.jit(step_sharded, donate_argnums=0)
-        return self._step
+        step = jax.jit(step_sharded, donate_argnums=0)
+        self._steps[fp] = step
+        return step
 
     def _get_fused_step(self, embed_fn):
         """Combined Collect+Embed step: both networks in ONE XLA program.
@@ -159,7 +165,7 @@ class CollectEngine:
         object — callers must reuse a stable function object or eat a
         recompile.
         """
-        key = id(embed_fn)
+        key = (id(embed_fn), interventions_fingerprint())
         if key in self._fused_steps:
             return self._fused_steps[key]
 

@@ -18,16 +18,41 @@ activation_based.py:217-228).
 from __future__ import annotations
 
 import contextlib
+import itertools
+import threading
 from typing import Callable, Mapping, Sequence
 
 import jax
 
-# Stack of active intervention maps (name -> fn(value) -> value). Appended
-# by the `interventions` context manager; consulted by every TapCollector
-# call, so EVERY subject model supports activation interventions without
-# per-model changes. Not thread-local by design: JAX tracing is
-# single-threaded per trace, and the context is entered around the trace.
-_ACTIVE_INTERVENTIONS: list[dict[str, Callable]] = []
+# Per-thread stack of active intervention maps (name -> fn(value) -> value),
+# appended by the `interventions` context manager and consulted by every
+# TapCollector call, so EVERY subject model supports activation interventions
+# without per-model changes. Thread-local like the LRP composite state in
+# models/layers.py: two traces on two threads must not see each other's
+# rewrites. Each stack entry carries a unique token (see
+# ``interventions_fingerprint``) so jit caches can key on the active context.
+_TLS = threading.local()
+_TOKENS = itertools.count()
+
+
+def _active_stack() -> list[tuple[int, dict[str, Callable]]]:
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = _TLS.stack = []
+    return stack
+
+
+def interventions_fingerprint() -> tuple[int, ...]:
+    """Tokens of the interventions contexts active on this thread.
+
+    ``()`` when clean. Any code that MEMOIZES a traced/compiled program
+    whose trace consults interventions (e.g. the collect engine's jitted
+    step) must include this in its cache key — a program traced inside an
+    ``interventions`` context bakes the rewrites in, and one traced outside
+    ignores them; reusing either across the context boundary is silently
+    wrong.
+    """
+    return tuple(token for token, _ in _active_stack())
 
 
 @contextlib.contextmanager
@@ -48,13 +73,16 @@ def interventions(mapping: Mapping[str, Callable]):
     JAX note: enter the context around the TRACE. Closures may reference
     tracers (e.g. a vmapped mask), so one traced program can evaluate many
     interventions; a Python-level change of ``mapping`` requires re-tracing
-    (build a fresh jitted fn, as ``semanticlens_tpu.causal`` does).
+    (build a fresh jitted fn, as ``semanticlens_tpu.causal`` does). Code
+    that memoizes compiled programs must key on
+    :func:`interventions_fingerprint` (the collect engine does); a plain
+    ``jax.jit`` built and cached OUTSIDE the context will not see it.
     """
-    _ACTIVE_INTERVENTIONS.append(dict(mapping))
+    _active_stack().append((next(_TOKENS), dict(mapping)))
     try:
         yield
     finally:
-        _ACTIVE_INTERVENTIONS.pop()
+        _active_stack().pop()
 
 
 class TapCollector:
@@ -73,7 +101,7 @@ class TapCollector:
         the last write — matching torch hook semantics for modules invoked
         multiple times (e.g. the shared ReLU in torchvision blocks).
         """
-        for mapping in _ACTIVE_INTERVENTIONS:
+        for _, mapping in _active_stack():
             fn = mapping.get(name)
             if fn is not None:
                 value = fn(value)

@@ -43,6 +43,7 @@ from semanticlens_tpu.models.layers import (
     gate_scale,
     global_avg_pool,
     linear,
+    load_torch_params,
     residual_add,
     silu,
 )
@@ -286,20 +287,7 @@ class EfficientNet(SubjectModel):
         """Convert a torchvision EfficientNet state dict: convs OIHW→HWIO
         (depthwise (C,1,k,k)→(k,k,1,C) via the same transpose), SE 1×1 convs
         squeezed to (in, out) linears, classifier transposed."""
-        params = {}
-        for name, shape, kind in self._param_specs():
-            value = state_dict[name]
-            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
-            if arr.ndim == 4 and (".fc1." in name or ".fc2." in name):
-                arr = arr[:, :, 0, 0].T  # (out, in, 1, 1) → (in, out)
-            elif arr.ndim == 4:
-                arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
-            elif name.endswith("weight") and arr.ndim == 2:
-                arr = arr.T
-            if tuple(arr.shape) != tuple(shape):
-                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
-            params[name] = jnp.asarray(arr, jnp.float32)
-        return params
+        return load_torch_params(self._param_specs(), state_dict)
 
     def __repr__(self):
         return f"EfficientNet(variant={self.variant!r}, num_classes={self.num_classes})"

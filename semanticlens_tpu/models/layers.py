@@ -504,3 +504,36 @@ def bn_param_specs(prefix: str, ch: int, *, ones_kind: str = "bn_w",
         (f"{prefix}.running_mean", (ch,), zeros_kind),
         (f"{prefix}.running_var", (ch,), ones_kind),
     ]
+
+
+def load_torch_params(param_specs, state_dict) -> dict:
+    """Standard torch→JAX checkpoint relayout shared by the CNN/transformer
+    families (single source of truth — was copied per family):
+
+    - 4-D SE squeeze/excite 1×1 convs named ``.fc1.``/``.fc2.`` →
+      ``(out, in, 1, 1)`` squeezed to ``(in, out)`` linears;
+    - other 4-D convs OIHW → HWIO (depthwise/grouped via the same transpose);
+    - 2-D tensors with spec kind ``"linear"`` or a ``…weight`` name →
+      transposed to (in, out);
+    - everything else (biases, norms, bias tables) passes through.
+
+    Derived buffers (``relative_position_index`` …) are simply absent from
+    ``param_specs`` and therefore skipped. Shapes are validated against the
+    specs; mismatches raise with the offending name.
+    """
+    import numpy as np  # local: layers.py is otherwise jnp-only
+
+    params = {}
+    for name, shape, kind in param_specs:
+        value = state_dict[name]
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        if arr.ndim == 4 and (".fc1." in name or ".fc2." in name):
+            arr = arr[:, :, 0, 0].T  # SE (out, in, 1, 1) → (in, out)
+        elif arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+        elif arr.ndim == 2 and (kind == "linear" or name.endswith("weight")):
+            arr = arr.T
+        if tuple(arr.shape) != tuple(shape):
+            raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
+        params[name] = jnp.asarray(arr, jnp.float32)
+    return params

@@ -55,6 +55,7 @@ from semanticlens_tpu.models.layers import (
     global_avg_pool,
     layer_norm,
     linear,
+    load_torch_params,
     residual_add,
     scaled_dot_product_attention,
 )
@@ -229,20 +230,7 @@ class MaxViT(SubjectModel):
         (depthwise via the same transpose), SE 1×1 convs squeezed to
         (in, out) linears, attention/MLP Linears transposed;
         ``relative_position_index`` buffers are derived and ignored."""
-        params = {}
-        for name, shape, kind in self._param_specs():
-            value = state_dict[name]
-            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
-            if arr.ndim == 4 and (".fc1." in name or ".fc2." in name):
-                arr = arr[:, :, 0, 0].T  # (out, in, 1, 1) → (in, out)
-            elif arr.ndim == 4:
-                arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
-            elif kind == "linear" and arr.ndim == 2:
-                arr = arr.T
-            if tuple(arr.shape) != tuple(shape):
-                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
-            params[name] = jnp.asarray(arr, jnp.float32)
-        return params
+        return load_torch_params(self._param_specs(), state_dict)
 
     # ----------------------------------------------------------------- apply
     def _bn(self, params, prefix, x):
@@ -315,6 +303,12 @@ class MaxViT(SubjectModel):
         qkv = linear(xw, params[f"{at}.attn_layer.1.to_qkv.weight"],
                      params[f"{at}.attn_layer.1.to_qkv.bias"])
         q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        # torchvision quirk: RelativePositionalMultiHeadAttention scales by
+        # feat_dim**-0.5 (the FULL channel width), not head_dim**-0.5. The
+        # shared helper applies 1/sqrt(head_dim), so pre-scale q by
+        # sqrt(head_dim/feat_dim) to land on torchvision's logits exactly.
+        head_dim = c // heads
+        q = q * math.sqrt(head_dim / c)
         table = params[f"{at}.attn_layer.1.relative_position_bias_table"]
         bias = table[self._rel_index].reshape(t, t, heads).transpose(2, 0, 1)  # (H, T, T)
         out = scaled_dot_product_attention(q, k, v, heads, mask=bias)

@@ -40,6 +40,7 @@ from semanticlens_tpu.models.layers import (
     bn_param_specs,
     conv2d,
     linear,
+    load_torch_params,
     residual_add,
 )
 
@@ -157,18 +158,7 @@ class MNASNet(SubjectModel):
     def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:
         """Convert a torchvision MNASNet state dict: convs OIHW→HWIO
         (depthwise via the same transpose), classifier transposed."""
-        params = {}
-        for name, shape, kind in self._param_specs():
-            value = state_dict[name]
-            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
-            if arr.ndim == 4:
-                arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
-            elif name.endswith("weight") and arr.ndim == 2:
-                arr = arr.T
-            if tuple(arr.shape) != tuple(shape):
-                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
-            params[name] = jnp.asarray(arr, jnp.float32)
-        return params
+        return load_torch_params(self._param_specs(), state_dict)
 
     # ----------------------------------------------------------------- apply
     def _bn(self, params, prefix, x):

@@ -49,6 +49,7 @@ from semanticlens_tpu.models.layers import (
     gelu,
     layer_norm,
     linear,
+    load_torch_params,
     residual_add,
     scaled_dot_product_attention,
 )
@@ -205,20 +206,11 @@ class SwinTransformer(SubjectModel):
 
     def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:
         """Convert a torchvision Swin state dict: patch-embed conv OIHW→HWIO,
-        Linear weights transposed; ``relative_position_index`` buffers are
-        derived state and ignored."""
-        params = {}
-        for name, shape, kind in self._param_specs():
-            value = state_dict[name]
-            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
-            if arr.ndim == 4:
-                arr = arr.transpose(2, 3, 1, 0)
-            elif kind == "linear" and arr.ndim == 2:
-                arr = arr.T
-            if tuple(arr.shape) != tuple(shape):
-                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
-            params[name] = jnp.asarray(arr, jnp.float32)
-        return params
+        Linear weights transposed; ``relative_position_index`` (and, for V2,
+        ``relative_coords_table``) buffers are derived state and ignored.
+        Inherited unchanged by :class:`SwinTransformerV2` — the relayout is
+        driven entirely by ``_param_specs``, which V2 overrides."""
+        return load_torch_params(self._param_specs(), state_dict)
 
     # ------------------------------------------------------------------ apply
     def _ln(self, params, prefix, x):
@@ -554,23 +546,6 @@ class SwinTransformerV2(SwinTransformer):
             logits = linear(x, params["head.weight"], params["head.bias"])
             return tap("head", logits), tap.taps
         return x, tap.taps
-
-    def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:
-        """Convert a torchvision Swin-V2 state dict (same relayout as V1;
-        ``relative_coords_table``/``relative_position_index`` buffers are
-        derived state and ignored; ``logit_scale`` passes through)."""
-        params = {}
-        for name, shape, kind in self._param_specs():
-            value = state_dict[name]
-            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
-            if arr.ndim == 4:
-                arr = arr.transpose(2, 3, 1, 0)
-            elif kind == "linear" and arr.ndim == 2:
-                arr = arr.T
-            if tuple(arr.shape) != tuple(shape):
-                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
-            params[name] = jnp.asarray(arr, jnp.float32)
-        return params
 
     def __repr__(self):
         return f"SwinTransformerV2(variant={self.variant!r}, num_classes={self.num_classes})"

@@ -108,7 +108,8 @@ def _build_torch_twin(torch, num_classes=5, p=2):
             n, t, c = x.shape
             qkv = self.to_qkv(x).reshape(n, t, 3, self.heads, self.head_dim)
             q, k, v = qkv.permute(2, 0, 3, 1, 4)
-            attn = (q @ k.transpose(-2, -1)) * self.head_dim ** -0.5
+            # torchvision scales by feat_dim**-0.5 (full width), NOT head_dim
+            attn = (q @ k.transpose(-2, -1)) * c ** -0.5
             bias = self.relative_position_bias_table[REL].view(t, t, -1).permute(2, 0, 1)
             attn = F.softmax(attn + bias.unsqueeze(0), dim=-1)
             out = (attn @ v).transpose(1, 2).reshape(n, t, c)

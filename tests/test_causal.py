@@ -189,3 +189,73 @@ def test_sae_latent_ablation():
                                     substitute_clean=True)
     assert d2.shape == (1, 5, 3)
     assert np.isfinite(np.asarray(d2)).all()
+
+
+def test_out_of_range_ids_raise(lin):
+    """Out-of-range ids would one_hot to an all-zero row — a silently
+    clean 'ablation' — so they must be rejected loudly."""
+    model, params, x = lin
+    with pytest.raises(ValueError, match="out of range"):
+        causal.ablation_effects(model, params, "hidden", x, [4])  # width 4
+    with pytest.raises(ValueError, match="out of range"):
+        causal.ablation_effects(model, params, "hidden", x, [-1])
+    with pytest.raises(ValueError, match="out of range"):
+        causal.activation_patch(model, params, "hidden", x, x, [7])
+
+    from semanticlens_tpu.sae import SAEConfig, finalize_sae_params, init_sae
+
+    cfg = SAEConfig(d_in=4, n_latents=10, k=3)
+    sp = finalize_sae_params(init_sae(jax.random.PRNGKey(7), cfg), cfg)
+    with pytest.raises(ValueError, match="out of range"):
+        causal.sae_latent_ablation(model, params, "hidden", sp, x, [10])
+
+
+def test_ablation_program_reused_across_calls(lin):
+    """params/images are jit ARGUMENTS of a cached program — a second call
+    (even with different weights) must reuse the compiled program and stay
+    closed-form correct."""
+    model, params, x = lin
+    causal.ablation_effects(model, params, "hidden", x, [0])
+    n_programs = len(causal._PROGRAMS)
+    params2 = model.init(jax.random.PRNGKey(9))
+    d = causal.ablation_effects(model, params2, "hidden", x, [1, 2])
+    assert len(causal._PROGRAMS) == n_programs
+    h = np.asarray(x @ params2["w1"])
+    w2 = np.asarray(params2["w2"])
+    for j, c in enumerate([1, 2]):
+        want = h[:, c : c + 1] * w2[c][None]
+        np.testing.assert_allclose(np.asarray(d[j]), want, rtol=1e-4, atol=1e-5)
+
+
+def _ident(a):
+    return a
+
+
+def test_engine_step_cache_respects_interventions():
+    """The collect engine memoizes its jitted step; a step traced inside an
+    `interventions` context bakes the rewrites into the executable, so the
+    memo must key on the active context (regression: a clean-then-intervened
+    run silently reused the clean program)."""
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.data import ArrayDataset
+
+    model = LinearTapModel()
+    params = model.init(jax.random.PRNGKey(0))
+    rows = np.abs(np.random.default_rng(0).normal(size=(8, 6))).astype(np.float32)
+    ds = ArrayDataset(rows, name="causal-engine")
+    eng = CollectEngine(model=model, layer_names=["hidden"], aggregation_fn=_ident,
+                        n_collect=3)
+
+    clean, _ = eng.run(params, ds, batch_size=4)
+    with interventions({"hidden": lambda v: jnp.zeros_like(v)}):
+        ablated, _ = eng.run(params, ds, batch_size=4)
+    clean2, _ = eng.run(params, ds, batch_size=4)
+
+    assert np.abs(np.asarray(clean["hidden"].values, np.float32)).sum() > 0
+    # inside the context every activation is zero — and the run must SEE that
+    assert np.allclose(np.asarray(ablated["hidden"].values, np.float32), 0.0)
+    # exiting restores the clean program
+    np.testing.assert_array_equal(
+        np.asarray(clean2["hidden"].values, np.float32),
+        np.asarray(clean["hidden"].values, np.float32),
+    )

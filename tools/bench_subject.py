@@ -28,49 +28,53 @@ import numpy as np
 def build_model(args, jnp):
     from semanticlens_tpu import models
 
+    # activation dtype: bfloat16 (MXU-native) for throughput tools; audits
+    # that measure small output DELTAS (tools/causal_audit.py) pass float32
+    # so per-channel ablation effects stay above rounding noise.
+    dt = getattr(jnp, getattr(args, "dtype", "bfloat16"))
     if args.arch == "resnet":
-        return models.ResNet(depth=args.depth, dtype=jnp.bfloat16)
+        return models.ResNet(depth=args.depth, dtype=dt)
     if args.arch == "vit":
-        return models.VisionTransformer(image_size=args.image_size, dtype=jnp.bfloat16)
+        return models.VisionTransformer(image_size=args.image_size, dtype=dt)
     if args.arch == "convnext":
-        return models.ConvNeXt(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+        return models.ConvNeXt(variant=args.variant or "tiny", dtype=dt)
     if args.arch == "vgg":
-        return models.VGG(depth=args.depth if args.depth != 50 else 16, dtype=jnp.bfloat16)
+        return models.VGG(depth=args.depth if args.depth != 50 else 16, dtype=dt)
     if args.arch == "densenet":
-        return models.DenseNet(depth=args.depth if args.depth != 50 else 121, dtype=jnp.bfloat16)
+        return models.DenseNet(depth=args.depth if args.depth != 50 else 121, dtype=dt)
     if args.arch == "efficientnet":
-        return models.EfficientNet(variant=args.variant or "b0", dtype=jnp.bfloat16)
+        return models.EfficientNet(variant=args.variant or "b0", dtype=dt)
     if args.arch == "mobilenetv2":
-        return models.MobileNetV2(dtype=jnp.bfloat16)
+        return models.MobileNetV2(dtype=dt)
     if args.arch == "mobilenetv3":
-        return models.MobileNetV3(variant=args.variant or "large", dtype=jnp.bfloat16)
+        return models.MobileNetV3(variant=args.variant or "large", dtype=dt)
     if args.arch == "swin":
-        return models.SwinTransformer(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+        return models.SwinTransformer(variant=args.variant or "tiny", dtype=dt)
     if args.arch == "swin_v2":
-        return models.SwinTransformerV2(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+        return models.SwinTransformerV2(variant=args.variant or "tiny", dtype=dt)
     if args.arch == "googlenet":
-        return models.GoogLeNet(dtype=jnp.bfloat16)
+        return models.GoogLeNet(dtype=dt)
     if args.arch == "inception_v3":
-        return models.InceptionV3(dtype=jnp.bfloat16)
+        return models.InceptionV3(dtype=dt)
     if args.arch == "resnext":  # torchvision resnext{50_32x4d,101_32x8d}
         width = 8 if args.depth == 101 else 4
-        return models.ResNet(depth=args.depth, groups=32, width_per_group=width, dtype=jnp.bfloat16)
+        return models.ResNet(depth=args.depth, groups=32, width_per_group=width, dtype=dt)
     if args.arch == "wide_resnet":  # torchvision wide_resnet{50,101}_2
-        return models.ResNet(depth=args.depth, width_per_group=128, dtype=jnp.bfloat16)
+        return models.ResNet(depth=args.depth, width_per_group=128, dtype=dt)
     if args.arch == "regnet":  # torchvision regnet_{x,y}_*
-        return models.RegNet(variant=args.variant or "y_400mf", dtype=jnp.bfloat16)
+        return models.RegNet(variant=args.variant or "y_400mf", dtype=dt)
     if args.arch == "shufflenet":  # torchvision shufflenet_v2_x*
-        return models.ShuffleNetV2(variant=args.variant or "x1_0", dtype=jnp.bfloat16)
+        return models.ShuffleNetV2(variant=args.variant or "x1_0", dtype=dt)
     if args.arch == "efficientnet_v2":  # torchvision efficientnet_v2_{s,m,l}
-        return models.EfficientNetV2(variant=args.variant or "v2_s", dtype=jnp.bfloat16)
+        return models.EfficientNetV2(variant=args.variant or "v2_s", dtype=dt)
     if args.arch == "alexnet":
-        return models.AlexNet(dtype=jnp.bfloat16)
+        return models.AlexNet(dtype=dt)
     if args.arch == "squeezenet":  # torchvision squeezenet{1_0,1_1}
-        return models.SqueezeNet(version=args.variant or "1_0", dtype=jnp.bfloat16)
+        return models.SqueezeNet(version=args.variant or "1_0", dtype=dt)
     if args.arch == "mnasnet":  # torchvision mnasnet{0_5,0_75,1_0,1_3}
-        return models.MNASNet(variant=args.variant or "1_0", dtype=jnp.bfloat16)
+        return models.MNASNet(variant=args.variant or "1_0", dtype=dt)
     if args.arch == "maxvit":  # torchvision maxvit_t (224-divisible inputs)
-        return models.MaxViT(variant=args.variant or "tiny", dtype=jnp.bfloat16)
+        return models.MaxViT(variant=args.variant or "tiny", dtype=dt)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -82,6 +86,7 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
     import jax

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--image-size", type=int, default=96)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--mode", default="zero", choices=["zero", "mean"])
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="model activation dtype; float32 default — single-channel "
+                         "ablation deltas on a bfloat16 model can fall below bf16 "
+                         "resolution and turn the ratios into rounding noise")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
