@@ -1,10 +1,15 @@
-"""Functional timm-style Vision Transformer with named activation taps.
+"""Functional Vision Transformer with named activation taps.
 
 Subject-model family for transformer-component analysis (BASELINE.md
 config 3: ViT-B/16 backbone, MLP/attention components → SigLIP +
 text probing). Module and parameter names follow timm's ``VisionTransformer``
-(``blocks.3.mlp.fc1`` …) so user layer names and torch checkpoints carry
-over; taps yield (B, T, D) token activations for the transformer aggregators
+(``blocks.3.mlp.fc1`` …) by default so user layer names and torch checkpoints
+carry over; ``naming="torchvision"`` switches the whole surface — module
+names, parameter names, checkpoint relayout — to torchvision's
+``vit_b_16``-style convention (``conv_proj``,
+``encoder.layers.encoder_layer_3.self_attention``, ``heads.head``), with the
+packed ``in_proj_weight``/``in_proj_bias`` attention layout. Taps yield
+(B, T, D) token activations for the transformer aggregators
 (:mod:`semanticlens_tpu.ops.aggregators`).
 """
 
@@ -23,9 +28,45 @@ from semanticlens_tpu.models.layers import (
     gelu,
     layer_norm,
     linear,
+    load_torch_params,
     residual_add,
     scaled_dot_product_attention,
 )
+
+
+def _to_torchvision(name: str) -> str | None:
+    """Canonical (timm) module/param name → torchvision's, or None for
+    names with no torchvision module equivalent (e.g. the fused qkv
+    projection — torch's MultiheadAttention has no qkv submodule, its
+    packed projection lives in ``in_proj_weight``/``in_proj_bias``)."""
+    if name == "patch_embed":
+        return None  # torchvision has no patch-embed container module
+    if name == "blocks":
+        return "encoder.layers"
+    if name.startswith("patch_embed.proj"):
+        return name.replace("patch_embed.proj", "conv_proj", 1)
+    if name == "cls_token":
+        return "class_token"
+    if name == "pos_embed":
+        return "encoder.pos_embedding"
+    if name == "norm" or name.startswith("norm."):
+        return name.replace("norm", "encoder.ln", 1)
+    if name == "head" or name.startswith("head."):
+        return name.replace("head", "heads.head", 1)
+    if name.startswith("blocks."):
+        name = "encoder.layers.encoder_layer_" + name[len("blocks."):]
+        name = name.replace(".norm1", ".ln_1").replace(".norm2", ".ln_2")
+        if name.endswith(".attn.qkv.weight"):
+            return name.replace(".attn.qkv.weight", ".self_attention.in_proj_weight")
+        if name.endswith(".attn.qkv.bias"):
+            return name.replace(".attn.qkv.bias", ".self_attention.in_proj_bias")
+        if name.endswith(".attn.qkv"):
+            return None
+        name = name.replace(".attn.proj", ".self_attention.out_proj")
+        name = name.replace(".attn", ".self_attention")
+        name = name.replace(".mlp.fc1", ".mlp.0").replace(".mlp.fc2", ".mlp.3")
+        return name
+    return name
 
 
 class VisionTransformer(SubjectModel):
@@ -37,7 +78,13 @@ class VisionTransformer(SubjectModel):
         (defaults = ViT-B/16).
     num_classes : classifier width (0 → feature output, no head).
     dtype : activation dtype (bfloat16 = MXU-native).
+    naming : "timm" (default) or "torchvision" — selects the module/param
+        naming convention AND the matching checkpoint relayout (torchvision
+        packs qkv as ``in_proj_weight`` (3D, D)). The computation is
+        identical (both are pre-LN ViTs with exact GELU and LN eps 1e-6).
     """
+
+    LN_EPS = 1e-6  # timm and torchvision both use 1e-6 for ViT
 
     def __init__(
         self,
@@ -48,7 +95,10 @@ class VisionTransformer(SubjectModel):
         heads: int = 12,
         num_classes: int = 1000,
         dtype=jnp.bfloat16,
+        naming: str = "timm",
     ):
+        if naming not in ("timm", "torchvision"):
+            raise ValueError(f"naming must be 'timm' or 'torchvision', got {naming!r}")
         self.image_size = image_size
         self.patch_size = patch_size
         self.width = width
@@ -56,8 +106,32 @@ class VisionTransformer(SubjectModel):
         self.heads = heads
         self.num_classes = num_classes
         self.dtype = dtype
+        self.naming = naming
         self.grid = image_size // patch_size
         self.module_names = tuple(self._enumerate_module_names())
+
+    # torchvision classifier zoo: name → (patch, width, depth, heads)
+    _TV_VARIANTS = {
+        "vit_b_16": (16, 768, 12, 12),
+        "vit_b_32": (32, 768, 12, 12),
+        "vit_l_16": (16, 1024, 24, 16),
+        "vit_l_32": (32, 1024, 24, 16),
+        "vit_h_14": (14, 1280, 32, 16),
+    }
+
+    @classmethod
+    def from_name(cls, name: str, *, image_size: int = 224,
+                  num_classes: int = 1000, dtype=jnp.bfloat16):
+        """Build a torchvision-named ViT from its zoo name (``vit_b_16`` …)."""
+        if name not in cls._TV_VARIANTS:
+            raise ValueError(f"name must be one of {sorted(cls._TV_VARIANTS)}, got {name!r}")
+        p, w, d, h = cls._TV_VARIANTS[name]
+        return cls(image_size=image_size, patch_size=p, width=w, depth=d, heads=h,
+                   num_classes=num_classes, dtype=dtype, naming="torchvision")
+
+    def _n(self, name: str) -> str | None:
+        """Translate a canonical (timm) name to the active convention."""
+        return name if self.naming == "timm" else _to_torchvision(name)
 
     def _enumerate_module_names(self):
         names = ["patch_embed", "patch_embed.proj", "blocks"]
@@ -79,7 +153,14 @@ class VisionTransformer(SubjectModel):
             # Headless towers (num_classes=0) never tap "head" — listing it
             # would pass validation and then KeyError in the engine.
             names += ["head"]
-        return names
+        if self.naming == "timm":
+            return names
+        translated = [t for t in (_to_torchvision(n) for n in names) if t is not None]
+        # torchvision-only container modules (tapped in apply):
+        translated.insert(0, "encoder")
+        if self.num_classes:
+            translated.append("heads")
+        return translated
 
     def _param_specs(self):
         w = self.width
@@ -112,7 +193,9 @@ class VisionTransformer(SubjectModel):
                 ("head.weight", (w, self.num_classes), "proj"),
                 ("head.bias", (self.num_classes,), "zeros"),
             ]
-        return specs
+        if self.naming == "timm":
+            return specs
+        return [(_to_torchvision(n), shape, kind) for n, shape, kind in specs]
 
     def init(self, rng) -> dict[str, jax.Array]:
         params = {}
@@ -130,64 +213,69 @@ class VisionTransformer(SubjectModel):
 
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
         """(B, H, W, 3) → (logits, taps). Token taps are (B, T, D)."""
-        tap = TapCollector(tap_names)
+        tapc = TapCollector(tap_names)
+
+        def tap(name, value):
+            t = self._n(name)
+            return value if t is None else tapc(t, value)
+
+        def p_(key):
+            return params[self._n(key)]
+
         x = x.astype(self.dtype)
 
         x = conv2d(
-            x, params["patch_embed.proj.weight"], params["patch_embed.proj.bias"],
+            x, p_("patch_embed.proj.weight"), p_("patch_embed.proj.bias"),
             stride=self.patch_size,
         )
         b, gh, gw, w = x.shape
         x = x.reshape(b, gh * gw, w)
         tap("patch_embed.proj", x)
         tap("patch_embed", x)
-        cls = jnp.broadcast_to(params["cls_token"].astype(self.dtype), (b, 1, w))
-        x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"].astype(self.dtype)
+        cls = jnp.broadcast_to(p_("cls_token").astype(self.dtype), (b, 1, w))
+        x = jnp.concatenate([cls, x], axis=1) + p_("pos_embed").astype(self.dtype)
 
         for i in range(self.depth):
             p = f"blocks.{i}"
-            h = layer_norm(x, params[f"{p}.norm1.weight"], params[f"{p}.norm1.bias"])
+            h = layer_norm(x, p_(f"{p}.norm1.weight"), p_(f"{p}.norm1.bias"), eps=self.LN_EPS)
             tap(f"{p}.norm1", h)
-            qkv = tap(f"{p}.attn.qkv", linear(h, params[f"{p}.attn.qkv.weight"], params[f"{p}.attn.qkv.bias"]))
+            qkv = tap(f"{p}.attn.qkv", linear(h, p_(f"{p}.attn.qkv.weight"), p_(f"{p}.attn.qkv.bias")))
             q, k, v = qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :]
             h = scaled_dot_product_attention(q, k, v, self.heads)
-            h = tap(f"{p}.attn.proj", linear(h, params[f"{p}.attn.proj.weight"], params[f"{p}.attn.proj.bias"]))
+            h = tap(f"{p}.attn.proj", linear(h, p_(f"{p}.attn.proj.weight"), p_(f"{p}.attn.proj.bias")))
             tap(f"{p}.attn", h)
             x = residual_add(x, h)
-            h = layer_norm(x, params[f"{p}.norm2.weight"], params[f"{p}.norm2.bias"])
+            h = layer_norm(x, p_(f"{p}.norm2.weight"), p_(f"{p}.norm2.bias"), eps=self.LN_EPS)
             tap(f"{p}.norm2", h)
-            h = tap(f"{p}.mlp.fc1", linear(h, params[f"{p}.mlp.fc1.weight"], params[f"{p}.mlp.fc1.bias"]))
+            h = tap(f"{p}.mlp.fc1", linear(h, p_(f"{p}.mlp.fc1.weight"), p_(f"{p}.mlp.fc1.bias")))
             h = gelu(h, approximate=False)
-            h = tap(f"{p}.mlp.fc2", linear(h, params[f"{p}.mlp.fc2.weight"], params[f"{p}.mlp.fc2.bias"]))
+            h = tap(f"{p}.mlp.fc2", linear(h, p_(f"{p}.mlp.fc2.weight"), p_(f"{p}.mlp.fc2.bias")))
             tap(f"{p}.mlp", h)
             x = residual_add(x, h)
             tap(p, x)
         tap("blocks", x)
 
-        x = tap("norm", layer_norm(x, params["norm.weight"], params["norm.bias"]))
+        x = tap("norm", layer_norm(x, p_("norm.weight"), p_("norm.bias"), eps=self.LN_EPS))
+        if self.naming == "torchvision":
+            tapc("encoder", x)  # torchvision Encoder module output = post-ln
         pooled = x[:, 0]
         if self.num_classes:
-            logits = tap("head", linear(pooled, params["head.weight"], params["head.bias"]))
-            return logits, tap.taps
-        return pooled, tap.taps
+            logits = tap("head", linear(pooled, p_("head.weight"), p_("head.bias")))
+            if self.naming == "torchvision":
+                tapc("heads", logits)
+            return logits, tapc.taps
+        return pooled, tapc.taps
 
     def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:
-        """Convert a timm ViT state dict (convs OIHW→HWIO, linears transposed)."""
-        params = {}
-        for name, shape, _ in self._param_specs():
-            value = state_dict[name]
-            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
-            if arr.ndim == 4:
-                arr = arr.transpose(2, 3, 1, 0)
-            elif name.endswith("weight") and arr.ndim == 2:
-                arr = arr.T
-            if tuple(arr.shape) != tuple(shape):
-                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
-            params[name] = jnp.asarray(arr, jnp.float32)
-        return params
+        """Convert a torch ViT state dict in the active naming convention:
+        timm layout, or torchvision's ``vit_b_16`` layout (packed
+        ``in_proj_weight`` (3D, D) transposes to the same (D, 3D) the fused
+        qkv projection expects; convs OIHW→HWIO, linears transposed)."""
+        return load_torch_params(self._param_specs(), state_dict)
 
     def __repr__(self):
         return (
             f"VisionTransformer(image_size={self.image_size}, patch_size={self.patch_size}, "
-            f"width={self.width}, depth={self.depth}, num_classes={self.num_classes})"
+            f"width={self.width}, depth={self.depth}, num_classes={self.num_classes}, "
+            f"naming={self.naming!r})"
         )

@@ -48,6 +48,10 @@ _CASES = [
     ("vit_headless", lambda: VisionTransformer(image_size=32, patch_size=8, width=64,
                                                depth=2, heads=2, num_classes=0,
                                                dtype=jnp.float32), 32),
+    ("vit_torchvision", lambda: VisionTransformer(image_size=32, patch_size=8, width=64,
+                                                  depth=2, heads=2, num_classes=7,
+                                                  dtype=jnp.float32,
+                                                  naming="torchvision"), 32),
     ("convnext", lambda: ConvNeXt("tiny", num_classes=7, dtype=jnp.float32), 64),
     # VGG's AdaptiveAvgPool2d((7,7)) needs the feature map to reach 7×7.
     ("vgg11bn", lambda: VGG(11, num_classes=7, batch_norm=True, dtype=jnp.float32), 224),

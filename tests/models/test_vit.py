@@ -92,3 +92,91 @@ def test_headless_vit_omits_head_tap():
         params, jnp.zeros((1, 16, 16, 3), jnp.float32), tap_names=headless.module_names
     )
     assert set(taps) == set(headless.module_names)
+
+
+def test_torchvision_naming_full_parity():
+    """naming="torchvision" exposes vit_b_16-style names and loads a
+    torchvision-layout state dict (packed in_proj qkv, conv_proj, heads.head)
+    with forward parity against a faithful torch twin."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    from collections import OrderedDict
+
+    D, DEPTH, HEADS, P, S, NCLS = 48, 2, 4, 8, 32, 7
+    g = torch.Generator().manual_seed(0)
+
+    class Layer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = nn.LayerNorm(D, eps=1e-6)
+            self.self_attention = nn.MultiheadAttention(D, HEADS, batch_first=True)
+            self.ln_2 = nn.LayerNorm(D, eps=1e-6)
+            self.mlp = nn.Sequential(
+                nn.Linear(D, 4 * D), nn.GELU(), nn.Dropout(0.0),
+                nn.Linear(4 * D, D), nn.Dropout(0.0),
+            )
+
+        def forward(self, x):
+            h = self.ln_1(x)
+            h, _ = self.self_attention(h, h, h, need_weights=False)
+            x = x + h
+            return x + self.mlp(self.ln_2(x))
+
+    class Encoder(nn.Module):
+        def __init__(self, seq):
+            super().__init__()
+            self.pos_embedding = nn.Parameter(0.02 * torch.randn(1, seq, D, generator=g))
+            self.layers = nn.Sequential(OrderedDict(
+                (f"encoder_layer_{i}", Layer()) for i in range(DEPTH)))
+            self.ln = nn.LayerNorm(D, eps=1e-6)
+
+        def forward(self, x):
+            return self.ln(self.layers(x + self.pos_embedding))
+
+    class TVViT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_proj = nn.Conv2d(3, D, P, P)
+            self.class_token = nn.Parameter(0.02 * torch.randn(1, 1, D, generator=g))
+            self.encoder = Encoder((S // P) ** 2 + 1)
+            self.heads = nn.Sequential(OrderedDict(head=nn.Linear(D, NCLS)))
+
+        def forward(self, x):
+            x = self.conv_proj(x)
+            b = x.shape[0]
+            x = x.reshape(b, D, -1).permute(0, 2, 1)
+            x = torch.cat([self.class_token.expand(b, -1, -1), x], dim=1)
+            return self.heads(self.encoder(x)[:, 0])
+
+    twin = TVViT().eval()
+    for p in twin.parameters():
+        if p.dim() > 1:
+            nn.init.normal_(p, std=0.05, generator=g)
+
+    model = VisionTransformer(image_size=S, patch_size=P, width=D, depth=DEPTH,
+                              heads=HEADS, num_classes=NCLS, dtype=jnp.float32,
+                              naming="torchvision")
+    for n in ["conv_proj", "encoder", "encoder.layers.encoder_layer_1.self_attention",
+              "encoder.layers.encoder_layer_0.mlp.0", "encoder.ln", "heads.head"]:
+        assert n in model.module_names, n
+    assert "patch_embed" not in model.module_names
+
+    params = model.load_torch_state_dict(twin.state_dict())
+    x = np.random.default_rng(2).normal(size=(2, S, S, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got, taps = model.apply(params, jnp.asarray(x),
+                            tap_names=("encoder.layers.encoder_layer_1.mlp.0", "encoder"))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+    assert taps["encoder.layers.encoder_layer_1.mlp.0"].shape == (2, 17, 4 * D)
+    assert taps["encoder"].shape == (2, 17, D)
+
+
+def test_from_name_torchvision_presets():
+    m = VisionTransformer.from_name("vit_b_32", num_classes=0, dtype=jnp.float32)
+    assert (m.patch_size, m.width, m.depth, m.heads) == (32, 768, 12, 12)
+    assert m.naming == "torchvision"
+    assert "encoder.layers.encoder_layer_11.mlp.3" in m.module_names
+    assert "heads" not in m.module_names  # headless
+    with pytest.raises(ValueError, match="vit_b_16"):
+        VisionTransformer.from_name("vit_g_14")
