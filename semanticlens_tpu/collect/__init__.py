@@ -32,3 +32,10 @@ from semanticlens_tpu.collect.relevance_based import RelevanceComponentVisualize
 from semanticlens_tpu.collect.sae_based import SAEComponentVisualizer  # noqa: E402
 
 __all__ += ["RelevanceComponentVisualizer", "SAEComponentVisualizer"]
+
+from semanticlens_tpu.collect.text_based import (  # noqa: E402
+    TextActivationComponentVisualizer,
+    TokenTextDataset,
+)
+
+__all__ += ["TextActivationComponentVisualizer", "TokenTextDataset"]

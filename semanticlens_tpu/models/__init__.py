@@ -5,6 +5,7 @@ from semanticlens_tpu.models.classic import AlexNet, SqueezeNet
 from semanticlens_tpu.models.convnext import ConvNeXt
 from semanticlens_tpu.models.densenet import DenseNet
 from semanticlens_tpu.models.efficientnet import EfficientNet, EfficientNetV2
+from semanticlens_tpu.models.gpt import GPT2
 from semanticlens_tpu.models.inception import GoogLeNet, InceptionV3
 from semanticlens_tpu.models.maxvit import MaxViT
 from semanticlens_tpu.models.mnasnet import MNASNet
@@ -24,7 +25,7 @@ __all__ = [
     "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3", "SwinTransformer",
     "SwinTransformerV2",
     "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "MNASNet", "MaxViT",
-    "TorchSubjectModel",
+    "GPT2", "TorchSubjectModel",
 ]
 
 from semanticlens_tpu.models.flax_adapter import FlaxSubjectModel  # noqa: E402

@@ -1,0 +1,95 @@
+"""GPT-2 subject family: HF-name parity, tap contract, LM specifics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semanticlens_tpu.models import GPT2
+
+V, T, D, DEPTH, HEADS = 97, 16, 48, 2, 4
+
+
+@pytest.fixture(scope="module")
+def tiny_gpt():
+    model = GPT2(vocab_size=V, n_positions=32, width=D, depth=DEPTH, heads=HEADS,
+                 dtype=jnp.float32)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_forward_shapes_and_taps(tiny_gpt):
+    model, params = tiny_gpt
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, V, size=(3, T)))
+    logits, taps = model.apply(params, ids, tap_names=(
+        "transformer.h.1.mlp.act", "transformer.h.0.attn", "transformer.wpe", "lm_head"))
+    assert logits.shape == (3, T, V)
+    assert taps["transformer.h.1.mlp.act"].shape == (3, T, 4 * D)
+    assert taps["transformer.h.0.attn"].shape == (3, T, D)
+    assert taps["transformer.wpe"].shape == (3, T, D)  # broadcast batch-leading
+    assert taps["lm_head"].shape == (3, T, V)
+
+
+def test_every_advertised_name_is_tapped_batch_leading(tiny_gpt):
+    """Same contract tests/models/test_tap_contract.py pins for the vision
+    zoo — GPT taps token batches, so it gets its own case here."""
+    model, params = tiny_gpt
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, V, size=(2, T)))
+    _, taps = model.apply(params, ids, tap_names=model.module_names)
+    missing = set(model.module_names) - set(taps)
+    assert not missing, f"advertised but never tapped: {sorted(missing)}"
+    for name, value in taps.items():
+        assert value.shape[0] == 2, f"{name} not batch-leading: {value.shape}"
+
+
+def test_causality(tiny_gpt):
+    """Changing a future token must not change past logits (causal mask)."""
+    model, params = tiny_gpt
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, V, size=(1, T))
+    ids2 = ids.copy()
+    ids2[0, -1] = (ids2[0, -1] + 1) % V
+    out1, _ = model.apply(params, jnp.asarray(ids))
+    out2, _ = model.apply(params, jnp.asarray(ids2))
+    np.testing.assert_allclose(np.asarray(out1[0, :-1]), np.asarray(out2[0, :-1]),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(out1[0, -1]) - np.asarray(out2[0, -1])).max() > 1e-4
+
+
+def test_hf_transformers_parity():
+    """Logits match a real Hugging Face GPT2LMHeadModel bit-closely; the
+    state dict loads with zero transposes (HF Conv1D is already (in, out))."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+
+    cfg = transformers.GPT2Config(
+        vocab_size=V, n_positions=32, n_embd=D, n_layer=DEPTH, n_head=HEADS,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0)
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    model = GPT2(vocab_size=V, n_positions=32, width=D, depth=DEPTH, heads=HEADS,
+                 dtype=jnp.float32)
+    params = model.load_torch_state_dict(hf.state_dict())
+    ids = np.random.default_rng(0).integers(0, V, size=(3, 17))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = model.apply(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # bare GPT2Model keys (no "transformer." prefix) load too
+    bare = {k.removeprefix("transformer."): v for k, v in hf.state_dict().items()
+            if k.startswith("transformer.")}
+    params2 = model.load_torch_state_dict(bare)
+    got2, _ = model.apply(params2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got2), want, atol=2e-5)
+
+
+def test_from_name_and_limits():
+    m = GPT2.from_name("gpt2-medium", dtype=jnp.float32)
+    assert (m.width, m.depth, m.heads) == (1024, 24, 16)
+    with pytest.raises(ValueError, match="gpt2"):
+        GPT2.from_name("gpt3")
+    tiny = GPT2(vocab_size=V, n_positions=8, width=16, depth=1, heads=2,
+                dtype=jnp.float32)
+    params = tiny.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="exceeds n_positions"):
+        tiny.apply(params, jnp.zeros((1, 9), jnp.int32))
