@@ -35,7 +35,9 @@ __all__ += ["RelevanceComponentVisualizer", "SAEComponentVisualizer"]
 
 from semanticlens_tpu.collect.text_based import (  # noqa: E402
     TextActivationComponentVisualizer,
+    TextSAEComponentVisualizer,
     TokenTextDataset,
 )
 
-__all__ += ["TextActivationComponentVisualizer", "TokenTextDataset"]
+__all__ += ["TextActivationComponentVisualizer", "TextSAEComponentVisualizer",
+            "TokenTextDataset"]

@@ -33,6 +33,7 @@ import logging
 import numpy as np
 
 from semanticlens_tpu.collect.activation_based import ActivationComponentVisualizer
+from semanticlens_tpu.collect.sae_based import SAEComponentVisualizer
 from semanticlens_tpu.ops import aggregators
 
 logger = logging.getLogger(__name__)
@@ -171,3 +172,15 @@ def _keep_tokens_integer(x):
     import jax.numpy as jnp
 
     return x.astype(jnp.int32)
+
+
+class TextSAEComponentVisualizer(SAEComponentVisualizer, TextActivationComponentVisualizer):
+    """SAE latents of a LANGUAGE model audited with text evidence.
+
+    Cooperative composition: the SAE constructor wraps the subject with the
+    virtual ``"{layer}.sae"`` tap (sparse codes as components), the text
+    mixin supplies the string Embed stage, integer token preprocessing, and
+    text evidence reports. The per-sample latent score stays
+    ``aggregate_max_auto`` (max over token positions — sparse codes make
+    means uninformative).
+    """

@@ -101,6 +101,20 @@ def aggregate_max_auto(tensor):
     _expect_rank(tensor, (3, 4), "conv or transformer")
 
 
+def aggregate_transformer_last_token(tensor):
+    """(B, T, D) → (B, D): the FINAL token position.
+
+    The causal-LM summary statistic: with a causal mask every position
+    attends only backward, so the last token is the one that saw the whole
+    sequence (the autoregressive analogue of a CLS token). Distinct stable
+    ``__name__`` so caches collected at different positions can't collide
+    (``get_aggregate_transformer_special_token`` reuses one name for every
+    position — reference aggregators.py:198-244 has the same quirk).
+    """
+    _expect_rank(tensor, (3,), "(B, T, D)")
+    return tensor[:, -1]
+
+
 def get_aggregate_transformer_special_token(token_position: int):
     """Factory: extract one token position, e.g. 0 for a CLS token.
 

@@ -117,3 +117,48 @@ def test_lm_causal_ablation(text_setup):
                                     ids, [3, 17])
     assert delta.shape == (2, 2, T, V)
     assert np.abs(np.asarray(delta)).sum() > 0
+
+
+def test_last_token_aggregator(text_setup):
+    from semanticlens_tpu.ops.aggregators import aggregate_transformer_last_token
+
+    ds, model = text_setup
+    x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 4, 3))
+    np.testing.assert_array_equal(np.asarray(aggregate_transformer_last_token(x)),
+                                  np.asarray(x[:, -1]))
+    with pytest.raises(ValueError):
+        aggregate_transformer_last_token(jnp.zeros((2, 3)))
+
+    # flows through the text CV as a cache-name-stable aggregator
+    cv = TextActivationComponentVisualizer(
+        model=model, dataset_model=ds, dataset_fm=ds.texts_view(),
+        layer_names=["transformer.h.0.mlp.act"], num_samples=3,
+        aggregate_fn=aggregate_transformer_last_token, cache_dir=None)
+    cache = cv.run(batch_size=8)
+    assert cache["transformer.h.0.mlp.act"].sample_ids.shape == (4 * D, 3)
+
+
+def test_sae_latents_on_lm_text_evidence(text_setup, tmp_path):
+    """SAE latents trained on an LM layer audit through the text pipeline:
+    virtual "{layer}.sae" tap + string evidence via the FM text tower."""
+    from semanticlens_tpu.collect import TextSAEComponentVisualizer
+    from semanticlens_tpu.sae import SAEConfig
+
+    ds, model = text_setup
+    layer = "transformer.h.1.mlp.act"
+    cfg = SAEConfig(d_in=4 * D, n_latents=24, k=4, positions_per_image=4, batch_rows=32)
+    sae_params = TextSAEComponentVisualizer.train(
+        model, ds, layer, cfg, batch_size=8, epochs=1,
+        model_preprocess=lambda x: x.astype(jnp.int32))
+    cv = TextSAEComponentVisualizer(
+        model, ds, ds.texts_view(), layer, sae_params, num_samples=3,
+        cache_dir=tmp_path)
+    fm = FakeTextFM()
+    db = cv._compute_concept_db(fm, batch_size=8)
+    (name, mat), = db.items()
+    assert name == f"{layer}.sae"
+    assert mat.shape == (24, 3, fm.dim)
+    texts = cv.get_max_reference_texts(name)
+    assert len(texts) == 24
+    live = [t for row in texts for t in row if t]
+    assert live and all(t.startswith("sample text") for t in live)
