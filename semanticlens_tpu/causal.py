@@ -288,6 +288,10 @@ def necessity_ratio(
                             component_ids, mode=mode)
     d_ct = ablation_effects(model, params, layer_name, control_images,
                             component_ids, mode=mode)
-    n_ev = jnp.linalg.norm(d_ev, axis=-1).mean(axis=-1)  # (K,)
-    n_ct = jnp.linalg.norm(d_ct, axis=-1).mean(axis=-1)
-    return n_ev / (n_ct + eps)
+
+    def per_component(d):  # norm over the output axis, mean over the rest
+        # sequence models emit (K, B, T, n_out) — reduce every non-K axis so
+        # the ratio is (K,) for classifiers and LMs alike
+        return jnp.linalg.norm(d, axis=-1).mean(axis=tuple(range(1, d.ndim - 1)))
+
+    return per_component(d_ev) / (per_component(d_ct) + eps)

@@ -1,0 +1,100 @@
+"""Dissecting a LANGUAGE model — the vision workflow, verbatim, on text.
+
+Executable end-to-end demo (CPU, random weights — pass real checkpoints
+for meaningful concepts): a GPT-2 subject streams token batches through
+the standard collect engine; evidence STRINGS embed through the foundation
+model's text tower; probing, CLIP-Dissect naming, clarity, causal
+validation, and SAE-latent audits apply to LM neurons unchanged.
+
+Run:  PYTHONPATH=. python tutorials/lm_dissection.py
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # demo-sized; keep it off the TPU
+
+import tempfile
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+import semanticlens_tpu as sl
+from semanticlens_tpu.collect import (
+    TextActivationComponentVisualizer,
+    TextSAEComponentVisualizer,
+    TokenTextDataset,
+)
+from semanticlens_tpu.foundation_models import OpenClip
+from semanticlens_tpu.models import GPT2
+from semanticlens_tpu.sae import SAEConfig
+
+cache = Path(tempfile.mkdtemp(prefix="sl-lm-"))
+rng = np.random.default_rng(0)
+
+# --- 1. A toy corpus + a small GPT-2 subject ---------------------------------
+# Real use: tokenize your corpus with the LM's own tokenizer (fixed length),
+# keep the raw strings alongside — TokenTextDataset pairs them.
+TOPICS = ["a cat sleeping", "a red car", "fresh bread", "a wooden chair", "heavy rain"]
+texts = [f"{TOPICS[i % 5]} appears in sentence {i}" for i in range(48)]
+V, T = 160, 16
+tokens = np.zeros((len(texts), T), np.int32)
+for i, t in enumerate(texts):  # stand-in tokenizer: bounded codepoints
+    codes = [ord(c) % V for c in t][:T]
+    tokens[i, : len(codes)] = codes
+ds = TokenTextDataset(tokens, texts, name="toy-corpus")
+
+lm = GPT2(vocab_size=V, n_positions=T, width=64, depth=2, heads=4, dtype=jnp.float32)
+lm.params = lm.init(jax.random.PRNGKey(0))  # or: lm.load_torch_state_dict(hf.state_dict())
+lm.name = "toy-gpt2"
+
+# --- 2. Collect + Embed through the Lens (text tower) ------------------------
+LAYER = "transformer.h.1.mlp.act"  # MLP neurons, the classic LM dissection target
+cv = TextActivationComponentVisualizer(
+    model=lm,
+    dataset_model=ds,              # token rows → collect engine
+    dataset_fm=ds.texts_view(),    # raw strings → FM text tower
+    layer_names=[LAYER],
+    num_samples=5,
+    cache_dir=str(cache),
+)
+fm = OpenClip("ViT-B-32", dtype=jnp.float32)  # pass checkpoint=/bpe_path= for real weights
+lens = sl.Lens(fm)
+concept_db = lens.compute_concept_db(cv, batch_size=16)
+print("concept DB:", {k: np.asarray(v).shape for k, v in concept_db.items()})
+
+# --- 3. Analyze: search, name, and score LM neurons --------------------------
+agg_db = {k: np.asarray(v, np.float32).mean(1) for k, v in concept_db.items()}
+hits = lens.text_probing("a sleeping cat", agg_db)
+best = int(np.argmax(np.asarray(hits[LAYER])))
+print(f"neuron most aligned with 'a sleeping cat': #{best}")
+print("its evidence:", [t for t in cv.get_max_reference_texts(LAYER)[best] if t][:3])
+
+labels = lens.label_components(TOPICS, agg_db, scoring="wpmi",
+                               evidence_ids={LAYER: cv.get_max_reference(LAYER)},
+                               image_embeds=cv.embedding_table)
+words, _scores = labels[LAYER]
+print("top label for neuron 0:", words[0][0])
+clarity = lens.eval_clarity(concept_db)
+print("clarity mean:", float(np.nanmean(np.asarray(clarity[LAYER]))))
+print(cv.visualize_components(LAYER, [best], n_samples=3))
+
+# --- 4. Causal validation (ablate-and-measure on token batches) --------------
+from semanticlens_tpu import causal
+
+ev = cv.get_max_reference(LAYER)[best]
+ev = ev[ev >= 0]
+ctl = rng.choice(len(ds), size=ev.size, replace=False)
+ratio = causal.necessity_ratio(lm, lm.params, LAYER, [best],
+                               jnp.asarray(tokens[ev]), jnp.asarray(tokens[ctl]))
+print(f"necessity ratio of neuron {best} on its own evidence:",
+      round(float(np.asarray(ratio)[0]), 3))
+
+# --- 5. SAE latents as components (same pipeline, virtual tap) ----------------
+cfg = SAEConfig(d_in=4 * 64, n_latents=48, k=4, positions_per_image=4, batch_rows=64)
+sae_params = TextSAEComponentVisualizer.train(lm, ds, LAYER, cfg, batch_size=16)
+sae_cv = TextSAEComponentVisualizer(lm, ds, ds.texts_view(), LAYER, sae_params,
+                                    num_samples=5, cache_dir=str(cache))
+sae_db = lens.compute_concept_db(sae_cv, batch_size=16)
+print("SAE-latent concept DB:", {k: np.asarray(v).shape for k, v in sae_db.items()})
+print("done — artifacts under", cache)
