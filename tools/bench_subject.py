@@ -75,6 +75,8 @@ def build_model(args, jnp):
         return models.MNASNet(variant=args.variant or "1_0", dtype=dt)
     if args.arch == "maxvit":  # torchvision maxvit_t (224-divisible inputs)
         return models.MaxViT(variant=args.variant or "tiny", dtype=dt)
+    if args.arch == "gpt2":  # HF gpt2/-medium/-large/-xl; token input (--seq-len)
+        return models.GPT2.from_name(args.variant or "gpt2", dtype=dt)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -87,9 +89,14 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--seq-len", type=int, default=512, help="token length for --arch gpt2")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from semanticlens_tpu.core import enable_compilation_cache
@@ -100,18 +107,34 @@ def main():
     b, n_steps, s = args.batch, args.steps, args.image_size
 
     rng = np.random.default_rng(0)
-    batches = [
-        jax.device_put(rng.integers(0, 255, size=(b, s, s, 3), dtype=np.uint8))
-        for _ in range(n_steps)
-    ]
+    if args.arch == "gpt2":  # token batches; "image" = one sequence
+        s = args.seq_len
+        batches = [
+            jax.device_put(rng.integers(0, model.vocab_size, size=(b, s), dtype=np.int32))
+            for _ in range(n_steps)
+        ]
 
-    @jax.jit
-    def chained(params, batches):
-        acc = jnp.zeros((), jnp.float32)
-        for x in batches:
-            out, _ = model.apply(params, x.astype(jnp.bfloat16) / 255.0)
-            acc = acc + out.astype(jnp.float32).sum()
-        return acc
+        @jax.jit
+        def chained(params, batches):
+            acc = jnp.zeros((), jnp.float32)
+            for x in batches:
+                out, _ = model.apply(params, x)
+                acc = acc + out.astype(jnp.float32).sum()
+            return acc
+
+    else:
+        batches = [
+            jax.device_put(rng.integers(0, 255, size=(b, s, s, 3), dtype=np.uint8))
+            for _ in range(n_steps)
+        ]
+
+        @jax.jit
+        def chained(params, batches):
+            acc = jnp.zeros((), jnp.float32)
+            for x in batches:
+                out, _ = model.apply(params, x.astype(jnp.bfloat16) / 255.0)
+                acc = acc + out.astype(jnp.float32).sum()
+            return acc
 
     # warm compile + one throwaway run
     np.asarray(chained(params, batches))
@@ -147,6 +170,7 @@ def main():
         "squeezenet": f"squeezenet{args.variant or '1_0'}",
         "mnasnet": f"mnasnet{args.variant or '1_0'}",
         "maxvit": f"maxvit_{args.variant or 'tiny'}",
+        "gpt2": args.variant or "gpt2",
     }[args.arch]
     print(json.dumps({
         "model": label,
