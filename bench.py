@@ -213,27 +213,12 @@ N_COLLECT = 25
 LAYERS = ("layer1", "layer2", "layer3", "layer4")
 
 
-def _backend_reachable(timeout_s: int = 120) -> bool:
-    """Probe the accelerator backend from a short-lived subprocess.
-
-    On a tunneled backend a dead tunnel makes the first device call hang
-    forever; a bench that hangs is worse than a bench that reports failure.
-    CPU backends cannot hang and skip the probe.
-    """
-    if jax.config.jax_platforms == "cpu":
-        return True
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.device_count())"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        return proc.returncode == 0 and int(proc.stdout.strip() or 0) >= 1
-    except (subprocess.TimeoutExpired, ValueError):
-        return False
-
-
 def main():
-    if not _backend_reachable():
+    from semanticlens_tpu.core import backend_reachable
+
+    # a dead tunnel makes the first device call hang forever; a bench that
+    # hangs is worse than a bench that reports failure
+    if not backend_reachable():
         print(json.dumps({
             "metric": "fused_collect_embed_throughput",
             "value": 0,

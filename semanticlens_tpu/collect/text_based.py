@@ -58,10 +58,11 @@ class TokenTextDataset:
     """Paired (token array, raw string) samples for LM dissection.
 
     ``tokens`` is an (N, T) int array (the SUBJECT model's tokenization,
-    fixed length — pad/truncate upstream); ``texts`` the N raw strings the
-    FM embeds. The dataset itself yields token rows (what the collect
-    engine streams); :meth:`texts_view` yields the strings (what the Embed
-    stage consumes).
+    fixed length — pad/truncate upstream; prefer LEFT-padding so
+    :func:`~semanticlens_tpu.ops.aggregators.aggregate_transformer_last_token`
+    reads a real token at T−1); ``texts`` the N raw strings the FM embeds.
+    The dataset itself yields token rows (what the collect engine streams);
+    :meth:`texts_view` yields the strings (what the Embed stage consumes).
     """
 
     def __init__(self, tokens, texts, name: str | None = None):
@@ -83,10 +84,7 @@ class TokenTextDataset:
         return self.images[i]
 
     def texts_view(self) -> _TextsView:
-        view = _TextsView(self.texts)
-        if hasattr(self, "name"):
-            view.name = self.name
-        return view
+        return _TextsView(self.texts, name=getattr(self, "name", None))
 
 
 class TextActivationComponentVisualizer(ActivationComponentVisualizer):
@@ -100,12 +98,36 @@ class TextActivationComponentVisualizer(ActivationComponentVisualizer):
     :class:`TokenTextDataset.texts_view`).
     """
 
-    def __init__(self, *args, **kwargs):
-        if kwargs.get("aggregate_fn") is None:
-            kwargs["aggregate_fn"] = aggregators.aggregate_transformer_mean
-        if kwargs.get("model_preprocess") is None:
-            kwargs["model_preprocess"] = _keep_tokens_integer
-        super().__init__(*args, **kwargs)
+    def __init__(
+        self,
+        model,
+        dataset_model,
+        dataset_fm,
+        layer_names,
+        num_samples,
+        device=None,
+        aggregate_fn=None,
+        cache_dir=None,
+        mesh=None,
+        params=None,
+        model_preprocess=None,
+    ):
+        # explicit mirror of the parent signature so positional callers get
+        # the text defaults too (a *args/**kwargs wrapper injecting kwargs
+        # would raise 'got multiple values' on a positional aggregate_fn)
+        super().__init__(
+            model,
+            dataset_model,
+            dataset_fm,
+            layer_names,
+            num_samples,
+            device=device,
+            aggregate_fn=aggregate_fn or aggregators.aggregate_transformer_mean,
+            cache_dir=cache_dir,
+            mesh=mesh,
+            params=params,
+            model_preprocess=model_preprocess or _keep_tokens_integer,
+        )
 
     def _run_fused(self, fm, batch_size: int, checkpoint: int = 0) -> np.ndarray:
         """No fused path for text: Collect streams token batches while Embed
@@ -145,11 +167,12 @@ class TextActivationComponentVisualizer(ActivationComponentVisualizer):
             [self.dataset_fm[int(i)] if i >= 0 else "" for i in row] for row in ids
         ]
 
-    def visualize_components(self, layer_name: str, component_ids, n_samples: int = 5,
+    def visualize_components(self, component_ids, layer_name: str, n_samples: int = 5,
                              save: bool = True, **kwargs):
         """Text analogue of the image-grid plot: one evidence-text block per
         component, returned as a string and (optionally) written under
-        ``storage_dir/plots``."""
+        ``storage_dir/plots``. Same (component_ids, layer_name) order as the
+        base image-grid method."""
         texts = self.get_max_reference_texts(layer_name)
         lines = []
         for comp in component_ids:
@@ -184,3 +207,13 @@ class TextSAEComponentVisualizer(SAEComponentVisualizer, TextActivationComponent
     ``aggregate_max_auto`` (max over token positions — sparse codes make
     means uninformative).
     """
+
+    @staticmethod
+    def train(model, dataset, layer_name, cfg, *, model_preprocess=None, **kwargs):
+        """SAE training over token batches: defaults the engine preprocess
+        to the integer cast (the base trainer's float32 default would feed
+        float "tokens" to subjects that index an embedding table)."""
+        return SAEComponentVisualizer.train(
+            model, dataset, layer_name, cfg,
+            model_preprocess=model_preprocess or _keep_tokens_integer, **kwargs,
+        )

@@ -65,6 +65,31 @@ def shard_concept_db(concept_db: dict, mesh: Mesh, *, axis_name: str = "data") -
     return out
 
 
+def backend_reachable(n_devices: int = 1, *, timeout_s: int = 120) -> bool:
+    """True when the configured JAX backend responds with ≥ ``n_devices``.
+
+    On a tunneled accelerator backend a dead tunnel makes the first device
+    call hang INDEFINITELY, so the count runs in a short-lived subprocess
+    probe; a timed-out or crashed probe counts as unreachable. CPU backends
+    cannot hang and are counted in-process. Shared by the benchmark
+    (fail-fast with an error line) and the multi-chip dryrun (fall back to
+    the virtual CPU mesh).
+    """
+    import subprocess
+    import sys
+
+    if jax.config.jax_platforms == "cpu":
+        return jax.device_count() >= n_devices
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.device_count())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0 and int(proc.stdout.strip() or 0) >= n_devices
+    except (subprocess.TimeoutExpired, ValueError):
+        return False
+
+
 def enable_compilation_cache(directory: str | None = None) -> str:
     """Turn on JAX's persistent compilation cache (idempotent).
 

@@ -205,7 +205,9 @@ class GPT2(SubjectModel):
             h, params["transformer.ln_f.weight"], params["transformer.ln_f.bias"],
             eps=self.LN_EPS))
         tap("transformer", h)
-        logits = tap("lm_head", h @ wte.T)  # tied embedding, HF convention
+        # tied embedding (HF convention); routed through the shared linear so
+        # the logits matmul keeps Precision.HIGHEST and the LRP ε-rule
+        logits = tap("lm_head", linear(h, wte.T))
         return logits, tap.taps
 
     # ------------------------------------------------------------------ load

@@ -110,6 +110,12 @@ def aggregate_transformer_last_token(tensor):
     ``__name__`` so caches collected at different positions can't collide
     (``get_aggregate_transformer_special_token`` reuses one name for every
     position — reference aggregators.py:198-244 has the same quirk).
+
+    PADDING CAVEAT: position T−1 is only the summary position when
+    sequences fill the whole window. With RIGHT-padded variable-length
+    batches this reads a pad position — LEFT-pad instead (the standard
+    causal-LM convention, e.g. Hugging Face generation), which puts every
+    sequence's final real token at T−1.
     """
     _expect_rank(tensor, (3,), "(B, T, D)")
     return tensor[:, -1]

@@ -83,7 +83,7 @@ def test_lm_collect_embed_analyze_e2e(text_setup, tmp_path):
     assert live and all(t.startswith("sample text") for t in live)
 
     # text "plot": evidence report written under storage_dir/plots
-    report = cv.visualize_components("transformer.h.1.mlp.act", [0, 1], n_samples=2)
+    report = cv.visualize_components([0, 1], "transformer.h.1.mlp.act", n_samples=2)
     assert "transformer.h.1.mlp.act #0" in report
     assert (cv.storage_dir / "plots" / "transformer.h.1.mlp.act-components.txt").exists()
 
@@ -147,9 +147,9 @@ def test_sae_latents_on_lm_text_evidence(text_setup, tmp_path):
     ds, model = text_setup
     layer = "transformer.h.1.mlp.act"
     cfg = SAEConfig(d_in=4 * D, n_latents=24, k=4, positions_per_image=4, batch_rows=32)
-    sae_params = TextSAEComponentVisualizer.train(
-        model, ds, layer, cfg, batch_size=8, epochs=1,
-        model_preprocess=lambda x: x.astype(jnp.int32))
+    # no model_preprocess: the text trainer defaults to the integer cast
+    sae_params = TextSAEComponentVisualizer.train(model, ds, layer, cfg,
+                                                  batch_size=8, epochs=1)
     cv = TextSAEComponentVisualizer(
         model, ds, ds.texts_view(), layer, sae_params, num_samples=3,
         cache_dir=tmp_path)

@@ -70,8 +70,10 @@ def _cases(models, jnp):
                           224, 1e-4),
         "squeezenet1_1": ("squeezenet1_1", lambda: models.SqueezeNet("1_1", dtype=f32),
                           224, 1e-4),
-        "convnext_tiny": ("convnext_tiny", lambda: models.ConvNeXt("tiny", dtype=f32),
-                          224, 5e-4),
+        # NOT listed: ConvNeXt — models/convnext.py follows timm naming
+        # ("stages.2.blocks.5"), which is what the reference's interpretability
+        # users hook; torchvision's convnext graph ("features.5.2") names a
+        # different decomposition, so its state dict is not loadable here.
         "vit_b_16": ("vit_b_16",
                      lambda: models.VisionTransformer.from_name("vit_b_16", dtype=f32),
                      224, 5e-4),
@@ -122,17 +124,24 @@ def main():
             {"aux_logits": False, "init_weights": True}
             if fam in ("googlenet", "inception_v3") else {}
         )
-        tv = getattr(tvm, tv_name)(**kwargs).eval()
-        ours = build_ours()
-        params = ours.load_torch_state_dict(tv.state_dict())
-        x = rng.normal(size=(args.batch, size, size, 3)).astype(np.float32)
-        with torch.no_grad():
-            want = tv(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
-        got, _ = ours.apply(params, jnp.asarray(x))
-        diff = float(np.abs(np.asarray(got, np.float32) - want).max())
-        ok = diff <= atol
+        # a broken converter raises (KeyError/shape ValueError) — that is a
+        # FINDING, not a reason to abort the remaining families
+        try:
+            tv = getattr(tvm, tv_name)(**kwargs).eval()
+            ours = build_ours()
+            params = ours.load_torch_state_dict(tv.state_dict())
+            x = rng.normal(size=(args.batch, size, size, 3)).astype(np.float32)
+            with torch.no_grad():
+                want = tv(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+            got, _ = ours.apply(params, jnp.asarray(x))
+            diff = float(np.abs(np.asarray(got, np.float32) - want).max())
+            ok = diff <= atol
+            print(json.dumps({"family": fam, "max_abs_diff": diff, "atol": atol, "ok": ok}))
+        except Exception as e:  # noqa: BLE001 — audit tool: record and continue
+            ok = False
+            print(json.dumps({"family": fam, "ok": False,
+                              "error": f"{type(e).__name__}: {e}"}))
         failures += not ok
-        print(json.dumps({"family": fam, "max_abs_diff": diff, "atol": atol, "ok": ok}))
 
     print(json.dumps({"families": len(chosen), "failed": failures}))
     return 1 if failures else 0

@@ -77,7 +77,7 @@ words, _scores = labels[LAYER]
 print("top label for neuron 0:", words[0][0])
 clarity = lens.eval_clarity(concept_db)
 print("clarity mean:", float(np.nanmean(np.asarray(clarity[LAYER]))))
-print(cv.visualize_components(LAYER, [best], n_samples=3))
+print(cv.visualize_components([best], LAYER, n_samples=3))
 
 # --- 4. Causal validation (ablate-and-measure on token batches) --------------
 from semanticlens_tpu import causal
