@@ -24,7 +24,11 @@ helper with an additive causal mask; the tied lm_head is one (B·T, D) ×
 Taps yield (B, T, D) token activations for the transformer aggregators.
 torch named_modules parity notes: dropout modules are identity at eval and
 not listed; ``transformer.wpe`` is recorded broadcast to (B, T, D) so every
-tap keeps the batch-leading contract the collect engine requires.
+tap keeps the batch-leading contract the collect engine requires. One
+beyond-torch virtual tap per block, ``…attn.heads`` (B, T, n_heads): the
+norm of each head's residual-stream contribution (head output × its W_O
+slice), making ATTENTION HEADS first-class dissectable components —
+collect their top-engaging prompts, embed, name, score.
 """
 
 from __future__ import annotations
@@ -101,6 +105,7 @@ class GPT2(SubjectModel):
                 f"{p}.ln_1",
                 f"{p}.attn",
                 f"{p}.attn.c_attn",
+                f"{p}.attn.heads",
                 f"{p}.attn.c_proj",
                 f"{p}.ln_2",
                 f"{p}.mlp",
@@ -185,6 +190,21 @@ class GPT2(SubjectModel):
             w = self.width
             q, k, v = qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :]
             a = scaled_dot_product_attention(q, k, v, self.heads, mask=mask)
+            # virtual per-HEAD components: ‖head h's residual-stream
+            # contribution‖ per token, i.e. the norm of (head output × its
+            # W_O slice) — attention-head dissection evidence (which inputs
+            # engage head h). (B, T, H); dead code XLA eliminates unless
+            # the tap is requested. Observational only: rewriting it does
+            # not feed the forward (ablate heads via interventions on
+            # "{p}.attn.c_attn" channel groups instead).
+            hd = w // self.heads
+            w_o = params[f"{p}.attn.c_proj.weight"].astype(a.dtype)
+            per_head = jnp.einsum(
+                "bthc,hcd->bthd", a.reshape(b, t, self.heads, hd),
+                w_o.reshape(self.heads, hd, w),
+            )
+            tap(f"{p}.attn.heads", jnp.linalg.norm(
+                per_head.astype(jnp.float32), axis=-1))
             a = tap(f"{p}.attn.c_proj", linear(
                 a, params[f"{p}.attn.c_proj.weight"], params[f"{p}.attn.c_proj.bias"]))
             tap(f"{p}.attn", a)

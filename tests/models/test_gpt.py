@@ -93,3 +93,43 @@ def test_from_name_and_limits():
     params = tiny.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="exceeds n_positions"):
         tiny.apply(params, jnp.zeros((1, 9), jnp.int32))
+
+
+def test_attention_head_components(tiny_gpt):
+    """The virtual "…attn.heads" tap is the norm of each head's
+    residual-stream contribution: with W_O = identity (and zero bias) the
+    contribution of head h is exactly its slice of the pre-merge attention
+    output, so the tapped norms must equal the per-slice norms of the
+    c_proj output."""
+    model, params = tiny_gpt
+    p = dict(params)
+    p["transformer.h.0.attn.c_proj.weight"] = jnp.eye(D, dtype=jnp.float32)
+    p["transformer.h.0.attn.c_proj.bias"] = jnp.zeros((D,), jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, V, size=(2, T)))
+    _, taps = model.apply(p, ids, tap_names=(
+        "transformer.h.0.attn.heads", "transformer.h.0.attn.c_proj"))
+    norms = np.asarray(taps["transformer.h.0.attn.heads"])
+    assert norms.shape == (2, T, HEADS)
+    assert (norms >= 0).all()
+    merged = np.asarray(taps["transformer.h.0.attn.c_proj"], np.float32)
+    hd = D // HEADS
+    want = np.linalg.norm(merged.reshape(2, T, HEADS, hd), axis=-1)
+    np.testing.assert_allclose(norms, want, rtol=1e-4, atol=1e-5)
+
+
+def test_head_components_through_collect():
+    """Heads flow through the standard pipeline: C = n_heads components."""
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.data import ArrayDataset
+    from semanticlens_tpu.ops.aggregators import aggregate_transformer_mean
+
+    model = GPT2(vocab_size=V, n_positions=T, width=D, depth=1, heads=HEADS,
+                 dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(1))
+    rows = np.random.default_rng(1).integers(0, V, size=(12, T), dtype=np.int32)
+    eng = CollectEngine(model=model, layer_names=["transformer.h.0.attn.heads"],
+                        aggregation_fn=aggregate_transformer_mean, n_collect=3,
+                        input_preprocess=lambda x: x.astype(jnp.int32))
+    states, n = eng.run(params, ArrayDataset(rows, name="toks"), batch_size=4)
+    assert n == 12
+    assert states["transformer.h.0.attn.heads"].values.shape == (HEADS, 3)
