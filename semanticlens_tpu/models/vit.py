@@ -142,6 +142,7 @@ class VisionTransformer(SubjectModel):
                 f"{p}.norm1",
                 f"{p}.attn",
                 f"{p}.attn.qkv",
+                f"{p}.attn.heads",
                 f"{p}.attn.proj",
                 f"{p}.norm2",
                 f"{p}.mlp",
@@ -242,6 +243,16 @@ class VisionTransformer(SubjectModel):
             qkv = tap(f"{p}.attn.qkv", linear(h, p_(f"{p}.attn.qkv.weight"), p_(f"{p}.attn.qkv.bias")))
             q, k, v = qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :]
             h = scaled_dot_product_attention(q, k, v, self.heads)
+            # virtual per-HEAD components (same design as models/gpt.py):
+            # ‖head output × its W_O slice‖ per token, (B, T, n_heads);
+            # dead code XLA eliminates unless requested; observational only
+            hd = w // self.heads
+            w_o = p_(f"{p}.attn.proj.weight").astype(h.dtype)
+            per_head = jnp.einsum(
+                "bthc,hcd->bthd", h.reshape(b, h.shape[1], self.heads, hd),
+                w_o.reshape(self.heads, hd, w),
+            )
+            tap(f"{p}.attn.heads", jnp.linalg.norm(per_head.astype(jnp.float32), axis=-1))
             h = tap(f"{p}.attn.proj", linear(h, p_(f"{p}.attn.proj.weight"), p_(f"{p}.attn.proj.bias")))
             tap(f"{p}.attn", h)
             x = residual_add(x, h)

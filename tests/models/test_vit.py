@@ -180,3 +180,24 @@ def test_from_name_torchvision_presets():
     assert "heads" not in m.module_names  # headless
     with pytest.raises(ValueError, match="vit_b_16"):
         VisionTransformer.from_name("vit_g_14")
+
+
+def test_attention_head_components(tiny_vit):
+    """Virtual "…attn.heads" tap (same design as GPT-2): with W_O=identity,
+    per-head residual-contribution norms equal per-slice norms of the merge
+    input, i.e. of (attn.proj output − bias)."""
+    model, params = tiny_vit
+    p = dict(params)
+    p["blocks.0.attn.proj.weight"] = jnp.eye(48, dtype=jnp.float32)
+    p["blocks.0.attn.proj.bias"] = jnp.zeros((48,), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 32, 32, 3)).astype(np.float32))
+    _, taps = model.apply(p, x, tap_names=("blocks.0.attn.heads", "blocks.0.attn.proj"))
+    norms = np.asarray(taps["blocks.0.attn.heads"])
+    assert norms.shape == (2, 17, 2)  # (B, T, heads)
+    merged = np.asarray(taps["blocks.0.attn.proj"], np.float32)
+    want = np.linalg.norm(merged.reshape(2, 17, 2, 24), axis=-1)
+    np.testing.assert_allclose(norms, want, rtol=1e-4, atol=1e-5)
+    # torchvision naming translates the virtual tap too
+    tv = VisionTransformer(image_size=32, patch_size=8, width=48, depth=2, heads=2,
+                           num_classes=5, dtype=jnp.float32, naming="torchvision")
+    assert "encoder.layers.encoder_layer_0.self_attention.heads" in tv.module_names
