@@ -113,3 +113,58 @@ def test_fuzz_lrp_block_conservation(trial):
     p = _vit_block_params(jax.random.PRNGKey(trial), w)
     r_in, r_out = _conservation(lambda xx: _vit_block_apply(p, xx, heads=heads), x)
     assert abs(r_in - r_out) <= 2e-3 * max(abs(r_out), 1.0), (trial, w, t, b, r_in, r_out)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_text_collect_matches_bruteforce(trial):
+    """Random (n, T, batch, k): the engine's token-batch top-k (int32 input
+    path, bf16 state) must equal a brute-force numpy pass — values bf16-
+    identical, ids identical wherever the bf16 value is unique."""
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.data import ArrayDataset
+    from semanticlens_tpu.models import GPT2
+    from semanticlens_tpu.ops.aggregators import aggregate_transformer_mean
+
+    rng = np.random.default_rng(200 + trial)
+    n = int(rng.integers(6, 28))
+    t = int(rng.integers(3, 9))
+    batch = int(rng.integers(2, 6))
+    k = int(rng.integers(2, 5))
+    v, d = 31, 8
+    tokens = rng.integers(0, v, size=(n, t), dtype=np.int64)
+
+    model = GPT2(vocab_size=v, n_positions=16, width=d, depth=1, heads=2,
+                 dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(trial))
+    layer = "transformer.h.0.mlp.act"
+
+    eng = CollectEngine(model=model, layer_names=[layer],
+                        aggregation_fn=aggregate_transformer_mean, n_collect=k,
+                        input_preprocess=lambda x: x.astype(jnp.int32))
+    states, seen = eng.run(params, ArrayDataset(tokens, name=f"fuzz{trial}"),
+                           batch_size=batch)
+    assert seen == n
+    got_vals = np.asarray(states[layer].values, np.float32)
+    got_ids = np.asarray(states[layer].ids)
+
+    _, taps = model.apply(params, jnp.asarray(tokens, jnp.int32), (layer,))
+    agg = np.asarray(aggregate_transformer_mean(taps[layer]), np.float32)
+    agg16 = agg.astype(jnp.bfloat16).astype(np.float32)  # state rounds to bf16
+    # reference quirk parity: slots initialize to 0.0 bf16 with id −1, so the
+    # merged top-k is over {k zero-sentinels} ∪ {candidates} — all-negative
+    # components keep sentinel slots
+    cand = np.concatenate([agg16.T, np.zeros((agg16.shape[1], k), np.float32)], axis=1)
+    cand_ids = np.concatenate(
+        [np.tile(np.arange(n), (agg16.shape[1], 1)),
+         np.full((agg16.shape[1], k), -1)], axis=1)
+    order = np.argsort(-cand, axis=1, kind="stable")[:, :k]
+    want_vals = np.take_along_axis(cand, order, axis=1)
+    want_ids = np.take_along_axis(cand_ids, order, axis=1)
+
+    np.testing.assert_array_equal(got_vals, want_vals)
+    unique = np.array([
+        [want_vals[c, j] != 0.0 and np.sum(agg16[:, c] == want_vals[c, j]) == 1
+         for j in range(k)]
+        for c in range(agg16.shape[1])
+    ])
+    np.testing.assert_array_equal(got_ids[unique], want_ids[unique])
