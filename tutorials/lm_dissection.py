@@ -90,6 +90,15 @@ ratio = causal.necessity_ratio(lm, lm.params, LAYER, [best],
 print(f"necessity ratio of neuron {best} on its own evidence:",
       round(float(np.asarray(ratio)[0]), 3))
 
+# --- 4b. WHERE in the text does the neuron fire? (token-level LRP) -----------
+from semanticlens_tpu.relevance.text import highlight_evidence, token_relevance
+
+ev_rel = token_relevance(lm, lm.params, jnp.asarray(tokens[ev[:2]]), LAYER, best)
+tok_strings = [[chr(c) if c else "_" for c in row] for row in tokens[ev[:2]]]
+print("relevance-highlighted evidence (token-level LRP):")
+for line in highlight_evidence(tok_strings, np.asarray(ev_rel), threshold=0.6):
+    print("  ", line)
+
 # --- 5. SAE latents as components (same pipeline, virtual tap) ----------------
 cfg = SAEConfig(d_in=4 * 64, n_latents=48, k=4, positions_per_image=4, batch_rows=64)
 sae_params = TextSAEComponentVisualizer.train(lm, ds, LAYER, cfg, batch_size=16)
