@@ -69,6 +69,11 @@ ASSETS: dict[str, list[tuple[str, str]]] = {
             "mobileclip_s1.pt",
         ),
     ],
+    "gpt2": [
+        # LM-dissection subject weights (models/gpt.py loads either bin):
+        # torch pickle of GPT2LMHeadModel — load_torch_state_dict takes it raw
+        (f"{HF}/openai-community/gpt2/resolve/main/pytorch_model.bin", "gpt2.bin"),
+    ],
 }
 
 
