@@ -4,6 +4,8 @@ from semanticlens_tpu.foundation_models.base import AbstractVLM
 from semanticlens_tpu.foundation_models.dissect import (
     attention_head_directions,
     mlp_neuron_directions,
+    resnet_attnpool_neuron_directions,
+    resnet_attnpool_neuron_head_directions,
     residual_directions_to_embedding,
 )
 from semanticlens_tpu.foundation_models.clip import (
@@ -23,6 +25,8 @@ from semanticlens_tpu.foundation_models.tokenizer import ClipBpeTokenizer, HashT
 __all__ = [
     "mlp_neuron_directions",
     "attention_head_directions",
+    "resnet_attnpool_neuron_directions",
+    "resnet_attnpool_neuron_head_directions",
     "residual_directions_to_embedding",
     "AbstractVLM",
     "OpenClip",

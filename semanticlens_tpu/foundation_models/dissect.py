@@ -103,3 +103,44 @@ def attention_head_directions(params, cfg, block: int, *, tower: str = "visual")
     head_dim = width // heads
     flat = residual_directions_to_embedding(params, w_out, tower=tower)  # (w, D)
     return flat.reshape(heads, head_dim, -1)
+
+
+def resnet_attnpool_neuron_directions(params) -> np.ndarray:
+    """(C, embed_dim) direct-effect directions of the RN tower's final
+    conv channels through the attention pool.
+
+    CLIP's ModifiedResNet pools with AttentionPool2d: the embedding is
+    ``c_proj(Σ_s p_s · v_proj(x_s))`` over spatial tokens (clip.py
+    ``_rn_encode_image``). Channel c of the final feature map writes row c
+    of ``v_proj.weight`` into every token's value, so its direct effect on
+    the embedding is ``v_proj.weight[c] @ c_proj.weight`` — scaled by the
+    nonnegative attention mass Σ_s p_s·x_s[c], irrelevant to cosine
+    analyses. The neuron-attention decomposition of arXiv:2509.19943
+    refines this per head (:func:`resnet_attnpool_neuron_head_directions`);
+    this is its head-sum. No final LN exists on this tower — directions
+    land in the joint space exactly.
+    """
+    v = jnp.asarray(params["visual.attnpool.v_proj.weight"], jnp.float32)  # (C, C)
+    c = jnp.asarray(params["visual.attnpool.c_proj.weight"], jnp.float32)  # (C, D)
+    return np.asarray(jnp.matmul(v, c, precision="highest"), np.float32)
+
+
+def resnet_attnpool_neuron_head_directions(params, *, head_dim: int = 64) -> np.ndarray:
+    """(C, n_heads, embed_dim) per-(channel, head) joint-space directions.
+
+    The neuron-attention decomposition (arXiv:2509.19943): channel c's
+    value write is split across attention heads — head h carries the slice
+    ``v_proj.weight[c, h·hd:(h+1)·hd]`` through ``c_proj``'s matching rows.
+    Summing over heads recovers :func:`resnet_attnpool_neuron_directions`.
+    ``head_dim`` follows CLIP's AttentionPool2d (num_heads = C // 64).
+    """
+    v = jnp.asarray(params["visual.attnpool.v_proj.weight"], jnp.float32)  # (C, C)
+    cw = jnp.asarray(params["visual.attnpool.c_proj.weight"], jnp.float32)  # (C, D)
+    c_width = v.shape[1]
+    if c_width % head_dim:
+        raise ValueError(f"pooled width {c_width} not divisible by head_dim {head_dim}")
+    heads = c_width // head_dim
+    vh = v.reshape(v.shape[0], heads, head_dim)
+    ch = cw.reshape(heads, head_dim, cw.shape[1])
+    out = jnp.einsum("chd,hde->che", vh, ch, precision="highest")
+    return np.asarray(out, np.float32)

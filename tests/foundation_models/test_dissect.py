@@ -89,3 +89,53 @@ def test_directions_are_labelable_with_existing_machinery(params):
 
     sims = np.asarray(cosine_probe(ve, dirs))
     assert sims.shape == (3, dirs.shape[0])
+
+
+TINY_RN = CLIPConfig(
+    embed_dim=16,
+    vision=VisionCfg(kind="resnet", image_size=32, layers=(1, 1, 1, 1), resnet_width=8),
+    text=TextCfg(context_length=12, vocab_size=50, width=32, heads=2, layers=2),
+)
+
+
+@pytest.fixture(scope="module")
+def rn_params():
+    return init_clip_params(jax.random.PRNGKey(1), TINY_RN)
+
+
+def test_rn_attnpool_neuron_directions(rn_params):
+    """RN-CLIP neuron-attention decomposition (arXiv:2509.19943): shapes,
+    head-sum consistency, and agreement with a causal channel bump pushed
+    through the real tower."""
+    from semanticlens_tpu.foundation_models.clip import resnet_encode_image
+    from semanticlens_tpu.foundation_models.dissect import (
+        resnet_attnpool_neuron_directions,
+        resnet_attnpool_neuron_head_directions,
+    )
+
+    c_width = 8 * 32  # CLIP ModifiedResNet: final channels = resnet_width * 32
+    d = resnet_attnpool_neuron_directions(rn_params)
+    assert d.shape == (c_width, 16) and np.isfinite(d).all()
+    dh = resnet_attnpool_neuron_head_directions(rn_params)
+    assert dh.shape == (c_width, c_width // 64, 16)
+    np.testing.assert_allclose(dh.sum(axis=1), d, rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="divisible"):
+        resnet_attnpool_neuron_head_directions(rn_params, head_dim=7)
+
+    # causal: bump channel c at EVERY attnpool token via the positional
+    # embedding; to first order the embedding moves along the channel's
+    # direction (attention re-weighting is second-order)
+    chan = 5
+    img = jnp.asarray(np.random.default_rng(2).normal(size=(1, 32, 32, 3)).astype(np.float32))
+
+    def embed(eps):
+        p = dict(rn_params)
+        key = "visual.attnpool.positional_embedding"
+        bump = np.zeros(np.asarray(rn_params[key]).shape, np.float32)
+        bump[:, chan] = eps
+        p[key] = rn_params[key] + jnp.asarray(bump)
+        return np.asarray(resnet_encode_image(p, TINY_RN, img))[0]
+
+    delta = embed(0.01) - embed(0.0)
+    cos = float(np.dot(delta, d[chan]) / (np.linalg.norm(delta) * np.linalg.norm(d[chan]) + 1e-12))
+    assert cos > 0.98, f"direction diverges from causal channel bump (cos={cos:.3f})"
