@@ -38,6 +38,7 @@ __all__ = [
     "similarity_score",
     "cosine_probe",
     "polysemanticity_score",
+    "null_calibrated_polysemanticity",
     "topk_cosine_search",
     "soft_wpmi",
     "fastcav",
@@ -510,3 +511,62 @@ def fastcav(pos_embeds, neg_embeds):
     neg = jnp.mean(jnp.asarray(neg_embeds, jnp.float32), axis=0)
     v = pos - neg
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+
+def null_calibrated_polysemanticity(V, embedding_table, *, n_null: int = 64,
+                                    seed: int = 0, random_state: int = 123):
+    """Polysemanticity z-scored against a random-evidence null (NPI).
+
+    The raw polysemanticity score (1 − clarity of 2-means centers) has a
+    nonzero floor that depends on k, D, and the embedding geometry — random
+    evidence sets score well above 0 — so absolute values are hard to
+    compare across layers/models. Following the null-calibration idea of
+    arXiv:2508.16950, this draws ``n_null`` size-k evidence sets uniformly
+    from the FULL embedding table (the distribution a component's evidence
+    would have if it encoded nothing), scores them with the identical
+    clustering, and returns the per-component z-score
+
+        NPI_c = (poly_c − mean_null) / (std_null + 1e-12).
+
+    NPI ≈ 0 means "no more polysemantic than random evidence"; strongly
+    NEGATIVE means coherent (mono-semantic); values near 0 or above flag
+    genuinely mixed components. Components whose evidence rows are all zero
+    (−1 sentinels) return NaN, matching drift_score's dead-row convention.
+
+    Parameters
+    ----------
+    V : (C, k, D) concept-DB slice for one layer.
+    embedding_table : (N, D) full-dataset embedding table
+        (``ActivationComponentVisualizer.embedding_table``).
+    n_null : null sets drawn (one extra batched k-means call total).
+
+    Returns ``(npi (C,), poly (C,), null_mean, null_std)``.
+    """
+    V = jnp.asarray(V, jnp.float32)
+    table = jnp.asarray(embedding_table, jnp.float32)
+    if V.ndim != 3 or table.ndim != 2 or V.shape[2] != table.shape[1]:
+        raise ValueError(
+            f"V must be (C, k, D) and embedding_table (N, D) with matching D; "
+            f"got {tuple(V.shape)} and {tuple(table.shape)}"
+        )
+    n, k = table.shape[0], V.shape[1]
+    if n < k:
+        raise ValueError(f"embedding table has {n} rows < evidence size {k}")
+
+    key = jax.random.PRNGKey(seed)
+    # without-replacement draws per null set via independent permutations
+    ids = jax.vmap(lambda kk: jax.random.permutation(kk, n)[:k])(
+        jax.random.split(key, n_null)
+    )  # (n_null, k)
+    null_sets = table[ids]  # (n_null, k, D)
+
+    poly = polysemanticity_score(V, random_state=random_state)
+    null_poly = polysemanticity_score(null_sets, random_state=random_state)
+    null_mean = jnp.mean(null_poly)
+    null_std = jnp.std(null_poly)
+
+    dead = jnp.all(V == 0.0, axis=(1, 2))  # sentinel-only components
+    npi = (poly - null_mean) / (null_std + 1e-12)
+    npi = jnp.where(dead, jnp.nan, npi)
+    return (np.asarray(npi, np.float32), np.asarray(poly, np.float32),
+            float(null_mean), float(null_std))

@@ -409,3 +409,38 @@ def test_diff_models_cli(tmp_path):
     )
     cov_lines = [json.loads(line) for line in cov.stdout.strip().splitlines()]
     assert cov_lines[1]["coverage"] == pytest.approx(5 / 6, abs=1e-4)
+
+
+def test_null_calibrated_polysemanticity():
+    """NPI separates coherent from mixed components and NaNs dead rows;
+    random-evidence components score ~0 by construction."""
+    import jax
+
+    from semanticlens_tpu.scores import null_calibrated_polysemanticity
+
+    rng = np.random.default_rng(0)
+    n, d, k = 400, 16, 8
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+
+    anchor = table[0]
+    coherent = anchor[None] + 0.05 * rng.normal(size=(k, d)).astype(np.float32)
+    mixed = np.concatenate([  # two far-apart clusters
+        anchor[None] + 0.05 * rng.normal(size=(k // 2, d)).astype(np.float32),
+        -anchor[None] + 0.05 * rng.normal(size=(k - k // 2, d)).astype(np.float32),
+    ])
+    random_ev = table[rng.choice(n, size=k, replace=False)]
+    dead = np.zeros((k, d), np.float32)
+    V = np.stack([coherent, mixed, random_ev, dead])
+
+    npi, poly, mu, sd = null_calibrated_polysemanticity(V, table, n_null=48, seed=1)
+    assert np.isnan(npi[3]) and not np.isnan(npi[:3]).any()
+    assert npi[0] < -2.0, f"coherent component not below the null ({npi[0]:.2f})"
+    assert npi[1] > npi[0] + 2.0, "mixed component not separated from coherent"
+    assert abs(npi[2]) < 3.0, f"random evidence should sit near the null ({npi[2]:.2f})"
+    assert 0.0 < mu < 2.0 and sd > 0.0  # poly in [0, 2]: clarity of 2 centers can go negative
+
+    with pytest.raises(ValueError, match="matching D"):
+        null_calibrated_polysemanticity(V[:, :, :8], table)
+    with pytest.raises(ValueError, match="rows <"):
+        null_calibrated_polysemanticity(V, table[: k - 1])

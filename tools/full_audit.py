@@ -344,12 +344,27 @@ def main():
         clarity = lens.eval_clarity(scored_db)
         redundancy = lens.eval_redundancy(agg_db)
         poly = lens.eval_polysemanticity(scored_db)
+        from semanticlens_tpu.scores import null_calibrated_polysemanticity
+
         for layer in args.layers:
-            scores_out[layer] = {
+            # null-calibrated index (arXiv:2508.16950): z-score vs random
+            # evidence drawn from the full embedding table, comparable
+            # across layers/models unlike the raw polysemanticity floor.
+            # The table only exists when the embed stage ran THIS process
+            # (a concept-DB cache hit skips it).
+            npi_mean = None
+            if cv.embedding_table is not None:
+                npi, _, _, _ = null_calibrated_polysemanticity(
+                    concept_db[layer], cv.embedding_table)
+                npi_mean = float(np.nanmean(npi))
+            scored = {
                 "clarity_mean": float(np.asarray(clarity[layer]).mean()),
                 "redundancy": float(np.asarray(redundancy[layer])),
                 "polysemanticity_mean": float(np.asarray(poly[layer]).mean()),
             }
+            if npi_mean is not None:
+                scored["npi_mean"] = npi_mean
+            scores_out[layer] = scored
 
     search_out = {}
     with timer.stage("text-search"):
