@@ -259,3 +259,25 @@ def test_engine_step_cache_respects_interventions():
         np.asarray(clean2["hidden"].values, np.float32),
         np.asarray(clean["hidden"].values, np.float32),
     )
+
+
+def test_interventions_are_thread_local(lin):
+    """A trace running on another thread while this thread is inside an
+    interventions context must NOT see the rewrites (the stack is
+    thread-local, like the LRP composite state)."""
+    import threading
+
+    model, params, x = lin
+    results = {}
+
+    def clean_forward():
+        out, _ = model.apply(params, x)
+        results["clean"] = np.asarray(out)
+
+    with interventions({"hidden": lambda v: jnp.zeros_like(v)}):
+        t = threading.Thread(target=clean_forward)
+        t.start()
+        t.join()
+        out_in, _ = model.apply(params, x)
+    assert np.abs(results["clean"]).sum() > 0, "other thread saw the intervention"
+    assert np.allclose(np.asarray(out_in), 0.0), "context thread must see it"
