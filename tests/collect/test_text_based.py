@@ -162,3 +162,22 @@ def test_sae_latents_on_lm_text_evidence(text_setup, tmp_path):
     assert len(texts) == 24
     live = [t for row in texts for t in row if t]
     assert live and all(t.startswith("sample text") for t in live)
+
+
+def test_lm_concept_db_serves(text_setup, tmp_path):
+    """An LM-derived concept DB drives the serving layer unchanged (the
+    banks are joint-space vectors; the service never inspects modality)."""
+    from semanticlens_tpu.serve import SearchService
+
+    ds, model = text_setup
+    cv = TextActivationComponentVisualizer(
+        model=model, dataset_model=ds, dataset_fm=ds.texts_view(),
+        layer_names=["transformer.h.0.mlp.act"], num_samples=3, cache_dir=None)
+    fm = FakeTextFM()
+    db = cv._compute_concept_db(fm, batch_size=8)
+    agg = {k: np.asarray(v, np.float32).mean(1) for k, v in db.items()}
+    svc = SearchService(fm, agg, templates=["{}"], warmup=False)
+    hits = svc.text_search("sample text number 3 about topic 3", k=3)
+    layer_hits = hits["transformer.h.0.mlp.act"]
+    assert len(layer_hits["ids"]) == 3
+    assert np.isfinite(np.asarray(layer_hits["scores"])).all()
