@@ -83,6 +83,29 @@ class TokenTextDataset:
     def __getitem__(self, i):
         return self.images[i]
 
+    @classmethod
+    def from_texts(cls, texts, tokenize_fn, seq_len: int, *, pad: str = "left",
+                   pad_id: int = 0, name: str | None = None) -> "TokenTextDataset":
+        """Tokenize + pad a corpus into a fixed-length dataset.
+
+        ``tokenize_fn(text) -> sequence of ints`` is the SUBJECT model's
+        tokenizer (an HF tokenizer's ``encode`` works directly). Sequences
+        truncate to ``seq_len`` and pad with ``pad_id``; the default is
+        LEFT-padding, the causal-LM convention that keeps every sequence's
+        final real token at position T−1 (what
+        ``aggregate_transformer_last_token`` reads).
+        """
+        if pad not in ("left", "right"):
+            raise ValueError(f"pad must be 'left' or 'right', got {pad!r}")
+        rows = np.full((len(texts), seq_len), pad_id, np.int32)
+        for i, t in enumerate(texts):
+            ids = list(tokenize_fn(t))[:seq_len]
+            if pad == "left":
+                rows[i, seq_len - len(ids):] = ids
+            else:
+                rows[i, : len(ids)] = ids
+        return cls(rows, texts, name=name)
+
     def texts_view(self) -> _TextsView:
         return _TextsView(self.texts, name=getattr(self, "name", None))
 

@@ -57,6 +57,24 @@ def test_token_dataset_validation():
         TokenTextDataset(np.zeros((4, 3)), ["a"] * 3)
 
 
+def test_from_texts_tokenizes_pads_and_truncates():
+    texts = ["ab", "abcdefgh", ""]
+    tok = lambda t: [ord(c) for c in t]
+    ds = TokenTextDataset.from_texts(texts, tok, seq_len=4, pad_id=-1)
+    assert ds.images.shape == (3, 4) and ds.images.dtype == np.int32
+    # left padding keeps the last real token at position T-1
+    np.testing.assert_array_equal(ds.images[0], [-1, -1, ord("a"), ord("b")])
+    # over-long sequences truncate to the first seq_len tokens
+    np.testing.assert_array_equal(ds.images[1], [ord(c) for c in "abcd"])
+    np.testing.assert_array_equal(ds.images[2], [-1] * 4)
+    assert ds.texts == texts
+
+    right = TokenTextDataset.from_texts(texts, tok, seq_len=4, pad="right")
+    np.testing.assert_array_equal(right.images[0], [ord("a"), ord("b"), 0, 0])
+    with pytest.raises(ValueError, match="pad must be"):
+        TokenTextDataset.from_texts(texts, tok, seq_len=4, pad="center")
+
+
 def test_lm_collect_embed_analyze_e2e(text_setup, tmp_path):
     ds, model = text_setup
     cv = TextActivationComponentVisualizer(
