@@ -342,6 +342,30 @@ def layer_norm(x, weight, bias, *, eps=1e-5):
     return (y * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def rms_norm(x, weight, *, eps=1e-6):
+    """RMSNorm (Zhang & Sennrich 2019) over the last axis, float32 compute:
+    ``x · rsqrt(mean(x²) + eps) · weight`` — HF ``LlamaRMSNorm`` semantics.
+    (HF casts to the input dtype before the weight multiply; in float32 the
+    two orders are identical, and in bf16 they differ below resolution.)
+
+    Under an LRP composite this carries the same **detached-denominator
+    rule** as :func:`layer_norm` (Ali et al. 2022): ``rsqrt(mean(x²)+eps)``
+    is treated as a constant, which makes the map a pure per-sample scaling,
+    and relevance redistributes through it with the ε rule. RMSNorm has no
+    centering and no bias, so — unlike LayerNorm — the detached map is
+    exactly diagonal and conservation is per-coordinate."""
+    xf = x.astype(jnp.float32)
+    w32 = weight.astype(jnp.float32)
+    if _lrp_active():
+        inv = jax.lax.stop_gradient(
+            jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps))
+        return _lrp_wrap(
+            lambda xx: (xx.astype(jnp.float32) * inv * w32).astype(x.dtype),
+            x, "epsilon", _LRP.epsilon)
+    inv = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return (xf * inv * w32).astype(x.dtype)
+
+
 def quick_gelu(x):
     """x·sigmoid(1.702x) — OpenAI CLIP's activation. LRP: pass-through."""
     if _lrp_active():
@@ -427,8 +451,8 @@ def multi_head_attention(x, params, prefix, n_heads, *, mask=None, kv=None):
     return linear(out, params[f"{prefix}.out_proj.weight"], params[f"{prefix}.out_proj.bias"])
 
 
-def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
-    """Batched MHA core: (B, T, D) q / (B, S, D) k,v → (B, T, D).
+def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None, n_kv_heads=None):
+    """Batched MHA core: (B, T, D) q / (B, S, Dkv) k,v → (B, T, D).
 
     Uses XLA's fused attention (``jax.nn.dot_product_attention``) — measured
     1.72× over the explicit matmul→softmax→matmul formulation at ViT shapes
@@ -437,6 +461,12 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
     ``attn_mask`` convention: (T, S), or (H, T, S) for per-head biases, or
     (B, H, T, S) for fully batched biases (e.g. Swin's relative-position
     bias + shifted-window masks) — lower ranks broadcast from the left.
+
+    ``n_kv_heads`` < ``n_heads`` enables grouped-query attention (GQA,
+    Ainslie et al. 2023): k/v carry ``n_kv_heads·head_dim`` channels and kv
+    head g serves the g-th group of ``n_heads//n_kv_heads`` consecutive
+    query heads — the HF ``repeat_kv`` convention, which is also how the
+    fused kernel groups natively (no materialized repeat on the fast path).
 
     Under an LRP composite this is **CP-LRP** (conservative-propagation
     attention, Ali et al. 2022): the softmax attention matrix is computed
@@ -448,9 +478,10 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
     b, t, d = q.shape
     s = k.shape[1]
     head_dim = d // n_heads
+    kv_heads = n_kv_heads or n_heads
 
-    def split(x, length):
-        return x.reshape(b, length, n_heads, head_dim)
+    def split(x, length, heads=n_heads):
+        return x.reshape(b, length, heads, head_dim)
 
     def to_4d(m):
         m = m.astype(jnp.float32)
@@ -458,12 +489,17 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
             m = m[None]
         return m
 
+    def repeat_kv(x):  # (B, S, KV, C) → (B, S, H, C), HF grouping order
+        if kv_heads == n_heads:
+            return x
+        return jnp.repeat(x, n_heads // kv_heads, axis=2)
+
     if _lrp_active():
         logits = (
             jnp.einsum(
                 "bthc,bshc->bhts",
                 split(q, t).astype(jnp.float32),
-                split(k, s).astype(jnp.float32),
+                repeat_kv(split(k, s, kv_heads)).astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST,
             )
             * head_dim**-0.5
@@ -477,7 +513,7 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
             out = jnp.einsum(
                 "bhts,bshc->bthc",
                 probs,
-                split(vv, s).astype(jnp.float32),
+                repeat_kv(split(vv, s, kv_heads)).astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST,
             )
             return out.reshape(b, t, d).astype(vv.dtype)
@@ -485,7 +521,8 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None):
         return _lrp_wrap(f, v, "epsilon", eps_r)
 
     bias = None if mask is None else to_4d(mask)
-    out = jax.nn.dot_product_attention(split(q, t), split(k, s), split(v, s), bias=bias)
+    out = jax.nn.dot_product_attention(
+        split(q, t), split(k, s, kv_heads), split(v, s, kv_heads), bias=bias)
     return out.reshape(b, t, d)
 
 

@@ -1,0 +1,323 @@
+"""Functional Llama-style causal LM with named activation taps.
+
+Beyond-reference subject family (the reference dissects vision models only,
+reference README.md:4, activation_based.py:41): this extends the text-side
+Collect→Embed→Analyze pipeline from GPT-2 to the MODERN decoder recipe —
+RMSNorm (pre-norm, no biases), rotary position embeddings, grouped-query
+attention, and a SwiGLU gated MLP — the architecture of Llama 2/3, Mistral,
+TinyLlama, Qwen-style models. Every MLP channel (gate/up/act/down),
+attention projection, and attention head is a dissectable component.
+
+Module and parameter names follow Hugging Face ``LlamaForCausalLM``
+(``model.layers.3.mlp.gate_proj`` …) so user layer names and HF checkpoints
+carry over verbatim. HF stores ``nn.Linear`` weights (out, in); the loader
+transposes them to this framework's (in, out). ``model.rotary_emb`` (a
+buffer-only module) is not a tap: it emits position tables, not
+batch-leading activations.
+
+TPU mapping: token embedding is a gather; each block is two MXU matmul
+chains (q/k/v + o_proj, gate/up + down) around the shared fused-attention
+helper, which handles GQA natively (no materialized ``repeat_kv``). RoPE is
+a fixed per-position rotation — elementwise mults XLA fuses into the
+projection matmuls. Everything static-shaped — one XLA program per (B, T).
+
+LRP notes: RMSNorm carries the detached-denominator rule; attention is
+CP-LRP (see layers.py); the SwiGLU product routes relevance through the
+``up_proj`` branch with ``silu(gate)`` treated as a constant gate
+(:func:`~semanticlens_tpu.models.layers.gate_scale`, the CP-LRP convention
+for multiplicative gates — Achtibat et al. 2024 treat gated-MLP products
+the same way). RoPE sits on the query/key path, which receives zero
+relevance under CP-LRP, so it needs no rule of its own.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semanticlens_tpu.models.base import SubjectModel, TapCollector
+from semanticlens_tpu.models.layers import (
+    gate_scale,
+    linear,
+    residual_add,
+    rms_norm,
+    scaled_dot_product_attention,
+    silu,
+)
+
+
+def _llama3_scaled_inv_freq(inv_freq, rope_scaling: Mapping) -> jnp.ndarray:
+    """HF ``rope_type="llama3"`` frequency rescaling (Llama 3.1/3.2).
+
+    Long wavelengths (low frequencies) divide by ``factor``, short ones pass
+    through, and a smooth ramp interpolates between the two bands — the HF
+    ``_compute_llama3_parameters`` recipe, applied once to the whole
+    ``inv_freq`` table (it is position-independent).
+    """
+    factor = float(rope_scaling["factor"])
+    low = float(rope_scaling.get("low_freq_factor", 1.0))
+    high = float(rope_scaling.get("high_freq_factor", 4.0))
+    orig = float(rope_scaling.get("original_max_position_embeddings", 8192))
+
+    wavelen = 2.0 * math.pi / inv_freq
+    smooth = (orig / wavelen - low) / (high - low)
+    interp = (1.0 - smooth) / factor * inv_freq + smooth * inv_freq
+    out = jnp.where(wavelen > orig / low, inv_freq / factor, interp)
+    return jnp.where(wavelen < orig / high, inv_freq, out)
+
+
+class Llama(SubjectModel):
+    """Llama-family causal LM, HF-compatible names, (B, T) int32 tokens.
+
+    Parameters
+    ----------
+    vocab_size, n_positions, width, depth, heads, kv_heads, intermediate :
+        architecture dims (defaults = TinyLlama-1.1B scale divided down is
+        NOT assumed — pass explicit dims or use :meth:`from_name`).
+    rope_theta : RoPE base frequency (10 000 for Llama 2, 500 000 for 3.x).
+    rope_scaling : optional HF ``rope_type="llama3"`` dict
+        (``factor``/``low_freq_factor``/``high_freq_factor``/
+        ``original_max_position_embeddings``) — Llama 3.1/3.2 checkpoints.
+    rms_eps : RMSNorm epsilon (HF ``rms_norm_eps``).
+    tie_word_embeddings : when True the lm_head reuses ``embed_tokens``
+        (Llama 3.2 1B/3B); no separate ``lm_head.weight`` parameter exists.
+    dtype : activation dtype (bfloat16 = MXU-native).
+    """
+
+    # HF zoo: name → (vocab, width, depth, heads, kv, intermediate,
+    #                 n_positions, theta, eps, tied, llama3-rope?)
+    _HF_VARIANTS = {
+        "llama-2-7b": (32000, 4096, 32, 32, 32, 11008, 4096, 1e4, 1e-5, False, False),
+        "tinyllama-1.1b": (32000, 2048, 22, 32, 4, 5632, 2048, 1e4, 1e-5, False, False),
+        "llama-3.2-1b": (128256, 2048, 16, 32, 8, 8192, 131072, 5e5, 1e-5, True, True),
+        "llama-3.2-3b": (128256, 3072, 28, 24, 8, 8192, 131072, 5e5, 1e-5, True, True),
+        "llama-3.1-8b": (128256, 4096, 32, 32, 8, 14336, 131072, 5e5, 1e-5, False, True),
+    }
+    _LLAMA3_ROPE = {
+        "factor": 8.0, "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+        "original_max_position_embeddings": 8192,
+    }
+
+    def __init__(
+        self,
+        vocab_size: int,
+        n_positions: int,
+        width: int,
+        depth: int,
+        heads: int,
+        kv_heads: int | None = None,
+        intermediate: int | None = None,
+        *,
+        rope_theta: float = 10000.0,
+        rope_scaling: Mapping | None = None,
+        rms_eps: float = 1e-6,
+        tie_word_embeddings: bool = False,
+        dtype=jnp.bfloat16,
+    ):
+        self.vocab_size = vocab_size
+        self.n_positions = n_positions
+        self.width = width
+        self.depth = depth
+        self.heads = heads
+        self.kv_heads = kv_heads if kv_heads is not None else heads
+        if heads % self.kv_heads:
+            raise ValueError(f"heads={heads} not divisible by kv_heads={self.kv_heads}")
+        if width % heads:
+            raise ValueError(f"width={width} not divisible by heads={heads}")
+        self.head_dim = width // heads
+        self.intermediate = intermediate if intermediate is not None else 4 * width
+        self.rope_theta = float(rope_theta)
+        self.rope_scaling = dict(rope_scaling) if rope_scaling else None
+        self.rms_eps = rms_eps
+        self.tie_word_embeddings = tie_word_embeddings
+        self.dtype = dtype
+        self.module_names = tuple(self._enumerate_module_names())
+
+    @classmethod
+    def from_name(cls, name: str, *, dtype=jnp.bfloat16):
+        """Build an HF-zoo-sized Llama (``llama-2-7b`` … ``llama-3.2-1b``)."""
+        if name not in cls._HF_VARIANTS:
+            raise ValueError(f"name must be one of {sorted(cls._HF_VARIANTS)}, got {name!r}")
+        v, w, d, h, kv, inter, pos, theta, eps, tied, l3 = cls._HF_VARIANTS[name]
+        return cls(v, pos, w, d, h, kv, inter, rope_theta=theta,
+                   rope_scaling=cls._LLAMA3_ROPE if l3 else None, rms_eps=eps,
+                   tie_word_embeddings=tied, dtype=dtype)
+
+    # ----------------------------------------------------------------- names
+    def _enumerate_module_names(self):
+        names = ["model", "model.embed_tokens", "model.layers"]
+        for i in range(self.depth):
+            p = f"model.layers.{i}"
+            names += [
+                p,
+                f"{p}.input_layernorm",
+                f"{p}.self_attn",
+                f"{p}.self_attn.q_proj",
+                f"{p}.self_attn.k_proj",
+                f"{p}.self_attn.v_proj",
+                f"{p}.self_attn.heads",
+                f"{p}.self_attn.o_proj",
+                f"{p}.post_attention_layernorm",
+                f"{p}.mlp",
+                f"{p}.mlp.gate_proj",
+                f"{p}.mlp.up_proj",
+                f"{p}.mlp.act_fn",
+                f"{p}.mlp.down_proj",
+            ]
+        names += ["model.norm", "lm_head"]
+        return names
+
+    # ----------------------------------------------------------------- specs
+    def _param_specs(self):
+        w, hd = self.width, self.head_dim
+        specs = [("model.embed_tokens.weight", (self.vocab_size, w), "embed")]
+        for i in range(self.depth):
+            p = f"model.layers.{i}"
+            specs += [
+                (f"{p}.input_layernorm.weight", (w,), "ones"),
+                (f"{p}.self_attn.q_proj.weight", (w, self.heads * hd), "linear"),
+                (f"{p}.self_attn.k_proj.weight", (w, self.kv_heads * hd), "linear"),
+                (f"{p}.self_attn.v_proj.weight", (w, self.kv_heads * hd), "linear"),
+                (f"{p}.self_attn.o_proj.weight", (self.heads * hd, w), "linear"),
+                (f"{p}.post_attention_layernorm.weight", (w,), "ones"),
+                (f"{p}.mlp.gate_proj.weight", (w, self.intermediate), "linear"),
+                (f"{p}.mlp.up_proj.weight", (w, self.intermediate), "linear"),
+                (f"{p}.mlp.down_proj.weight", (self.intermediate, w), "linear"),
+            ]
+        specs.append(("model.norm.weight", (w,), "ones"))
+        if not self.tie_word_embeddings:
+            specs.append(("lm_head.weight", (w, self.vocab_size), "linear"))
+        return specs
+
+    def init(self, rng) -> dict[str, jax.Array]:
+        """HF Llama init: N(0, 0.02) weights, unit RMSNorm scales."""
+        params = {}
+        for name, shape, kind in self._param_specs():
+            rng, sub = jax.random.split(rng)
+            if kind == "ones":
+                params[name] = jnp.ones(shape, jnp.float32)
+            else:
+                params[name] = jax.random.normal(sub, shape, jnp.float32) * 0.02
+        return params
+
+    # ------------------------------------------------------------------ rope
+    def _rope_tables(self, t: int):
+        """cos/sin tables (T, head_dim), float32, HF half-rotation layout:
+        angles for dims [0, hd/2) duplicated into [hd/2, hd)."""
+        hd = self.head_dim
+        inv_freq = 1.0 / (
+            self.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+        if self.rope_scaling is not None:
+            inv_freq = _llama3_scaled_inv_freq(inv_freq, self.rope_scaling)
+        ang = jnp.arange(t, dtype=jnp.float32)[:, None] * inv_freq[None, :]
+        emb = jnp.concatenate([ang, ang], axis=-1)
+        return jnp.cos(emb), jnp.sin(emb)
+
+    def _apply_rope(self, x, cos, sin):
+        """Rotate (B, T, n·head_dim) channels per head; float32 math."""
+        b, t, d = x.shape
+        xh = x.reshape(b, t, d // self.head_dim, self.head_dim).astype(jnp.float32)
+        half = self.head_dim // 2
+        rot = jnp.concatenate([-xh[..., half:], xh[..., :half]], axis=-1)
+        out = xh * cos[None, :, None, :] + rot * sin[None, :, None, :]
+        return out.reshape(b, t, d).astype(x.dtype)
+
+    # ----------------------------------------------------------------- apply
+    def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
+        """(B, T) int tokens → (logits (B, T, V), taps). Token taps (B, T, C)."""
+        tap = TapCollector(tap_names)
+        ids = x.astype(jnp.int32)
+        b, t = ids.shape
+        if t > self.n_positions:
+            raise ValueError(f"sequence length {t} exceeds n_positions {self.n_positions}")
+
+        wte = params["model.embed_tokens.weight"].astype(self.dtype)
+        h = tap("model.embed_tokens", wte[ids])
+        cos, sin = self._rope_tables(t)
+
+        # additive causal mask, (T, T): 0 on/below diagonal, −inf above
+        mask = jnp.where(
+            jnp.tril(jnp.ones((t, t), bool)), 0.0, -jnp.inf
+        ).astype(jnp.float32)
+
+        for i in range(self.depth):
+            p = f"model.layers.{i}"
+            n1 = tap(f"{p}.input_layernorm", rms_norm(
+                h, params[f"{p}.input_layernorm.weight"], eps=self.rms_eps))
+            # q/k/v taps are the HF module outputs: pre-RoPE projections
+            q = tap(f"{p}.self_attn.q_proj", linear(n1, params[f"{p}.self_attn.q_proj.weight"]))
+            k = tap(f"{p}.self_attn.k_proj", linear(n1, params[f"{p}.self_attn.k_proj.weight"]))
+            v = tap(f"{p}.self_attn.v_proj", linear(n1, params[f"{p}.self_attn.v_proj.weight"]))
+            q = self._apply_rope(q, cos, sin)
+            k = self._apply_rope(k, cos, sin)
+            a = scaled_dot_product_attention(
+                q, k, v, self.heads, mask=mask, n_kv_heads=self.kv_heads)
+            # virtual per-HEAD components: ‖head h's residual-stream
+            # contribution‖ per token (head output × its W_O slice) — same
+            # contract as GPT2's "…attn.heads" tap (gpt.py). Observational
+            # only; XLA dead-code-eliminates it unless requested.
+            w_o = params[f"{p}.self_attn.o_proj.weight"].astype(a.dtype)
+            per_head = jnp.einsum(
+                "bthc,hcd->bthd",
+                a.reshape(b, t, self.heads, self.head_dim),
+                w_o.reshape(self.heads, self.head_dim, self.width),
+            )
+            tap(f"{p}.self_attn.heads", jnp.linalg.norm(
+                per_head.astype(jnp.float32), axis=-1))
+            a = tap(f"{p}.self_attn.o_proj", linear(
+                a, params[f"{p}.self_attn.o_proj.weight"]))
+            tap(f"{p}.self_attn", a)
+            h = residual_add(h, a)
+            n2 = tap(f"{p}.post_attention_layernorm", rms_norm(
+                h, params[f"{p}.post_attention_layernorm.weight"], eps=self.rms_eps))
+            g = tap(f"{p}.mlp.gate_proj", linear(n2, params[f"{p}.mlp.gate_proj.weight"]))
+            u = tap(f"{p}.mlp.up_proj", linear(n2, params[f"{p}.mlp.up_proj.weight"]))
+            act = tap(f"{p}.mlp.act_fn", silu(g))
+            # SwiGLU product: under LRP the silu gate is a constant and
+            # relevance rides the up_proj branch (module docstring)
+            m = gate_scale(u, act)
+            m = tap(f"{p}.mlp.down_proj", linear(m, params[f"{p}.mlp.down_proj.weight"]))
+            tap(f"{p}.mlp", m)
+            h = residual_add(h, m)
+            tap(p, h)
+        tap("model.layers", h)
+
+        h = tap("model.norm", rms_norm(h, params["model.norm.weight"], eps=self.rms_eps))
+        tap("model", h)
+        head_w = (wte.T if self.tie_word_embeddings
+                  else params["lm_head.weight"])
+        logits = tap("lm_head", linear(h, head_w))
+        return logits, tap.taps
+
+    # ------------------------------------------------------------------ load
+    def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:
+        """Convert an HF ``LlamaForCausalLM`` state dict: ``nn.Linear``
+        weights (out, in) transpose to (in, out); embeddings and norm scales
+        copy through; ``model.rotary_emb.inv_freq`` (derived buffer) is
+        ignored. With ``tie_word_embeddings`` any ``lm_head.weight`` in the
+        dict is likewise ignored — the forward reuses ``embed_tokens``.
+        """
+        params = {}
+        for name, shape, kind in self._param_specs():
+            if name not in state_dict:
+                raise KeyError(f"{name} missing from state dict")
+            value = state_dict[name]
+            arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+            if kind == "linear":
+                arr = arr.T
+            if tuple(arr.shape) != tuple(shape):
+                raise ValueError(f"{name}: checkpoint shape {arr.shape} != expected {shape}")
+            params[name] = jnp.asarray(arr, jnp.float32)
+        return params
+
+    def __repr__(self):
+        return (
+            f"Llama(vocab_size={self.vocab_size}, n_positions={self.n_positions}, "
+            f"width={self.width}, depth={self.depth}, heads={self.heads}, "
+            f"kv_heads={self.kv_heads}, intermediate={self.intermediate}, "
+            f"tied={self.tie_word_embeddings})"
+        )

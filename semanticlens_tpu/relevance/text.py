@@ -36,11 +36,16 @@ from semanticlens_tpu.models.base import interventions
 from semanticlens_tpu.models.layers import lrp_composite
 
 
+# embedding-layer tap names of the built-in LM families, tried in order
+# when the caller doesn't pass embedding_tap explicitly
+_KNOWN_EMBEDDING_TAPS = ("transformer.wte", "model.embed_tokens")
+
+
 def make_token_relevance_fn(
     model,
     layer_name: str,
     *,
-    embedding_tap: str = "transformer.wte",
+    embedding_tap: str | None = None,
     composite: str = "epsilon_plus_flat",
     aggregation: str = "sum",
     abs_norm: bool = True,
@@ -51,9 +56,19 @@ def make_token_relevance_fn(
     component of the layer. The target is the component's token-aggregated
     activation (``sum`` or ``max``); the returned matrix is the signed
     per-token relevance (grad × embedding, summed over the feature axis),
-    optionally abs-max-normalized per sequence.
+    optionally abs-max-normalized per sequence. ``embedding_tap`` defaults
+    to the model's own embedding module (GPT-2's ``transformer.wte`` or
+    Llama's ``model.embed_tokens``); pass it for other naming conventions.
     """
-    if not model.has_module(embedding_tap):
+    if embedding_tap is None:
+        embedding_tap = next(
+            (t for t in _KNOWN_EMBEDDING_TAPS if model.has_module(t)), None)
+        if embedding_tap is None:
+            raise ValueError(
+                "no known embedding tap in model.module_names — pass "
+                "embedding_tap= for non-GPT/Llama naming conventions"
+            )
+    elif not model.has_module(embedding_tap):
         raise ValueError(
             f"embedding tap '{embedding_tap}' not in model.module_names — "
             "pass embedding_tap= for non-GPT naming conventions"

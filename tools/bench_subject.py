@@ -77,6 +77,8 @@ def build_model(args, jnp):
         return models.MaxViT(variant=args.variant or "tiny", dtype=dt)
     if args.arch == "gpt2":  # HF gpt2/-medium/-large/-xl; token input (--seq-len)
         return models.GPT2.from_name(args.variant or "gpt2", dtype=dt)
+    if args.arch == "llama":  # HF llama-2-7b/-3.2-1b/…; token input (--seq-len)
+        return models.Llama.from_name(args.variant or "llama-3.2-1b", dtype=dt)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -89,7 +91,8 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    ap.add_argument("--seq-len", type=int, default=512, help="token length for --arch gpt2")
+    ap.add_argument("--seq-len", type=int, default=512,
+                    help="token length for --arch gpt2/llama")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -107,7 +110,7 @@ def main():
     b, n_steps, s = args.batch, args.steps, args.image_size
 
     rng = np.random.default_rng(0)
-    if args.arch == "gpt2":  # token batches; "image" = one sequence
+    if args.arch in ("gpt2", "llama"):  # token batches; "image" = one sequence
         s = args.seq_len
         batches = [
             jax.device_put(rng.integers(0, model.vocab_size, size=(b, s), dtype=np.int32))
@@ -171,6 +174,7 @@ def main():
         "mnasnet": f"mnasnet{args.variant or '1_0'}",
         "maxvit": f"maxvit_{args.variant or 'tiny'}",
         "gpt2": args.variant or "gpt2",
+        "llama": args.variant or "llama-3.2-1b",
     }[args.arch]
     print(json.dumps({
         "model": label,

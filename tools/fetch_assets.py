@@ -74,6 +74,17 @@ ASSETS: dict[str, list[tuple[str, str]]] = {
         # torch pickle of GPT2LMHeadModel — load_torch_state_dict takes it raw
         (f"{HF}/openai-community/gpt2/resolve/main/pytorch_model.bin", "gpt2.bin"),
     ],
+    "llama-3.2-1b": [
+        # Llama-family subject weights (models/llama.py, Llama.from_name
+        # ("llama-3.2-1b")); gated repo — export HF_TOKEN before fetching
+        (f"{HF}/meta-llama/Llama-3.2-1B/resolve/main/model.safetensors",
+         "llama-3.2-1b.safetensors"),
+    ],
+    "tinyllama-1.1b": [
+        # ungated Llama-architecture checkpoint for models/llama.py
+        (f"{HF}/TinyLlama/TinyLlama_v1.1/resolve/main/model.safetensors",
+         "tinyllama-1.1b.safetensors"),
+    ],
 }
 
 
@@ -93,7 +104,11 @@ def _verify(path: Path) -> None:
 
 
 def fetch(name: str, dest: Path) -> None:
+    import os
+    import shutil
+
     dest.mkdir(parents=True, exist_ok=True)
+    token = os.environ.get("HF_TOKEN")
     for url, fname in ASSETS[name]:
         target = dest / fname
         if target.exists():
@@ -101,7 +116,12 @@ def fetch(name: str, dest: Path) -> None:
         else:
             print(f"{fname}: downloading {url}")
             tmp = target.with_suffix(target.suffix + ".part")
-            urllib.request.urlretrieve(url, tmp)  # noqa: S310 — canonical hosts above
+            req = urllib.request.Request(url)  # noqa: S310 — canonical hosts above
+            if token and url.startswith(HF):
+                # gated repos (meta-llama/…) need an accepted-license token
+                req.add_header("Authorization", f"Bearer {token}")
+            with urllib.request.urlopen(req) as resp, open(tmp, "wb") as out:  # noqa: S310
+                shutil.copyfileobj(resp, out)
             tmp.rename(target)
         _verify(target)
 

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--evidence", type=int, default=5)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--family", default="gpt2", choices=["gpt2", "llama"],
+                    help="subject architecture (HF naming conventions)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +56,7 @@ def main():
     from semanticlens_tpu.collect import TextActivationComponentVisualizer, TokenTextDataset
     from semanticlens_tpu.core import enable_compilation_cache
     from semanticlens_tpu.foundation_models import OpenClip
-    from semanticlens_tpu.models import GPT2
+    from semanticlens_tpu.models import GPT2, Llama
     from semanticlens_tpu.relevance.text import token_relevance
 
     enable_compilation_cache()
@@ -70,11 +72,18 @@ def main():
         tokens[i, : len(codes)] = codes
     ds = TokenTextDataset(tokens, texts, name="lm-audit-corpus")
 
-    lm = GPT2(vocab_size=v, n_positions=args.seq_len, width=args.width,
-              depth=args.depth, heads=args.heads, dtype=jnp.float32)
+    if args.family == "llama":
+        lm = Llama(vocab_size=v, n_positions=args.seq_len, width=args.width,
+                   depth=args.depth, heads=args.heads,
+                   kv_heads=max(1, args.heads // 2), dtype=jnp.float32)
+        default_layer = f"model.layers.{args.depth - 1}.mlp.act_fn"
+    else:
+        lm = GPT2(vocab_size=v, n_positions=args.seq_len, width=args.width,
+                  depth=args.depth, heads=args.heads, dtype=jnp.float32)
+        default_layer = f"transformer.h.{args.depth - 1}.mlp.act"
     lm.params = lm.init(jax.random.PRNGKey(0))
-    lm.name = "lm-audit-gpt2"
-    layer = args.layer or f"transformer.h.{args.depth - 1}.mlp.act"
+    lm.name = f"lm-audit-{args.family}"
+    layer = args.layer or default_layer
 
     cv = TextActivationComponentVisualizer(
         model=lm, dataset_model=ds, dataset_fm=ds.texts_view(),

@@ -99,6 +99,26 @@ print("relevance-highlighted evidence (token-level LRP):")
 for line in highlight_evidence(tok_strings, np.asarray(ev_rel), threshold=0.6):
     print("  ", line)
 
+# --- 4c. Same workflow on a MODERN decoder (Llama: RMSNorm/RoPE/GQA/SwiGLU) --
+# HF LlamaForCausalLM names carry over: dissect gate/up/act/down channels or
+# attention heads ("model.layers.N.self_attn.heads"). Real use:
+#   llm = Llama.from_name("llama-3.2-1b"); llm.load_torch_state_dict(sd)
+from semanticlens_tpu.models import Llama
+
+llm = Llama(vocab_size=V, n_positions=T, width=64, depth=2, heads=4,
+            kv_heads=2, intermediate=96, dtype=jnp.float32)
+llm.params, llm.name = llm.init(jax.random.PRNGKey(1)), "toy-llama"
+L_LAYER = "model.layers.1.mlp.act_fn"
+llama_cv = TextActivationComponentVisualizer(
+    model=llm, dataset_model=ds, dataset_fm=ds.texts_view(),
+    layer_names=[L_LAYER], num_samples=5, cache_dir=str(cache))
+llama_db = lens.compute_concept_db(llama_cv, batch_size=16)
+l_best = int(np.argmax(np.asarray(lens.text_probing("a sleeping cat", {
+    k: np.asarray(v, np.float32).mean(1) for k, v in llama_db.items()})[L_LAYER])))
+l_rel = token_relevance(llm, llm.params, jnp.asarray(tokens[:1]), L_LAYER, l_best)
+print(f"llama SwiGLU channel most aligned with 'a sleeping cat': #{l_best}; "
+      f"token relevance finite: {bool(np.isfinite(np.asarray(l_rel)).all())}")
+
 # --- 5. SAE latents as components (same pipeline, virtual tap) ----------------
 cfg = SAEConfig(d_in=4 * 64, n_latents=48, k=4, positions_per_image=4, batch_rows=64)
 sae_params = TextSAEComponentVisualizer.train(lm, ds, LAYER, cfg, batch_size=16)
