@@ -4,9 +4,11 @@ Beyond-reference subject family (the reference dissects vision models only,
 reference README.md:4, activation_based.py:41): this extends the text-side
 Collect→Embed→Analyze pipeline from GPT-2 to the MODERN decoder recipe —
 RMSNorm (pre-norm, no biases), rotary position embeddings, grouped-query
-attention, and a SwiGLU gated MLP — the architecture of Llama 2/3, Mistral,
-TinyLlama, Qwen-style models. Every MLP channel (gate/up/act/down),
-attention projection, and attention head is a dissectable component.
+attention, and a SwiGLU gated MLP — the architecture of Llama 2/3, Mistral
+(sliding-window attention via ``sliding_window=``), TinyLlama, and Qwen2/2.5
+(q/k/v biases via the :class:`Qwen2` subclass). Every MLP channel
+(gate/up/act/down), attention projection, and attention head is a
+dissectable component.
 
 Module and parameter names follow Hugging Face ``LlamaForCausalLM``
 (``model.layers.3.mlp.gate_proj`` …) so user layer names and HF checkpoints
@@ -88,18 +90,34 @@ class Llama(SubjectModel):
     dtype : activation dtype (bfloat16 = MXU-native).
     """
 
-    # HF zoo: name → (vocab, width, depth, heads, kv, intermediate,
-    #                 n_positions, theta, eps, tied, llama3-rope?)
-    _HF_VARIANTS = {
-        "llama-2-7b": (32000, 4096, 32, 32, 32, 11008, 4096, 1e4, 1e-5, False, False),
-        "tinyllama-1.1b": (32000, 2048, 22, 32, 4, 5632, 2048, 1e4, 1e-5, False, False),
-        "llama-3.2-1b": (128256, 2048, 16, 32, 8, 8192, 131072, 5e5, 1e-5, True, True),
-        "llama-3.2-3b": (128256, 3072, 28, 24, 8, 8192, 131072, 5e5, 1e-5, True, True),
-        "llama-3.1-8b": (128256, 4096, 32, 32, 8, 14336, 131072, 5e5, 1e-5, False, True),
-    }
     _LLAMA3_ROPE = {
         "factor": 8.0, "low_freq_factor": 1.0, "high_freq_factor": 4.0,
         "original_max_position_embeddings": 8192,
+    }
+    # HF zoo: name → ctor kwargs (pinned from the checkpoints' config.json)
+    _HF_VARIANTS = {
+        "llama-2-7b": dict(
+            vocab_size=32000, n_positions=4096, width=4096, depth=32, heads=32,
+            kv_heads=32, intermediate=11008, rope_theta=1e4, rms_eps=1e-5),
+        "tinyllama-1.1b": dict(
+            vocab_size=32000, n_positions=2048, width=2048, depth=22, heads=32,
+            kv_heads=4, intermediate=5632, rope_theta=1e4, rms_eps=1e-5),
+        "llama-3.2-1b": dict(
+            vocab_size=128256, n_positions=131072, width=2048, depth=16, heads=32,
+            kv_heads=8, intermediate=8192, rope_theta=5e5, rms_eps=1e-5,
+            rope_scaling=_LLAMA3_ROPE, tie_word_embeddings=True),
+        "llama-3.2-3b": dict(
+            vocab_size=128256, n_positions=131072, width=3072, depth=28, heads=24,
+            kv_heads=8, intermediate=8192, rope_theta=5e5, rms_eps=1e-5,
+            rope_scaling=_LLAMA3_ROPE, tie_word_embeddings=True),
+        "llama-3.1-8b": dict(
+            vocab_size=128256, n_positions=131072, width=4096, depth=32, heads=32,
+            kv_heads=8, intermediate=14336, rope_theta=5e5, rms_eps=1e-5,
+            rope_scaling=_LLAMA3_ROPE),
+        "mistral-7b-v0.1": dict(
+            vocab_size=32000, n_positions=32768, width=4096, depth=32, heads=32,
+            kv_heads=8, intermediate=14336, rope_theta=1e4, rms_eps=1e-5,
+            sliding_window=4096),
     }
 
     def __init__(
@@ -116,6 +134,8 @@ class Llama(SubjectModel):
         rope_scaling: Mapping | None = None,
         rms_eps: float = 1e-6,
         tie_word_embeddings: bool = False,
+        sliding_window: int | None = None,
+        attention_bias: bool = False,
         dtype=jnp.bfloat16,
     ):
         self.vocab_size = vocab_size
@@ -134,18 +154,17 @@ class Llama(SubjectModel):
         self.rope_scaling = dict(rope_scaling) if rope_scaling else None
         self.rms_eps = rms_eps
         self.tie_word_embeddings = tie_word_embeddings
+        self.sliding_window = sliding_window
+        self.attention_bias = attention_bias
         self.dtype = dtype
         self.module_names = tuple(self._enumerate_module_names())
 
     @classmethod
     def from_name(cls, name: str, *, dtype=jnp.bfloat16):
-        """Build an HF-zoo-sized Llama (``llama-2-7b`` … ``llama-3.2-1b``)."""
+        """Build an HF-zoo-sized model (``llama-2-7b`` … ``mistral-7b-v0.1``)."""
         if name not in cls._HF_VARIANTS:
             raise ValueError(f"name must be one of {sorted(cls._HF_VARIANTS)}, got {name!r}")
-        v, w, d, h, kv, inter, pos, theta, eps, tied, l3 = cls._HF_VARIANTS[name]
-        return cls(v, pos, w, d, h, kv, inter, rope_theta=theta,
-                   rope_scaling=cls._LLAMA3_ROPE if l3 else None, rms_eps=eps,
-                   tie_word_embeddings=tied, dtype=dtype)
+        return cls(**cls._HF_VARIANTS[name], dtype=dtype)
 
     # ----------------------------------------------------------------- names
     def _enumerate_module_names(self):
@@ -183,6 +202,14 @@ class Llama(SubjectModel):
                 (f"{p}.self_attn.k_proj.weight", (w, self.kv_heads * hd), "linear"),
                 (f"{p}.self_attn.v_proj.weight", (w, self.kv_heads * hd), "linear"),
                 (f"{p}.self_attn.o_proj.weight", (self.heads * hd, w), "linear"),
+            ]
+            if self.attention_bias:  # Qwen2-style q/k/v biases (o_proj: none)
+                specs += [
+                    (f"{p}.self_attn.q_proj.bias", (self.heads * hd,), "zeros"),
+                    (f"{p}.self_attn.k_proj.bias", (self.kv_heads * hd,), "zeros"),
+                    (f"{p}.self_attn.v_proj.bias", (self.kv_heads * hd,), "zeros"),
+                ]
+            specs += [
                 (f"{p}.post_attention_layernorm.weight", (w,), "ones"),
                 (f"{p}.mlp.gate_proj.weight", (w, self.intermediate), "linear"),
                 (f"{p}.mlp.up_proj.weight", (w, self.intermediate), "linear"),
@@ -194,12 +221,14 @@ class Llama(SubjectModel):
         return specs
 
     def init(self, rng) -> dict[str, jax.Array]:
-        """HF Llama init: N(0, 0.02) weights, unit RMSNorm scales."""
+        """HF Llama init: N(0, 0.02) weights, unit RMSNorm scales, zero biases."""
         params = {}
         for name, shape, kind in self._param_specs():
             rng, sub = jax.random.split(rng)
             if kind == "ones":
                 params[name] = jnp.ones(shape, jnp.float32)
+            elif kind == "zeros":
+                params[name] = jnp.zeros(shape, jnp.float32)
             else:
                 params[name] = jax.random.normal(sub, shape, jnp.float32) * 0.02
         return params
@@ -239,19 +268,30 @@ class Llama(SubjectModel):
         h = tap("model.embed_tokens", wte[ids])
         cos, sin = self._rope_tables(t)
 
-        # additive causal mask, (T, T): 0 on/below diagonal, −inf above
-        mask = jnp.where(
-            jnp.tril(jnp.ones((t, t), bool)), 0.0, -jnp.inf
-        ).astype(jnp.float32)
+        # additive causal mask, (T, T): 0 on/below diagonal, −inf above;
+        # with a sliding window (Mistral), position i also drops keys more
+        # than window−1 behind it (HF keeps 0 ≤ i−j < sliding_window)
+        pos_q = jnp.arange(t)[:, None]
+        pos_k = jnp.arange(t)[None, :]
+        allowed = pos_k <= pos_q
+        if self.sliding_window is not None:
+            allowed &= pos_q - pos_k < self.sliding_window
+        mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
 
         for i in range(self.depth):
             p = f"model.layers.{i}"
             n1 = tap(f"{p}.input_layernorm", rms_norm(
                 h, params[f"{p}.input_layernorm.weight"], eps=self.rms_eps))
             # q/k/v taps are the HF module outputs: pre-RoPE projections
-            q = tap(f"{p}.self_attn.q_proj", linear(n1, params[f"{p}.self_attn.q_proj.weight"]))
-            k = tap(f"{p}.self_attn.k_proj", linear(n1, params[f"{p}.self_attn.k_proj.weight"]))
-            v = tap(f"{p}.self_attn.v_proj", linear(n1, params[f"{p}.self_attn.v_proj.weight"]))
+            def attn_bias(which):
+                return params.get(f"{p}.self_attn.{which}.bias") if self.attention_bias else None
+
+            q = tap(f"{p}.self_attn.q_proj", linear(
+                n1, params[f"{p}.self_attn.q_proj.weight"], attn_bias("q_proj")))
+            k = tap(f"{p}.self_attn.k_proj", linear(
+                n1, params[f"{p}.self_attn.k_proj.weight"], attn_bias("k_proj")))
+            v = tap(f"{p}.self_attn.v_proj", linear(
+                n1, params[f"{p}.self_attn.v_proj.weight"], attn_bias("v_proj")))
             q = self._apply_rope(q, cos, sin)
             k = self._apply_rope(k, cos, sin)
             a = scaled_dot_product_attention(
@@ -316,8 +356,35 @@ class Llama(SubjectModel):
 
     def __repr__(self):
         return (
-            f"Llama(vocab_size={self.vocab_size}, n_positions={self.n_positions}, "
+            f"{type(self).__name__}(vocab_size={self.vocab_size}, "
+            f"n_positions={self.n_positions}, "
             f"width={self.width}, depth={self.depth}, heads={self.heads}, "
             f"kv_heads={self.kv_heads}, intermediate={self.intermediate}, "
             f"tied={self.tie_word_embeddings})"
         )
+
+
+class Qwen2(Llama):
+    """Qwen2/2.5 causal LM — the Llama recipe plus q/k/v projection biases
+    (HF ``Qwen2ForCausalLM``; module/parameter names are identical to
+    Llama's, ``o_proj`` and the MLP stay bias-free). ``attention_bias``
+    defaults True; everything else — RMSNorm, RoPE, GQA, SwiGLU, taps,
+    loader, LRP rules — is inherited unchanged."""
+
+    # HF zoo: name → ctor kwargs (pinned from the checkpoints' config.json)
+    _HF_VARIANTS = {
+        "qwen2.5-0.5b": dict(
+            vocab_size=151936, n_positions=32768, width=896, depth=24, heads=14,
+            kv_heads=2, intermediate=4864, rope_theta=1e6, rms_eps=1e-6,
+            tie_word_embeddings=True),
+        "qwen2.5-1.5b": dict(
+            vocab_size=151936, n_positions=32768, width=1536, depth=28, heads=12,
+            kv_heads=2, intermediate=8960, rope_theta=1e6, rms_eps=1e-6,
+            tie_word_embeddings=True),
+        "qwen2.5-7b": dict(
+            vocab_size=152064, n_positions=32768, width=3584, depth=28, heads=28,
+            kv_heads=4, intermediate=18944, rope_theta=1e6, rms_eps=1e-6),
+    }
+
+    def __init__(self, *args, attention_bias: bool = True, **kwargs):
+        super().__init__(*args, attention_bias=attention_bias, **kwargs)

@@ -105,6 +105,68 @@ def test_hf_parity_llama3_rope_scaling():
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
 
 
+def test_hf_parity_mistral_sliding_window():
+    """Mistral = Llama + sliding-window attention; with window < seq_len the
+    windowed mask is actually load-bearing, pinned against HF."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.MistralConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=INTER,
+        num_hidden_layers=DEPTH, num_attention_heads=HEADS,
+        num_key_value_heads=KV, max_position_embeddings=32,
+        rms_norm_eps=1e-6, rope_theta=10000.0, sliding_window=5,
+        attention_dropout=0.0, tie_word_embeddings=False)
+    hf = transformers.MistralForCausalLM(cfg).eval()
+    # ensure eager attention actually applies the window (sdpa does too in
+    # recent transformers, but eager is unambiguous)
+    hf.config._attn_implementation = "eager"
+    model = make_tiny(sliding_window=5)
+    params = model.load_torch_state_dict(hf.state_dict())
+    ids = np.random.default_rng(5).integers(0, V, size=(2, 19))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = model.apply(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    # the window changes the output vs. full causal attention
+    full, _ = make_tiny().apply(params, jnp.asarray(ids))
+    assert np.abs(np.asarray(full) - np.asarray(got)).max() > 1e-4
+
+
+def test_hf_parity_qwen2_attention_bias():
+    """Qwen2 = Llama + q/k/v biases, pinned against HF Qwen2ForCausalLM."""
+    from semanticlens_tpu.models import Qwen2
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.Qwen2Config(
+        vocab_size=V, hidden_size=D, intermediate_size=INTER,
+        num_hidden_layers=DEPTH, num_attention_heads=HEADS,
+        num_key_value_heads=KV, max_position_embeddings=32,
+        rms_norm_eps=1e-6, rope_theta=10000.0, attention_dropout=0.0,
+        tie_word_embeddings=False, use_sliding_window=False)
+    hf = transformers.Qwen2ForCausalLM(cfg).eval()
+    # random (non-zero) biases so the bias path is load-bearing
+    with torch.no_grad():
+        for n, t in hf.named_parameters():
+            if n.endswith("proj.bias"):
+                t.normal_(0.0, 0.5)
+    model = Qwen2(vocab_size=V, n_positions=32, width=D, depth=DEPTH,
+                  heads=HEADS, kv_heads=KV, intermediate=INTER,
+                  rms_eps=1e-6, dtype=jnp.float32)
+    assert model.attention_bias
+    params = model.load_torch_state_dict(hf.state_dict())
+    ids = np.random.default_rng(6).integers(0, V, size=(2, 15))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = model.apply(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    q = Qwen2.from_name("qwen2.5-0.5b", dtype=jnp.float32)
+    assert (q.width, q.depth, q.heads, q.kv_heads) == (896, 24, 14, 2)
+    assert q.tie_word_embeddings and q.attention_bias
+
+
 def test_from_name_and_limits():
     m = Llama.from_name("llama-3.2-1b", dtype=jnp.float32)
     assert (m.width, m.depth, m.heads, m.kv_heads) == (2048, 16, 32, 8)

@@ -77,8 +77,10 @@ def build_model(args, jnp):
         return models.MaxViT(variant=args.variant or "tiny", dtype=dt)
     if args.arch == "gpt2":  # HF gpt2/-medium/-large/-xl; token input (--seq-len)
         return models.GPT2.from_name(args.variant or "gpt2", dtype=dt)
-    if args.arch == "llama":  # HF llama-2-7b/-3.2-1b/…; token input (--seq-len)
+    if args.arch == "llama":  # HF llama-2-7b/-3.2-1b/mistral-7b-v0.1/…
         return models.Llama.from_name(args.variant or "llama-3.2-1b", dtype=dt)
+    if args.arch == "qwen2":  # HF qwen2.5-0.5b/-1.5b/-7b
+        return models.Qwen2.from_name(args.variant or "qwen2.5-0.5b", dtype=dt)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -110,7 +112,7 @@ def main():
     b, n_steps, s = args.batch, args.steps, args.image_size
 
     rng = np.random.default_rng(0)
-    if args.arch in ("gpt2", "llama"):  # token batches; "image" = one sequence
+    if args.arch in ("gpt2", "llama", "qwen2"):  # token batches; "image" = one sequence
         s = args.seq_len
         batches = [
             jax.device_put(rng.integers(0, model.vocab_size, size=(b, s), dtype=np.int32))
@@ -175,6 +177,7 @@ def main():
         "maxvit": f"maxvit_{args.variant or 'tiny'}",
         "gpt2": args.variant or "gpt2",
         "llama": args.variant or "llama-3.2-1b",
+        "qwen2": args.variant or "qwen2.5-0.5b",
     }[args.arch]
     print(json.dumps({
         "model": label,
