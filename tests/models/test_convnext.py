@@ -142,6 +142,110 @@ def test_torch_conversion_parity():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
 
 
+def test_torchvision_naming_full_parity():
+    """naming="torchvision" exposes convnext_tiny-style names
+    (features.N.M.block.K, classifier.2, (C,1,1) layer_scale) and loads a
+    torchvision-layout state dict with forward parity against a faithful
+    torch twin of torchvision's CNBlock/LayerNorm2d graph."""
+    nn = torch.nn
+    depths, dims = (1, 1, 1, 1), (8, 12, 16, 20)
+    NCLS = 5
+
+    class Permute(nn.Module):
+        def __init__(self, order):
+            super().__init__()
+            self.order = order
+
+        def forward(self, x):
+            return x.permute(*self.order)
+
+    class LayerNorm2d(nn.LayerNorm):  # torchvision ops.misc.LayerNorm2d
+        def forward(self, x):
+            return super().forward(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+
+    class CNBlock(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.block = nn.Sequential(
+                nn.Conv2d(dim, dim, 7, padding=3, groups=dim, bias=True),
+                Permute([0, 2, 3, 1]),
+                nn.LayerNorm(dim, eps=1e-6),
+                nn.Linear(dim, 4 * dim),
+                nn.GELU(),
+                nn.Linear(4 * dim, dim),
+                Permute([0, 3, 1, 2]),
+            )
+            self.layer_scale = nn.Parameter(torch.full((dim, 1, 1), 1e-6))
+
+        def forward(self, x):
+            return x + self.layer_scale * self.block(x)
+
+    features = [nn.Sequential(
+        nn.Conv2d(3, dims[0], 4, stride=4), LayerNorm2d(dims[0], eps=1e-6))]
+    for i, (depth, dim) in enumerate(zip(depths, dims)):
+        if i > 0:
+            features.append(nn.Sequential(
+                LayerNorm2d(dims[i - 1], eps=1e-6),
+                nn.Conv2d(dims[i - 1], dim, 2, stride=2)))
+        features.append(nn.Sequential(*[CNBlock(dim) for _ in range(depth)]))
+
+    class TVConvNeXt(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*features)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.classifier = nn.Sequential(
+                LayerNorm2d(dims[-1], eps=1e-6), nn.Flatten(1),
+                nn.Linear(dims[-1], NCLS))
+
+        def forward(self, x):
+            return self.classifier(self.avgpool(self.features(x)))
+
+    torch.manual_seed(0)
+    twin = TVConvNeXt().eval()
+    with torch.no_grad():
+        for n, p in twin.named_parameters():
+            if "layer_scale" in n:
+                p.normal_(0.0, 0.3)  # load-bearing layer scale
+            elif p.dim() > 1:
+                nn.init.normal_(p, std=0.05)
+
+    class MiniTV(ConvNeXt):
+        def __init__(self):
+            self.variant = "mini"
+            self.depths, self.dims = depths, dims
+            self.num_classes = NCLS
+            self.dtype = jnp.float32
+            self.naming = "torchvision"
+            self.module_names = tuple(self._enumerate_module_names())
+
+    ours = MiniTV()
+    for n in ["features.0.0", "features.1.0.block.0", "features.1.0.block",
+              "features.2.1", "features.7.0", "classifier.2", "avgpool"]:
+        assert n in ours.module_names, n
+    assert "stem" not in ours.module_names
+
+    params = ours.load_torch_state_dict(twin.state_dict())
+    x = np.random.default_rng(7).random((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got, taps = ours.apply(params, jnp.asarray(x),
+                           tap_names=("features.3.0.block.3", "features.7", "avgpool"))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    assert taps["features.3.0.block.3"].shape == (2, 4, 4, 4 * dims[1])
+    assert taps["features.7"].shape == (2, 1, 1, dims[3])
+    assert taps["avgpool"].shape == (2, dims[3])
+
+
+def test_from_name_torchvision_presets():
+    m = ConvNeXt.from_name("convnext_large", num_classes=0, dtype=jnp.float32)
+    assert m.naming == "torchvision" and m.dims == (192, 384, 768, 1536)
+    assert "features.5.26.block.5" in m.module_names
+    assert "classifier.2" not in m.module_names  # headless
+    with pytest.raises(ValueError, match="convnext_tiny"):
+        ConvNeXt.from_name("convnext_xxlarge")
+
+
 def test_engine_integration_and_cache(tmp_path):
     from semanticlens_tpu.collect.engine import CollectEngine
     from semanticlens_tpu.data import ArrayDataset

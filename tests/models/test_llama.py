@@ -217,6 +217,33 @@ def test_swiglu_components_through_collect():
     assert states["model.layers.0.mlp.act_fn"].values.shape == (INTER, 3)
 
 
+def test_lrp_conserves_end_to_end(tiny_llama):
+    """ε-LRP conservation through the FULL Llama stack: unlike GPT-2
+    (biases + additive positional embeddings absorb relevance), Llama has
+    no biases anywhere and RoPE lives on the zero-relevance q/k path, so
+    embedding relevance must sum to the seeded activation exactly —
+    detached-RMSNorm (diagonal), CP-LRP attention (linear value path),
+    SwiGLU constant-gate, and proportional residual splits all conserving."""
+    from semanticlens_tpu.models.base import interventions
+    from semanticlens_tpu.models.layers import lrp_composite
+
+    model, params = tiny_llama
+    ids = jnp.asarray(np.random.default_rng(7).integers(0, V, size=(2, T)))
+    target = "model.layers.1.mlp.down_proj"
+
+    def f(delta):
+        with interventions({"model.embed_tokens": lambda v: v + delta.astype(v.dtype)}):
+            _, taps = model.apply(params, ids, (target,))
+        return taps[target].astype(jnp.float32)
+
+    with lrp_composite("epsilon", epsilon=1e-9):
+        out, vjp_fn = jax.vjp(f, jnp.zeros((2, T, D), jnp.float32))
+        (r_emb,) = vjp_fn(out)
+    r_in = float(np.asarray(r_emb, np.float64).sum())
+    r_out = float(np.asarray(out, np.float64).sum())
+    np.testing.assert_allclose(r_in, r_out, rtol=5e-3)
+
+
 def test_lrp_relevance_reaches_embedding(tiny_llama):
     """Token-level LRP runs end-to-end: RMSNorm detached rule + CP-LRP
     attention + SwiGLU gate rule produce finite, non-degenerate relevance

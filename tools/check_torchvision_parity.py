@@ -70,10 +70,9 @@ def _cases(models, jnp):
                           224, 1e-4),
         "squeezenet1_1": ("squeezenet1_1", lambda: models.SqueezeNet("1_1", dtype=f32),
                           224, 1e-4),
-        # NOT listed: ConvNeXt — models/convnext.py follows timm naming
-        # ("stages.2.blocks.5"), which is what the reference's interpretability
-        # users hook; torchvision's convnext graph ("features.5.2") names a
-        # different decomposition, so its state dict is not loadable here.
+        "convnext_tiny": ("convnext_tiny",
+                          lambda: models.ConvNeXt.from_name("convnext_tiny", dtype=f32),
+                          224, 5e-4),
         "vit_b_16": ("vit_b_16",
                      lambda: models.VisionTransformer.from_name("vit_b_16", dtype=f32),
                      224, 5e-4),
