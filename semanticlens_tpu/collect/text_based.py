@@ -63,9 +63,16 @@ class TokenTextDataset:
     reads a real token at T−1); ``texts`` the N raw strings the FM embeds.
     The dataset itself yields token rows (what the collect engine streams);
     :meth:`texts_view` yields the strings (what the Embed stage consumes).
+
+    IMPORTANT: padded corpora need a pad-aware subject — construct the LM
+    with the matching ``pad_id`` (``GPT2(..., pad_id=...)`` /
+    ``Llama(..., pad_id=...)``) so pad tokens are masked out of attention
+    and positions count real tokens. Without it, every real token attends
+    to the pad run and the collected activations are contaminated.
     """
 
-    def __init__(self, tokens, texts, name: str | None = None):
+    def __init__(self, tokens, texts, name: str | None = None,
+                 *, pad_id: int | None = None, pad: str | None = None):
         self.images = np.asarray(tokens)  # `.images` = engine fast path
         if self.images.ndim != 2:
             raise ValueError(f"tokens must be (N, T), got {self.images.shape}")
@@ -74,6 +81,11 @@ class TokenTextDataset:
             raise ValueError(
                 f"tokens/texts length mismatch: {len(self.images)} vs {len(self.texts)}"
             )
+        # padding metadata (None for externally built token matrices):
+        # consumers like tools/lm_audit.py read pad_id to build a pad-aware
+        # subject without re-deriving it.
+        self.pad_id = pad_id
+        self.pad = pad
         if name is not None:
             self.name = name
 
@@ -89,22 +101,30 @@ class TokenTextDataset:
         """Tokenize + pad a corpus into a fixed-length dataset.
 
         ``tokenize_fn(text) -> sequence of ints`` is the SUBJECT model's
-        tokenizer (an HF tokenizer's ``encode`` works directly). Sequences
-        truncate to ``seq_len`` and pad with ``pad_id``; the default is
-        LEFT-padding, the causal-LM convention that keeps every sequence's
-        final real token at position T−1 (what
-        ``aggregate_transformer_last_token`` reads).
+        tokenizer (an HF tokenizer's ``encode`` works directly). Over-long
+        sequences keep their TAIL (``ids[-seq_len:]``, the HF left-side
+        convention) so the sequence's FINAL real token survives — that is
+        what ``aggregate_transformer_last_token`` summarizes. Short
+        sequences pad with ``pad_id``; the default is LEFT-padding, which
+        keeps that final token at position T−1.
+
+        Construct the subject model with the same ``pad_id``
+        (``GPT2(..., pad_id=pad_id)``) — the models mask edge-pad runs out
+        of attention and count positions over real tokens only, so padded
+        rows produce exactly the unpadded activations at real positions.
+        Pick a ``pad_id`` that never STARTS or ENDS a genuine text (the
+        models mask edge runs only, so mid-text occurrences are safe).
         """
         if pad not in ("left", "right"):
             raise ValueError(f"pad must be 'left' or 'right', got {pad!r}")
         rows = np.full((len(texts), seq_len), pad_id, np.int32)
         for i, t in enumerate(texts):
-            ids = list(tokenize_fn(t))[:seq_len]
+            ids = list(tokenize_fn(t))[-seq_len:]
             if pad == "left":
                 rows[i, seq_len - len(ids):] = ids
             else:
                 rows[i, : len(ids)] = ids
-        return cls(rows, texts, name=name)
+        return cls(rows, texts, name=name, pad_id=pad_id, pad=pad)
 
     def texts_view(self) -> _TextsView:
         return _TextsView(self.texts, name=getattr(self, "name", None))

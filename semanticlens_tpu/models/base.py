@@ -55,6 +55,28 @@ def interventions_fingerprint() -> tuple[int, ...]:
     return tuple(token for token, _ in _active_stack())
 
 
+def has_intervention(name: str) -> bool:
+    """True when an active ``interventions`` context targets ``name``.
+
+    A Python-time (trace-time) check — models use it to route to an
+    intervention-capable formulation of a virtual tap (e.g. the per-head
+    attention taps) only when someone is actually rewriting it, keeping the
+    plain forward byte-identical to the untapped program.
+    """
+    return any(name in mapping for _, mapping in _active_stack())
+
+
+def apply_interventions(name: str, value):
+    """Run the active intervention fns registered for ``name`` (outermost
+    context first — the same order :class:`TapCollector` applies them).
+    Returns ``value`` unchanged when nothing targets the name."""
+    for _, mapping in _active_stack():
+        fn = mapping.get(name)
+        if fn is not None:
+            value = fn(value)
+    return value
+
+
 @contextlib.contextmanager
 def interventions(mapping: Mapping[str, Callable]):
     """Intervene on named activations during ``model.apply``.

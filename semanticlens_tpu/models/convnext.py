@@ -219,12 +219,12 @@ class ConvNeXt(SubjectModel):
             x, p_(f"{prefix}.conv_dw.weight"), p_(f"{prefix}.conv_dw.bias"),
             padding=3, groups=dim,
         )
-        tap(f"{prefix}.conv_dw", h)
+        h = tap(f"{prefix}.conv_dw", h)
         h = tap(f"{prefix}.norm", self._ln(p_, f"{prefix}.norm", h))
         h = tap(f"{prefix}.mlp.fc1", linear(h, p_(f"{prefix}.mlp.fc1.weight"), p_(f"{prefix}.mlp.fc1.bias")))
         h = gelu(h, approximate=False)
         h = tap(f"{prefix}.mlp.fc2", linear(h, p_(f"{prefix}.mlp.fc2.weight"), p_(f"{prefix}.mlp.fc2.bias")))
-        tap(f"{prefix}.mlp", h)
+        h = tap(f"{prefix}.mlp", h)
         h = channel_scale(h, p_(f"{prefix}.gamma"))
         out = residual_add(x, h)
         return tap(prefix, out)
@@ -243,7 +243,7 @@ class ConvNeXt(SubjectModel):
 
         x = tap("stem.0", conv2d(x, p_("stem.0.weight"), p_("stem.0.bias"), stride=4))
         x = tap("stem.1", self._ln(p_, "stem.1", x))
-        tap("stem", x)
+        x = tap("stem", x)
 
         for i, depth in enumerate(self.depths):
             p = f"stages.{i}"
@@ -253,21 +253,21 @@ class ConvNeXt(SubjectModel):
                     f"{p}.downsample.1",
                     conv2d(x, p_(f"{p}.downsample.1.weight"), p_(f"{p}.downsample.1.bias"), stride=2),
                 )
-                tap(f"{p}.downsample", x)
+                x = tap(f"{p}.downsample", x)
             for j in range(depth):
                 x = self._block(p_, f"{p}.blocks.{j}", x, tap)
-            tap(p, x)
-        tap("stages", x)
+            x = tap(p, x)
+        x = tap("stages", x)
 
         pooled = jnp.mean(x, axis=(1, 2))
         if self.naming == "torchvision":
-            tapc("avgpool", pooled)  # torchvision pools BEFORE the classifier LN
+            pooled = tapc("avgpool", pooled)  # torchvision pools BEFORE the classifier LN
         pooled = tap("head.norm", self._ln(p_, "head.norm", pooled))
         if self.num_classes:
             logits = tap("head.fc", linear(pooled, p_("head.fc.weight"), p_("head.fc.bias")))
-            tap("head", logits)
+            logits = tap("head", logits)
             return logits, tapc.taps
-        tap("head", pooled)
+        pooled = tap("head", pooled)
         return pooled, tapc.taps
 
     # ------------------------------------------------------------- torch load

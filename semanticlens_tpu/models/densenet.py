@@ -171,7 +171,7 @@ class DenseNet(SubjectModel):
         h = tap(f"{base}.norm2", h)
         h = tap(f"{base}.relu2", jax.nn.relu(h))
         h = conv2d(h, params[f"{base}.conv2.weight"], padding=1)
-        tap(f"{base}.conv2", h)
+        h = tap(f"{base}.conv2", h)
         return tap(base, h)
 
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
@@ -218,7 +218,7 @@ class DenseNet(SubjectModel):
             params["features.norm5.running_var"],
         )
         x = tap("features.norm5", x)
-        tap("features", x)
+        x = tap("features", x)
 
         # torchvision: functional relu -> adaptive_avg_pool2d(1) -> flatten.
         x = global_avg_pool(jax.nn.relu(x)).reshape(x.shape[0], -1)

@@ -253,9 +253,9 @@ class EfficientNet(SubjectModel):
                               stride=cfg.stride, kernel=cfg.kernel, groups=cfg.c_mid)
         h = self._squeeze_excite(params, h, f"{base}.block.{cfg.i_se}", tap)
         h = self._conv_bn_act(params, h, f"{base}.block.{cfg.i_proj}", tap, act=False)
-        tap(f"{base}.block", h)
+        h = tap(f"{base}.block", h)
         # stochastic depth: identity at inference (train-time regularizer)
-        tap(f"{base}.stochastic_depth", h)
+        h = tap(f"{base}.stochastic_depth", h)
         if cfg.residual:
             h = residual_add(x, h)  # LRP: proportional split, not a bare +
         return tap(base, h)
@@ -272,7 +272,7 @@ class EfficientNet(SubjectModel):
             x = tap(f"features.{si}", x)
         last = len(self.stages) + 1
         x = self._conv_bn_act(params, x, f"features.{last}", tap, stride=1, kernel=1)
-        tap("features", x)
+        x = tap("features", x)
 
         x = tap("avgpool", global_avg_pool(x)).reshape(x.shape[0], -1)
         x = tap("classifier.0", x)  # dropout: identity at inference
@@ -461,8 +461,8 @@ class EfficientNetV2(EfficientNet):
         else:
             h = self._conv_bn_act(params, x, f"{base}.block.0", tap,
                                   stride=cfg.stride, kernel=cfg.kernel)
-        tap(f"{base}.block", h)
-        tap(f"{base}.stochastic_depth", h)  # identity at inference
+        h = tap(f"{base}.block", h)
+        h = tap(f"{base}.stochastic_depth", h)  # identity at inference
         if cfg.residual:
             h = residual_add(x, h)  # LRP: proportional split
         return tap(base, h)
@@ -482,7 +482,7 @@ class EfficientNetV2(EfficientNet):
             x = tap(f"features.{si}", x)
         last = len(self.stages) + 1
         x = self._conv_bn_act(params, x, f"features.{last}", tap, stride=1, kernel=1)
-        tap("features", x)
+        x = tap("features", x)
         x = tap("avgpool", global_avg_pool(x)).reshape(x.shape[0], -1)
         x = tap("classifier.0", x)  # dropout: identity at inference
         if self.num_classes:

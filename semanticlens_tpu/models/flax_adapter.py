@@ -89,6 +89,18 @@ class FlaxSubjectModel(SubjectModel):
         )
 
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
+        from semanticlens_tpu.models.base import has_intervention
+
+        targeted = [n for n in self.module_names if has_intervention(n)]
+        if targeted:
+            # capture_intermediates can read but not rewrite linen module
+            # outputs; a silent no-op would fabricate all-zero causal
+            # results, so refuse loudly.
+            raise NotImplementedError(
+                f"interventions on FlaxSubjectModel modules {targeted} are not "
+                "supported (linen capture_intermediates is read-only). Port "
+                "the subject to a native family for causal analysis."
+            )
         variables = params if "params" in params else {"params": params}
         if not tap_names:
             out = self.module.apply(variables, x, **self.apply_kwargs)

@@ -28,7 +28,9 @@ tap keeps the batch-leading contract the collect engine requires. One
 beyond-torch virtual tap per block, ``…attn.heads`` (B, T, n_heads): the
 norm of each head's residual-stream contribution (head output × its W_O
 slice), making ATTENTION HEADS first-class dissectable components —
-collect their top-engaging prompts, embed, name, score.
+collect their top-engaging prompts, embed, name, score, and causally
+ablate/steer them (an intervention on the tap rescales each head's
+contribution by new/old norm — layers.attn_out_projection).
 """
 
 from __future__ import annotations
@@ -42,6 +44,8 @@ import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.layers import (
+    attn_out_projection,
+    edge_pad_mask,
     gelu,
     layer_norm,
     linear,
@@ -58,6 +62,13 @@ class GPT2(SubjectModel):
     vocab_size, n_positions, width, depth, heads : architecture dims
         (defaults = HF ``gpt2``: 50257 / 1024 / 768 / 12 / 12).
     dtype : activation dtype (bfloat16 = MXU-native).
+    pad_id : token id used for edge padding, or None (default). When set,
+        leading/trailing runs of this id are masked out of attention (the HF
+        ``attention_mask`` semantics — this model takes only token ids, so
+        the mask is derived) and positions count real tokens only; a
+        left-padded sequence then produces exactly the unpadded activations
+        at its real positions. REQUIRED for meaningful activations on
+        padded corpora (see :meth:`TokenTextDataset.from_texts`).
     """
 
     LN_EPS = 1e-5  # HF GPT2Config.layer_norm_epsilon
@@ -78,6 +89,7 @@ class GPT2(SubjectModel):
         depth: int = 12,
         heads: int = 12,
         dtype=jnp.bfloat16,
+        pad_id: int | None = None,
     ):
         self.vocab_size = vocab_size
         self.n_positions = n_positions
@@ -85,15 +97,16 @@ class GPT2(SubjectModel):
         self.depth = depth
         self.heads = heads
         self.dtype = dtype
+        self.pad_id = pad_id
         self.module_names = tuple(self._enumerate_module_names())
 
     @classmethod
-    def from_name(cls, name: str, *, dtype=jnp.bfloat16):
+    def from_name(cls, name: str, *, dtype=jnp.bfloat16, pad_id: int | None = None):
         """Build an HF-zoo-sized GPT-2 (``gpt2`` … ``gpt2-xl``)."""
         if name not in cls._HF_VARIANTS:
             raise ValueError(f"name must be one of {sorted(cls._HF_VARIANTS)}, got {name!r}")
         w, d, h = cls._HF_VARIANTS[name]
-        return cls(width=w, depth=d, heads=h, dtype=dtype)
+        return cls(width=w, depth=d, heads=h, dtype=dtype, pad_id=pad_id)
 
     # ----------------------------------------------------------------- names
     def _enumerate_module_names(self):
@@ -172,14 +185,25 @@ class GPT2(SubjectModel):
 
         wte = params["transformer.wte.weight"].astype(self.dtype)
         tok = tap("transformer.wte", wte[ids])
-        pos = params["transformer.wpe.weight"][:t].astype(self.dtype)
-        tap("transformer.wpe", jnp.broadcast_to(pos[None], (b, t, self.width)))
-        h = tok + pos[None]
+        wpe = params["transformer.wpe.weight"].astype(self.dtype)
 
-        # additive causal mask, (T, T): 0 on/below diagonal, −inf above
-        mask = jnp.where(
-            jnp.tril(jnp.ones((t, t), bool)), 0.0, -jnp.inf
-        ).astype(jnp.float32)
+        # additive causal mask: (T, T), or (B, 1, T, T) when a pad_id is set
+        # (left-padded corpora: pad keys are masked so real tokens never
+        # attend to the pad run, and positions count real tokens only —
+        # activations at real positions match the unpadded sequence).
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        if self.pad_id is not None:
+            is_pad = edge_pad_mask(ids, self.pad_id)
+            pos_ids = jnp.clip(jnp.cumsum(~is_pad, axis=1) - 1, 0)
+            pos_b = tap("transformer.wpe", wpe[pos_ids])
+            allowed = causal[None] & (~is_pad[:, None, :] | jnp.eye(t, dtype=bool)[None])
+            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+        else:
+            pos_b = tap(
+                "transformer.wpe", jnp.broadcast_to(wpe[None, :t], (b, t, self.width))
+            )
+            mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)
+        h = tok + pos_b
 
         for i in range(self.depth):
             p = f"transformer.h.{i}"
@@ -190,24 +214,16 @@ class GPT2(SubjectModel):
             w = self.width
             q, k, v = qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :]
             a = scaled_dot_product_attention(q, k, v, self.heads, mask=mask)
-            # virtual per-HEAD components: ‖head h's residual-stream
-            # contribution‖ per token, i.e. the norm of (head output × its
-            # W_O slice) — attention-head dissection evidence (which inputs
-            # engage head h). (B, T, H); dead code XLA eliminates unless
-            # the tap is requested. Observational only: rewriting it does
-            # not feed the forward (ablate heads via interventions on
-            # "{p}.attn.c_attn" channel groups instead).
-            hd = w // self.heads
-            w_o = params[f"{p}.attn.c_proj.weight"].astype(a.dtype)
-            per_head = jnp.einsum(
-                "bthc,hcd->bthd", a.reshape(b, t, self.heads, hd),
-                w_o.reshape(self.heads, hd, w),
-            )
-            tap(f"{p}.attn.heads", jnp.linalg.norm(
-                per_head.astype(jnp.float32), axis=-1))
-            a = tap(f"{p}.attn.c_proj", linear(
-                a, params[f"{p}.attn.c_proj.weight"], params[f"{p}.attn.c_proj.bias"]))
-            tap(f"{p}.attn", a)
+            # virtual per-HEAD components "{p}.attn.heads": ‖head h's
+            # residual-stream contribution‖ per token, (B, T, H). Requested
+            # taps are free on the forward (the fused projection still
+            # runs); interventions on the tap rescale each head's
+            # contribution — see layers.attn_out_projection.
+            a = attn_out_projection(
+                tap, f"{p}.attn.heads", f"{p}.attn.c_proj", a,
+                params[f"{p}.attn.c_proj.weight"], params[f"{p}.attn.c_proj.bias"],
+                self.heads)
+            a = tap(f"{p}.attn", a)
             h = residual_add(h, a)
             n2 = tap(f"{p}.ln_2", layer_norm(
                 h, params[f"{p}.ln_2.weight"], params[f"{p}.ln_2.bias"], eps=self.LN_EPS))
@@ -216,15 +232,15 @@ class GPT2(SubjectModel):
             m = tap(f"{p}.mlp.act", gelu(m, approximate=True))  # HF gelu_new
             m = tap(f"{p}.mlp.c_proj", linear(
                 m, params[f"{p}.mlp.c_proj.weight"], params[f"{p}.mlp.c_proj.bias"]))
-            tap(f"{p}.mlp", m)
+            m = tap(f"{p}.mlp", m)
             h = residual_add(h, m)
-            tap(p, h)
-        tap("transformer.h", h)
+            h = tap(p, h)
+        h = tap("transformer.h", h)
 
         h = tap("transformer.ln_f", layer_norm(
             h, params["transformer.ln_f.weight"], params["transformer.ln_f.bias"],
             eps=self.LN_EPS))
-        tap("transformer", h)
+        h = tap("transformer", h)
         # tied embedding (HF convention); routed through the shared linear so
         # the logits matmul keeps Precision.HIGHEST and the LRP ε-rule
         logits = tap("lm_head", linear(h, wte.T))

@@ -526,6 +526,68 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None, n_kv_heads=None
     return out.reshape(b, t, d)
 
 
+def edge_pad_mask(ids, pad_id: int):
+    """(B, T) bool: True on the LEADING and TRAILING runs of ``pad_id``.
+
+    Padding produced by fixed-length batching is always a contiguous edge
+    run (left- or right-padded), so only edge runs are treated as padding —
+    a genuine mid-text token that happens to equal ``pad_id`` (e.g. token 0
+    = ``"!"`` for GPT-2) is never masked.
+    """
+    pad = ids == pad_id
+    lead = jnp.cumprod(pad.astype(jnp.int32), axis=1).astype(bool)
+    trail = jnp.flip(
+        jnp.cumprod(jnp.flip(pad, axis=1).astype(jnp.int32), axis=1), axis=1
+    ).astype(bool)
+    return lead | trail
+
+
+def attn_out_projection(tap, heads_name, proj_name, a, weight, bias, n_heads):
+    """Attention out-projection with the virtual per-head components tap.
+
+    The ``…attn.heads`` tap scores each head's residual-stream contribution
+    per token: ``‖head h's output × its W_O slice‖`` → (B, T, n_heads).
+    Three regimes, selected statically at trace time:
+
+    - tap not requested, no intervention: plain ``linear`` projection — the
+      per-head einsum is never built (zero cost in eager AND traced mode).
+    - tap requested (collect sweeps): per-head contributions are computed
+      for the norms, the forward still takes the fused ``linear`` path, so
+      tapped and untapped programs produce bit-identical outputs.
+    - intervention active on ``heads_name``: the tap value (the norms) is
+      rewritten and the rewrite is CAUSAL — head h's contribution is
+      rescaled by ``new_norm / old_norm`` (zero-ablating a head removes its
+      contribution; steering a head's score scales it) and the projection
+      output is the rescaled sum + bias. A head whose contribution is
+      exactly zero stays zero regardless of the rewrite (nothing to scale).
+
+    LRP note: the intervention path's einsum bypasses ``linear``'s LRP rule;
+    attribution never runs inside an ``interventions`` context, so the
+    composite only ever sees the fused path.
+    """
+    from semanticlens_tpu.models.base import has_intervention
+
+    live = has_intervention(heads_name)
+    if heads_name in tap.requested or live:
+        b, t, d = a.shape
+        hd = d // n_heads
+        w_o = weight.astype(a.dtype)
+        per_head = jnp.einsum(
+            "bthc,hcd->bthd",
+            a.reshape(b, t, n_heads, hd),
+            w_o.reshape(n_heads, hd, w_o.shape[-1]),
+        )
+        old = jnp.linalg.norm(per_head.astype(jnp.float32), axis=-1)  # (B, T, H)
+        new = tap(heads_name, old)
+        if live:
+            scale = jnp.where(old > 0.0, new.astype(jnp.float32) / jnp.maximum(old, 1e-30), 0.0)
+            out = (per_head * scale[..., None].astype(per_head.dtype)).sum(axis=2)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return tap(proj_name, out)
+    return tap(proj_name, linear(a, weight, bias))
+
+
 def bn_param_specs(prefix: str, ch: int, *, ones_kind: str = "bn_w",
                    zeros_kind: str = "zeros") -> list:
     """(name, shape, init-kind) rows for one torch BatchNorm layer.

@@ -43,6 +43,8 @@ import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.layers import (
+    attn_out_projection,
+    edge_pad_mask,
     gate_scale,
     linear,
     residual_add,
@@ -137,6 +139,7 @@ class Llama(SubjectModel):
         sliding_window: int | None = None,
         attention_bias: bool = False,
         dtype=jnp.bfloat16,
+        pad_id: int | None = None,
     ):
         self.vocab_size = vocab_size
         self.n_positions = n_positions
@@ -157,14 +160,17 @@ class Llama(SubjectModel):
         self.sliding_window = sliding_window
         self.attention_bias = attention_bias
         self.dtype = dtype
+        # pad_id: edge-padding token id (None = no pad masking). Same
+        # contract as GPT2.pad_id — see models/gpt.py.
+        self.pad_id = pad_id
         self.module_names = tuple(self._enumerate_module_names())
 
     @classmethod
-    def from_name(cls, name: str, *, dtype=jnp.bfloat16):
+    def from_name(cls, name: str, *, dtype=jnp.bfloat16, pad_id: int | None = None):
         """Build an HF-zoo-sized model (``llama-2-7b`` … ``mistral-7b-v0.1``)."""
         if name not in cls._HF_VARIANTS:
             raise ValueError(f"name must be one of {sorted(cls._HF_VARIANTS)}, got {name!r}")
-        return cls(**cls._HF_VARIANTS[name], dtype=dtype)
+        return cls(**cls._HF_VARIANTS[name], dtype=dtype, pad_id=pad_id)
 
     # ----------------------------------------------------------------- names
     def _enumerate_module_names(self):
@@ -247,12 +253,17 @@ class Llama(SubjectModel):
         return jnp.cos(emb), jnp.sin(emb)
 
     def _apply_rope(self, x, cos, sin):
-        """Rotate (B, T, n·head_dim) channels per head; float32 math."""
+        """Rotate (B, T, n·head_dim) channels per head; float32 math.
+
+        ``cos``/``sin`` are (T, head_dim) shared tables, or (B, T, head_dim)
+        per-row tables (pad-aware position ids)."""
         b, t, d = x.shape
         xh = x.reshape(b, t, d // self.head_dim, self.head_dim).astype(jnp.float32)
         half = self.head_dim // 2
         rot = jnp.concatenate([-xh[..., half:], xh[..., :half]], axis=-1)
-        out = xh * cos[None, :, None, :] + rot * sin[None, :, None, :]
+        if cos.ndim == 2:
+            cos, sin = cos[None], sin[None]
+        out = xh * cos[:, :, None, :] + rot * sin[:, :, None, :]
         return out.reshape(b, t, d).astype(x.dtype)
 
     # ----------------------------------------------------------------- apply
@@ -276,7 +287,18 @@ class Llama(SubjectModel):
         allowed = pos_k <= pos_q
         if self.sliding_window is not None:
             allowed &= pos_q - pos_k < self.sliding_window
-        mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
+        if self.pad_id is not None:
+            # edge-pad masking + real-token positions (see GPT2.apply): pad
+            # keys are dropped (each position keeps itself so softmax rows
+            # stay finite) and RoPE angles index real-token order, so real
+            # positions of a left-padded row match the unpadded sequence.
+            is_pad = edge_pad_mask(ids, self.pad_id)
+            pos_ids = jnp.clip(jnp.cumsum(~is_pad, axis=1) - 1, 0)
+            cos, sin = cos[pos_ids], sin[pos_ids]
+            allowed = allowed[None] & (~is_pad[:, None, :] | jnp.eye(t, dtype=bool)[None])
+            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+        else:
+            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
 
         for i in range(self.depth):
             p = f"model.layers.{i}"
@@ -296,21 +318,14 @@ class Llama(SubjectModel):
             k = self._apply_rope(k, cos, sin)
             a = scaled_dot_product_attention(
                 q, k, v, self.heads, mask=mask, n_kv_heads=self.kv_heads)
-            # virtual per-HEAD components: ‖head h's residual-stream
-            # contribution‖ per token (head output × its W_O slice) — same
-            # contract as GPT2's "…attn.heads" tap (gpt.py). Observational
-            # only; XLA dead-code-eliminates it unless requested.
-            w_o = params[f"{p}.self_attn.o_proj.weight"].astype(a.dtype)
-            per_head = jnp.einsum(
-                "bthc,hcd->bthd",
-                a.reshape(b, t, self.heads, self.head_dim),
-                w_o.reshape(self.heads, self.head_dim, self.width),
-            )
-            tap(f"{p}.self_attn.heads", jnp.linalg.norm(
-                per_head.astype(jnp.float32), axis=-1))
-            a = tap(f"{p}.self_attn.o_proj", linear(
-                a, params[f"{p}.self_attn.o_proj.weight"]))
-            tap(f"{p}.self_attn", a)
+            # virtual per-HEAD components "{p}.self_attn.heads": ‖head h's
+            # residual-stream contribution‖ per token — same contract as
+            # GPT2's "…attn.heads" tap; interventions rescale each head's
+            # contribution (layers.attn_out_projection).
+            a = attn_out_projection(
+                tap, f"{p}.self_attn.heads", f"{p}.self_attn.o_proj", a,
+                params[f"{p}.self_attn.o_proj.weight"], None, self.heads)
+            a = tap(f"{p}.self_attn", a)
             h = residual_add(h, a)
             n2 = tap(f"{p}.post_attention_layernorm", rms_norm(
                 h, params[f"{p}.post_attention_layernorm.weight"], eps=self.rms_eps))
@@ -321,13 +336,13 @@ class Llama(SubjectModel):
             # relevance rides the up_proj branch (module docstring)
             m = gate_scale(u, act)
             m = tap(f"{p}.mlp.down_proj", linear(m, params[f"{p}.mlp.down_proj.weight"]))
-            tap(f"{p}.mlp", m)
+            m = tap(f"{p}.mlp", m)
             h = residual_add(h, m)
-            tap(p, h)
-        tap("model.layers", h)
+            h = tap(p, h)
+        h = tap("model.layers", h)
 
         h = tap("model.norm", rms_norm(h, params["model.norm.weight"], eps=self.rms_eps))
-        tap("model", h)
+        h = tap("model", h)
         head_w = (wte.T if self.tie_word_embeddings
                   else params["lm_head.weight"])
         logits = tap("lm_head", linear(h, head_w))

@@ -267,7 +267,7 @@ class MaxViT(SubjectModel):
                                      padding=(kernel - 1) // 2, groups=g))
             h = tap(f"{p}.1", self._bn(params, f"{p}.1", h))
             h = tap(f"{p}.2", gelu(h))
-            tap(p, h)
+            h = tap(p, h)
         se = f"{mb}.layers.squeeze_excitation"
         pooled = tap(f"{se}.avgpool", global_avg_pool(h))
         s = pooled.reshape(pooled.shape[0], -1)
@@ -278,7 +278,7 @@ class MaxViT(SubjectModel):
         h = tap(se, gate_scale(h, s[:, None, None, :]))
         h = tap(f"{mb}.layers.conv_c",
                 conv2d(h, params[f"{mb}.layers.conv_c.weight"], params[f"{mb}.layers.conv_c.bias"]))
-        tap(f"{mb}.layers", h)
+        h = tap(f"{mb}.layers", h)
         h = tap(f"{mb}.stochastic_depth", h)  # identity at inference
         return tap(mb, residual_add(sc, h))
 
@@ -335,23 +335,29 @@ class MaxViT(SubjectModel):
         def batched(z):  # taps in torchvision's (B, groups, T, C) hook shape
             return z.reshape(b, -1, z.shape[-2], z.shape[-1])
 
+        # taps record torchvision's (B, groups, T, C) hook shape; the
+        # return value feeds forward through the inverse reshape so
+        # interventions on any of these names are causal
+        def windowed(z):
+            return z.reshape(-1, z.shape[-2], z.shape[-1])
+
         n1 = self._ln_tokens(params, f"{at}.attn_layer.0", xw)
-        tap(f"{at}.attn_layer.0", batched(n1))
+        n1 = windowed(tap(f"{at}.attn_layer.0", batched(n1)))
         hh = self._attention(params, n1, at, heads)
-        tap(f"{at}.attn_layer", tap(f"{at}.attn_layer.1", batched(hh)))
+        hh = windowed(tap(f"{at}.attn_layer", tap(f"{at}.attn_layer.1", batched(hh))))
         # one StochasticDepth module, applied to both branches (identity at
         # inference; last-hook-wins, same policy as Swin)
-        tap(f"{at}.stochastic_depth", batched(hh))
+        hh = windowed(tap(f"{at}.stochastic_depth", batched(hh)))
         xw = residual_add(xw, hh)  # LRP: proportional split, not a bare +
         m = self._ln_tokens(params, f"{at}.mlp_layer.0", xw)
-        tap(f"{at}.mlp_layer.0", batched(m))
+        m = windowed(tap(f"{at}.mlp_layer.0", batched(m)))
         m = linear(m, params[f"{at}.mlp_layer.1.weight"], params[f"{at}.mlp_layer.1.bias"])
-        tap(f"{at}.mlp_layer.1", batched(m))
+        m = windowed(tap(f"{at}.mlp_layer.1", batched(m)))
         m = gelu(m)
-        tap(f"{at}.mlp_layer.2", batched(m))
+        m = windowed(tap(f"{at}.mlp_layer.2", batched(m)))
         m = linear(m, params[f"{at}.mlp_layer.3.weight"], params[f"{at}.mlp_layer.3.bias"])
-        tap(f"{at}.mlp_layer", tap(f"{at}.mlp_layer.3", batched(m)))
-        tap(f"{at}.stochastic_depth", batched(m))
+        m = windowed(tap(f"{at}.mlp_layer", tap(f"{at}.mlp_layer.3", batched(m))))
+        m = windowed(tap(f"{at}.stochastic_depth", batched(m)))
         xw = residual_add(xw, m)
 
         if kind == "window":

@@ -273,7 +273,7 @@ class MobileNetV2(_MobileNetBase):
             x = self._inverted_residual(params, x, f"features.{bi}", blk, tap)
         last = len(self.blocks) + 1
         x = self._cna(params, x, f"features.{last}", tap, stride=1, kernel=1, act=relu6)
-        tap("features", x)
+        x = tap("features", x)
         x = global_avg_pool(x).reshape(x.shape[0], -1)
         x = tap("classifier.0", x)  # dropout: identity at inference
         if self.num_classes:
@@ -425,7 +425,7 @@ class MobileNetV3(_MobileNetBase):
             x = self._bneck(params, x, f"features.{bi}", blk, tap)
         last = len(self.blocks) + 1
         x = self._cna(params, x, f"features.{last}", tap, stride=1, kernel=1, act=hardswish)
-        tap("features", x)
+        x = tap("features", x)
         x = tap("avgpool", global_avg_pool(x)).reshape(x.shape[0], -1)
         if self.num_classes:
             x = tap("classifier.0", linear(x, params["classifier.0.weight"], params["classifier.0.bias"]))

@@ -299,7 +299,7 @@ class RegNet(SubjectModel):
         if blk.c_se:
             h = self._squeeze_excite(params, h, f"{base}.f.se", tap)
         h = self._cna(params, h, f"{base}.f.c", tap, act=False)
-        tap(f"{base}.f", h)
+        h = tap(f"{base}.f", h)
         out = tap(f"{base}.activation", jax.nn.relu(residual_add(sc, h)))
         return tap(base, out)
 

@@ -230,7 +230,7 @@ class ResNet(SubjectModel):
         """Shortcut projection: strided 1×1 conv (v1.5) or avgpool + 1×1 (-D)."""
         if self.variant == "d":
             h = avg_pool(x, window=stride, stride=stride) if stride > 1 else x
-            tap(f"{prefix}.downsample.0", h)
+            h = tap(f"{prefix}.downsample.0", h)
             h = tap(f"{prefix}.downsample.1", conv2d(h, params[f"{prefix}.downsample.1.weight"]))
             h = tap(f"{prefix}.downsample.2", self._bn(params, f"{prefix}.downsample.2", h))
         else:
@@ -239,7 +239,7 @@ class ResNet(SubjectModel):
                 conv2d(x, params[f"{prefix}.downsample.0.weight"], stride=stride),
             )
             h = tap(f"{prefix}.downsample.1", self._bn(params, f"{prefix}.downsample.1", h))
-        tap(f"{prefix}.downsample", h)
+        h = tap(f"{prefix}.downsample", h)
         return h
 
     def _basic_block(self, params, prefix, x, stride, tap):
@@ -252,7 +252,7 @@ class ResNet(SubjectModel):
         if self._has_downsample(params, prefix):
             identity = self._downsample_path(params, prefix, x, stride, tap)
         out = jax.nn.relu(residual_add(out, identity))
-        tap(f"{prefix}.relu", out)
+        out = tap(f"{prefix}.relu", out)
         return tap(prefix, out)
 
     def _bottleneck_block(self, params, prefix, x, stride, tap):
@@ -269,7 +269,7 @@ class ResNet(SubjectModel):
         if self._has_downsample(params, prefix):
             identity = self._downsample_path(params, prefix, x, stride, tap)
         out = jax.nn.relu(residual_add(out, identity))
-        tap(f"{prefix}.relu", out)
+        out = tap(f"{prefix}.relu", out)
         return tap(prefix, out)
 
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
@@ -294,7 +294,7 @@ class ResNet(SubjectModel):
             for b in range(n_blocks):
                 stride = 2 if (stage > 1 and b == 0) else 1
                 x = block_fn(params, f"layer{stage}.{b}", x, stride, tap)
-            tap(f"layer{stage}", x)
+            x = tap(f"layer{stage}", x)
 
         x = tap("avgpool", global_avg_pool(x))
         x = x.reshape(x.shape[0], -1)

@@ -267,7 +267,7 @@ class SwinTransformer(SubjectModel):
         m = tap(f"{blk}.mlp.2", tap(f"{blk}.mlp.1", gelu(m)))  # mlp.2: inference-identity Dropout
         m = tap(f"{blk}.mlp.3", linear(m, params[f"{blk}.mlp.3.weight"], params[f"{blk}.mlp.3.bias"]))
         m = tap(f"{blk}.mlp.4", m)  # mlp.4: inference-identity Dropout
-        tap(f"{blk}.mlp", m)
+        m = tap(f"{blk}.mlp", m)
         m = tap(f"{blk}.stochastic_depth", m)
         return tap(blk, residual_add(x, m))
 
@@ -500,7 +500,7 @@ class SwinTransformerV2(SwinTransformer):
         m = tap(f"{blk}.mlp.2", tap(f"{blk}.mlp.1", gelu(m)))  # mlp.2: inference-identity Dropout
         m = tap(f"{blk}.mlp.3", linear(m, params[f"{blk}.mlp.3.weight"], params[f"{blk}.mlp.3.bias"]))
         m = tap(f"{blk}.mlp.4", m)  # mlp.4: inference-identity Dropout
-        tap(f"{blk}.mlp", m)
+        m = tap(f"{blk}.mlp", m)
         m = tap(f"{blk}.norm2", self._ln(params, f"{blk}.norm2", m))
         m = tap(f"{blk}.stochastic_depth", m)
         return tap(blk, residual_add(x, m))

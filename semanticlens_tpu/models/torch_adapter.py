@@ -151,6 +151,21 @@ class TorchSubjectModel(SubjectModel):
             )
         return self._shape_cache[key]
 
+    def _reject_interventions(self):
+        """The torch forward runs opaquely on the host — JAX intervention
+        closures cannot rewrite its internal activations. Silent no-ops here
+        would fabricate all-zero causal results, so refuse loudly."""
+        from semanticlens_tpu.models.base import has_intervention
+
+        targeted = [n for n in self.module_names if has_intervention(n)]
+        if targeted:
+            raise NotImplementedError(
+                f"interventions on TorchSubjectModel modules {targeted} are not "
+                "supported (the torch forward is a host callback; rewrites "
+                "cannot feed it). Port the subject to a native JAX family for "
+                "causal analysis."
+            )
+
     # ------------------------------------------------------------------- apply
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
         """(B, H, W, C) float → (output, {name: activation}); traceable.
@@ -160,6 +175,7 @@ class TorchSubjectModel(SubjectModel):
         and stays on device.
         """
         tap_names = tuple(tap_names)
+        self._reject_interventions()
         shapes = self._result_shapes(x.shape, x.dtype, tap_names)
         flat = jax.pure_callback(
             lambda xs: self._host_forward(np.asarray(xs), tap_names),

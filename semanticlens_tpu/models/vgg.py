@@ -161,8 +161,8 @@ class VGG(SubjectModel):
                 x = jax.nn.relu(x)
             else:  # pool
                 x = max_pool(x, window=2, stride=2, padding=0)
-            tap(f"features.{i}", x)
-        tap("features", x)
+            x = tap(f"features.{i}", x)
+        x = tap("features", x)
 
         # AdaptiveAvgPool2d((7, 7)): identity at 224² input; exact mean-pool
         # when H is a multiple of 7 otherwise.
@@ -184,9 +184,9 @@ class VGG(SubjectModel):
                 "classifier.6",
                 linear(x, params["classifier.6.weight"], params["classifier.6.bias"]),
             )
-            tap("classifier", logits)
+            logits = tap("classifier", logits)
             return logits, tap.taps
-        tap("classifier", x)
+        x = tap("classifier", x)
         return x, tap.taps
 
     # ------------------------------------------------------------- torch load

@@ -24,6 +24,7 @@ import numpy as np
 
 from semanticlens_tpu.models.base import SubjectModel, TapCollector
 from semanticlens_tpu.models.layers import (
+    attn_out_projection,
     conv2d,
     gelu,
     layer_norm,
@@ -231,49 +232,45 @@ class VisionTransformer(SubjectModel):
         )
         b, gh, gw, w = x.shape
         x = x.reshape(b, gh * gw, w)
-        tap("patch_embed.proj", x)
-        tap("patch_embed", x)
+        x = tap("patch_embed.proj", x)
+        x = tap("patch_embed", x)
         cls = jnp.broadcast_to(p_("cls_token").astype(self.dtype), (b, 1, w))
         x = jnp.concatenate([cls, x], axis=1) + p_("pos_embed").astype(self.dtype)
 
         for i in range(self.depth):
             p = f"blocks.{i}"
             h = layer_norm(x, p_(f"{p}.norm1.weight"), p_(f"{p}.norm1.bias"), eps=self.LN_EPS)
-            tap(f"{p}.norm1", h)
+            h = tap(f"{p}.norm1", h)
             qkv = tap(f"{p}.attn.qkv", linear(h, p_(f"{p}.attn.qkv.weight"), p_(f"{p}.attn.qkv.bias")))
             q, k, v = qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :]
             h = scaled_dot_product_attention(q, k, v, self.heads)
-            # virtual per-HEAD components (same design as models/gpt.py):
-            # ‖head output × its W_O slice‖ per token, (B, T, n_heads);
-            # dead code XLA eliminates unless requested; observational only
-            hd = w // self.heads
-            w_o = p_(f"{p}.attn.proj.weight").astype(h.dtype)
-            per_head = jnp.einsum(
-                "bthc,hcd->bthd", h.reshape(b, h.shape[1], self.heads, hd),
-                w_o.reshape(self.heads, hd, w),
-            )
-            tap(f"{p}.attn.heads", jnp.linalg.norm(per_head.astype(jnp.float32), axis=-1))
-            h = tap(f"{p}.attn.proj", linear(h, p_(f"{p}.attn.proj.weight"), p_(f"{p}.attn.proj.bias")))
-            tap(f"{p}.attn", h)
+            # virtual per-HEAD components "{p}.attn.heads" (same contract as
+            # models/gpt.py): ‖head output × its W_O slice‖ per token,
+            # (B, T, n_heads); interventions rescale each head's
+            # contribution (layers.attn_out_projection).
+            h = attn_out_projection(
+                tapc, self._n(f"{p}.attn.heads"), self._n(f"{p}.attn.proj"), h,
+                p_(f"{p}.attn.proj.weight"), p_(f"{p}.attn.proj.bias"), self.heads)
+            h = tap(f"{p}.attn", h)
             x = residual_add(x, h)
             h = layer_norm(x, p_(f"{p}.norm2.weight"), p_(f"{p}.norm2.bias"), eps=self.LN_EPS)
-            tap(f"{p}.norm2", h)
+            h = tap(f"{p}.norm2", h)
             h = tap(f"{p}.mlp.fc1", linear(h, p_(f"{p}.mlp.fc1.weight"), p_(f"{p}.mlp.fc1.bias")))
             h = gelu(h, approximate=False)
             h = tap(f"{p}.mlp.fc2", linear(h, p_(f"{p}.mlp.fc2.weight"), p_(f"{p}.mlp.fc2.bias")))
-            tap(f"{p}.mlp", h)
+            h = tap(f"{p}.mlp", h)
             x = residual_add(x, h)
-            tap(p, x)
-        tap("blocks", x)
+            x = tap(p, x)
+        x = tap("blocks", x)
 
         x = tap("norm", layer_norm(x, p_("norm.weight"), p_("norm.bias"), eps=self.LN_EPS))
         if self.naming == "torchvision":
-            tapc("encoder", x)  # torchvision Encoder module output = post-ln
+            x = tapc("encoder", x)  # torchvision Encoder module output = post-ln
         pooled = x[:, 0]
         if self.num_classes:
             logits = tap("head", linear(pooled, p_("head.weight"), p_("head.bias")))
             if self.naming == "torchvision":
-                tapc("heads", logits)
+                logits = tapc("heads", logits)
             return logits, tapc.taps
         return pooled, tapc.taps
 

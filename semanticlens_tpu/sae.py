@@ -520,9 +520,35 @@ class SAESubjectModel(SubjectModel):
         return {"base": self.base.init(rng), "sae": self._sae_params}
 
     def apply(self, params, x, tap_names=()):
+        from semanticlens_tpu.models.base import (
+            apply_interventions,
+            has_intervention,
+            interventions,
+        )
+
         tap_names = tuple(tap_names)
         want_sae = self.sae_tap in tap_names
         base_taps = tuple(t for t in tap_names if t != self.sae_tap)
+        if has_intervention(self.sae_tap):
+            # Causal path: an SAE latent never feeds the forward directly,
+            # so rewriting the "{layer}.sae" tap substitutes the layer's
+            # activation with encode → rewrite → decode (the same semantics
+            # as causal.sae_latent_ablation — the baseline includes the
+            # SAE's reconstruction error; compare against an identity
+            # rewrite, not the raw forward, to isolate the latent effect).
+            stash = {}
+
+            def _substitute(v):
+                z = apply_interventions(
+                    self.sae_tap, encode(params["sae"], v, k=self.k))
+                stash["codes"] = z
+                return decode(params["sae"], z).astype(v.dtype)
+
+            with interventions({self.layer_name: _substitute}):
+                out, taps = self.base.apply(params["base"], x, base_taps)
+            if want_sae:
+                taps[self.sae_tap] = stash["codes"]
+            return out, taps
         need = base_taps if not want_sae else tuple(dict.fromkeys(base_taps + (self.layer_name,)))
         out, taps = self.base.apply(params["base"], x, need)
         if want_sae:

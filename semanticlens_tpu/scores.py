@@ -554,10 +554,17 @@ def null_calibrated_polysemanticity(V, embedding_table, *, n_null: int = 64,
         raise ValueError(f"embedding table has {n} rows < evidence size {k}")
 
     key = jax.random.PRNGKey(seed)
-    # without-replacement draws per null set via independent permutations
-    ids = jax.vmap(lambda kk: jax.random.permutation(kk, n)[:k])(
-        jax.random.split(key, n_null)
-    )  # (n_null, k)
+    # without-replacement draws per null set. One permutation sliced into
+    # disjoint k-windows when the table is big enough (O(N log N) once,
+    # vs n_null full permutations — 64 sorts of an ImageNet-scale table);
+    # otherwise independent permutations (small tables, cheap anyway).
+    if n_null * k <= n:
+        perm = jax.random.permutation(key, n)
+        ids = perm[: n_null * k].reshape(n_null, k)
+    else:
+        ids = jax.vmap(lambda kk: jax.random.permutation(kk, n)[:k])(
+            jax.random.split(key, n_null)
+        )  # (n_null, k)
     null_sets = table[ids]  # (n_null, k, D)
 
     poly = polysemanticity_score(V, random_state=random_state)

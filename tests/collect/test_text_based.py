@@ -64,10 +64,12 @@ def test_from_texts_tokenizes_pads_and_truncates():
     assert ds.images.shape == (3, 4) and ds.images.dtype == np.int32
     # left padding keeps the last real token at position T-1
     np.testing.assert_array_equal(ds.images[0], [-1, -1, ord("a"), ord("b")])
-    # over-long sequences truncate to the first seq_len tokens
-    np.testing.assert_array_equal(ds.images[1], [ord(c) for c in "abcd"])
+    # over-long sequences keep their TAIL so the final real token survives
+    # (what aggregate_transformer_last_token summarizes)
+    np.testing.assert_array_equal(ds.images[1], [ord(c) for c in "efgh"])
     np.testing.assert_array_equal(ds.images[2], [-1] * 4)
     assert ds.texts == texts
+    assert ds.pad_id == -1 and ds.pad == "left"
 
     right = TokenTextDataset.from_texts(texts, tok, seq_len=4, pad="right")
     np.testing.assert_array_equal(right.images[0], [ord("a"), ord("b"), 0, 0])

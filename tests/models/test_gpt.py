@@ -133,3 +133,33 @@ def test_head_components_through_collect():
     states, n = eng.run(params, ArrayDataset(rows, name="toks"), batch_size=4)
     assert n == 12
     assert states["transformer.h.0.attn.heads"].values.shape == (HEADS, 3)
+
+
+def test_left_padding_with_pad_id_matches_unpadded(tiny_gpt):
+    """pad_id masks edge-pad runs out of attention and positions count real
+    tokens: a left-padded row's real positions carry exactly the unpadded
+    activations (the property that makes padded-corpus evidence valid)."""
+    _, params = tiny_gpt
+    model = GPT2(vocab_size=V, n_positions=32, width=D, depth=DEPTH, heads=HEADS,
+                 dtype=jnp.float32, pad_id=0)
+    toks = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    padded = jnp.asarray([[0, 0, 0, 0, 5, 6, 7, 8]], jnp.int32)
+    layer = f"transformer.h.{DEPTH - 1}.mlp.act"
+    o1, t1 = model.apply(params, toks, (layer,))
+    o2, t2 = model.apply(params, padded, (layer,))
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0, 4:]))
+    np.testing.assert_array_equal(
+        np.asarray(t1[layer][0]), np.asarray(t2[layer][0, 4:]))
+    assert np.isfinite(np.asarray(o2)).all()  # pad rows stay finite (self-attend)
+
+    # a mid-text token equal to pad_id is NOT masked (edge runs only)
+    mid = jnp.asarray([[5, 0, 7, 8]], jnp.int32)
+    o_mid, _ = model.apply(params, mid, ())
+    o_mid_nopad, _ = GPT2(vocab_size=V, n_positions=32, width=D, depth=DEPTH,
+                          heads=HEADS, dtype=jnp.float32).apply(params, mid, ())
+    np.testing.assert_array_equal(np.asarray(o_mid), np.asarray(o_mid_nopad))
+
+    # without pad_id, left padding contaminates (the bug this guards)
+    o3, _ = GPT2(vocab_size=V, n_positions=32, width=D, depth=DEPTH, heads=HEADS,
+                 dtype=jnp.float32).apply(params, padded, ())
+    assert np.abs(np.asarray(o1[0]) - np.asarray(o3[0, 4:])).max() > 1e-3

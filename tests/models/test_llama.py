@@ -268,3 +268,23 @@ def test_lrp_relevance_reaches_embedding(tiny_llama):
     rel = np.asarray(rel)
     assert np.isfinite(rel).all()
     assert np.abs(rel).sum() > 0
+
+
+def test_left_padding_with_pad_id_matches_unpadded():
+    """Llama pad masking: left-padded real positions match the unpadded
+    forward exactly (RoPE angles follow real-token positions)."""
+    from semanticlens_tpu.models import Llama
+
+    model = Llama(vocab_size=61, n_positions=32, width=32, depth=2, heads=4,
+                  kv_heads=2, intermediate=48, dtype=jnp.float32, pad_id=0)
+    params = model.init(jax.random.PRNGKey(0))
+    toks = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    padded = jnp.asarray([[0, 0, 0, 0, 5, 6, 7, 8]], jnp.int32)
+    layer = "model.layers.1.mlp.act_fn"
+    o1, t1 = model.apply(params, toks, (layer,))
+    o2, t2 = model.apply(params, padded, (layer,))
+    np.testing.assert_allclose(
+        np.asarray(o1[0]), np.asarray(o2[0, 4:]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t1[layer][0]), np.asarray(t2[layer][0, 4:]), rtol=1e-5, atol=1e-5)
+    assert np.isfinite(np.asarray(o2)).all()

@@ -28,6 +28,7 @@ if str(_repo) not in sys.path:
     sys.path.insert(0, str(_repo))
 
 import argparse
+import urllib.error
 import urllib.request
 
 HF = "https://huggingface.co"
@@ -103,6 +104,39 @@ def _verify(path: Path) -> None:
         print(f"  verified CLIP BPE: vocab {len(tok.encoder)}")
 
 
+def _open_with_scoped_auth(url: str, token: str | None, *, max_redirects: int = 8):
+    """urlopen that sends Authorization ONLY to the original HF host.
+
+    HF ``resolve/`` URLs 302-redirect LFS files to presigned CDN hosts
+    (cdn-lfs/Xet, X-Amz-* query auth). Python's default redirect handler
+    copies ALL headers to the redirect target, which (a) leaks the bearer
+    token to a third-party host and (b) trips S3-style "only one auth
+    mechanism" 400s. Follow redirects manually and drop the header the
+    moment the host changes — the same policy huggingface_hub/requests use.
+    """
+    from urllib.parse import urlsplit, urljoin
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            return None
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    origin = urlsplit(url).netloc
+    for _ in range(max_redirects):
+        req = urllib.request.Request(url)  # noqa: S310 — canonical hosts above
+        if token and urlsplit(url).netloc == origin and url.startswith(HF):
+            # gated repos (meta-llama/…) need an accepted-license token
+            req.add_header("Authorization", f"Bearer {token}")
+        try:
+            return opener.open(req)
+        except urllib.error.HTTPError as err:
+            if err.code in (301, 302, 303, 307, 308) and err.headers.get("Location"):
+                url = urljoin(url, err.headers["Location"])
+                continue
+            raise
+    raise urllib.error.URLError(f"too many redirects fetching {url}")
+
+
 def fetch(name: str, dest: Path) -> None:
     import os
     import shutil
@@ -116,11 +150,7 @@ def fetch(name: str, dest: Path) -> None:
         else:
             print(f"{fname}: downloading {url}")
             tmp = target.with_suffix(target.suffix + ".part")
-            req = urllib.request.Request(url)  # noqa: S310 — canonical hosts above
-            if token and url.startswith(HF):
-                # gated repos (meta-llama/…) need an accepted-license token
-                req.add_header("Authorization", f"Bearer {token}")
-            with urllib.request.urlopen(req) as resp, open(tmp, "wb") as out:  # noqa: S310
+            with _open_with_scoped_auth(url, token) as resp, open(tmp, "wb") as out:
                 shutil.copyfileobj(resp, out)
             tmp.rename(target)
         _verify(target)

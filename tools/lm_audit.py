@@ -2,11 +2,13 @@
 
 Text analogue of tools/full_audit.py (beyond-reference capability): dissect
 a GPT-2 subject's MLP neurons (or attention heads via --layer
-"transformer.h.N.attn.heads") over a synthetic topic corpus, embed the
-evidence strings with a foundation model's text tower, CLIP-Dissect-name
-the components against the topic vocabulary, score clarity, causally
-validate the top component (ablate-and-measure), and attribute it to
-tokens (LRP). Prints one JSON line per stage.
+"transformer.h.N.attn.heads" — ablating a head's score zeroes its
+residual-stream contribution, models/layers.attn_out_projection) over a
+synthetic topic corpus, embed the evidence strings with a foundation
+model's text tower, CLIP-Dissect-name the components against the topic
+vocabulary, score clarity, causally validate the top component
+(ablate-and-measure), and attribute it to tokens (LRP). Prints one JSON
+line per stage.
 
 Usage:
   python tools/lm_audit.py --depth 2 --width 64 --layer transformer.h.1.mlp.act
@@ -63,23 +65,26 @@ def main():
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
 
-    # synthetic topic corpus (stand-in tokenizer: bounded codepoints)
-    v = 160
+    # synthetic topic corpus (stand-in tokenizer: bounded codepoints).
+    # pad_id 159 ('\\x9f' mod v) never starts/ends a topic sentence; the
+    # subject gets the same pad_id so pad runs are masked out of attention.
+    v, pad_id = 160, 159
     texts = [f"{TOPICS[i % len(TOPICS)]} appears in sentence {i}" for i in range(args.samples)]
-    tokens = np.zeros((args.samples, args.seq_len), np.int32)
-    for i, t in enumerate(texts):
-        codes = [ord(c) % v for c in t][: args.seq_len]
-        tokens[i, : len(codes)] = codes
-    ds = TokenTextDataset(tokens, texts, name="lm-audit-corpus")
+    ds = TokenTextDataset.from_texts(
+        texts, lambda t: [ord(c) % v for c in t], args.seq_len,
+        pad="left", pad_id=pad_id, name="lm-audit-corpus")
+    tokens = ds.images
 
     if args.family == "llama":
         lm = Llama(vocab_size=v, n_positions=args.seq_len, width=args.width,
                    depth=args.depth, heads=args.heads,
-                   kv_heads=max(1, args.heads // 2), dtype=jnp.float32)
+                   kv_heads=max(1, args.heads // 2), dtype=jnp.float32,
+                   pad_id=pad_id)
         default_layer = f"model.layers.{args.depth - 1}.mlp.act_fn"
     else:
         lm = GPT2(vocab_size=v, n_positions=args.seq_len, width=args.width,
-                  depth=args.depth, heads=args.heads, dtype=jnp.float32)
+                  depth=args.depth, heads=args.heads, dtype=jnp.float32,
+                  pad_id=pad_id)
         default_layer = f"transformer.h.{args.depth - 1}.mlp.act"
     lm.params = lm.init(jax.random.PRNGKey(0))
     lm.name = f"lm-audit-{args.family}"

@@ -33,18 +33,20 @@ cache = Path(tempfile.mkdtemp(prefix="sl-lm-"))
 rng = np.random.default_rng(0)
 
 # --- 1. A toy corpus + a small GPT-2 subject ---------------------------------
-# Real use: tokenize your corpus with the LM's own tokenizer (fixed length),
-# keep the raw strings alongside — TokenTextDataset pairs them.
+# Real use: tokenize your corpus with the LM's own tokenizer —
+# TokenTextDataset.from_texts pads/truncates (tail-keeping) and pairs the
+# raw strings. Give the SUBJECT the same pad_id so pad runs are masked out
+# of attention and padded rows produce exactly the unpadded activations.
 TOPICS = ["a cat sleeping", "a red car", "fresh bread", "a wooden chair", "heavy rain"]
 texts = [f"{TOPICS[i % 5]} appears in sentence {i}" for i in range(48)]
-V, T = 160, 16
-tokens = np.zeros((len(texts), T), np.int32)
-for i, t in enumerate(texts):  # stand-in tokenizer: bounded codepoints
-    codes = [ord(c) % V for c in t][:T]
-    tokens[i, : len(codes)] = codes
-ds = TokenTextDataset(tokens, texts, name="toy-corpus")
+V, T, PAD = 160, 16, 159
+ds = TokenTextDataset.from_texts(
+    texts, lambda t: [ord(c) % V for c in t], T,  # stand-in tokenizer
+    pad="left", pad_id=PAD, name="toy-corpus")
+tokens = ds.images
 
-lm = GPT2(vocab_size=V, n_positions=T, width=64, depth=2, heads=4, dtype=jnp.float32)
+lm = GPT2(vocab_size=V, n_positions=T, width=64, depth=2, heads=4, dtype=jnp.float32,
+          pad_id=PAD)
 lm.params = lm.init(jax.random.PRNGKey(0))  # or: lm.load_torch_state_dict(hf.state_dict())
 lm.name = "toy-gpt2"
 
@@ -106,7 +108,7 @@ for line in highlight_evidence(tok_strings, np.asarray(ev_rel), threshold=0.6):
 from semanticlens_tpu.models import Llama
 
 llm = Llama(vocab_size=V, n_positions=T, width=64, depth=2, heads=4,
-            kv_heads=2, intermediate=96, dtype=jnp.float32)
+            kv_heads=2, intermediate=96, dtype=jnp.float32, pad_id=PAD)
 llm.params, llm.name = llm.init(jax.random.PRNGKey(1)), "toy-llama"
 L_LAYER = "model.layers.1.mlp.act_fn"
 llama_cv = TextActivationComponentVisualizer(
