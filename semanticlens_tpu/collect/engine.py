@@ -57,6 +57,14 @@ class CollectEngine:
     n_collect : top-k per component.
     mesh : optional Mesh with a ``"data"`` axis for multi-chip data
         parallelism. Batch size must be divisible by the axis size.
+        A mesh with an additional ``"model"`` axis (size > 1) selects the
+        GSPMD path: the step is a plain ``jit`` whose batch shards on
+        ``"data"`` while the subject's parameters keep whatever shardings
+        the caller placed (see ``parallel.llama_param_specs_2d`` /
+        ``shard_params``) — XLA GSPMD propagates them through the forward
+        and inserts the tensor-parallel collectives on ICI. The top-k
+        state stays replicated, so results are bit-stable vs single-chip
+        modulo reduction order.
     input_preprocess : optional device-side fn applied to each raw batch
         before the model (e.g. uint8 → normalized float). Defaults to a
         float32 cast.
@@ -77,6 +85,13 @@ class CollectEngine:
         self.n_collect = n_collect
         self.mesh = mesh
         self.n_shards = mesh.shape["data"] if mesh is not None else 1
+        # GSPMD (dp × tp) mode: plain jit + sharding propagation instead of
+        # shard_map — the only mode where params may be model-sharded.
+        self.gspmd = (
+            mesh is not None
+            and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+        )
         self.input_preprocess = input_preprocess or (lambda x: x.astype(jnp.float32))
         # Memoized jitted steps (rebuilt closures would recompile). Keyed by
         # the active interventions fingerprint: a step traced inside a
@@ -120,9 +135,15 @@ class CollectEngine:
         if fp in self._steps:
             return self._steps[fp]
 
-        if self.mesh is None:
+        if self.mesh is None or self.gspmd:
+            # GSPMD mode pins the (donated) state replicated so every step
+            # reuses the same layout — otherwise XLA could leave the updated
+            # state sharded however propagation landed, resharding each step.
+            out_shardings = (
+                NamedSharding(self.mesh, P()) if self.gspmd else None
+            )
 
-            @functools.partial(jax.jit, donate_argnums=0)
+            @functools.partial(jax.jit, donate_argnums=0, out_shardings=out_shardings)
             def step(states, params, images, start, n_total):
                 b = images.shape[0]
                 sample_ids = start + jnp.arange(b, dtype=jnp.int32)
@@ -169,9 +190,16 @@ class CollectEngine:
         if key in self._fused_steps:
             return self._fused_steps[key]
 
-        if self.mesh is None:
+        if self.mesh is None or self.gspmd:
+            # (states replicated, embeddings batch-sharded) in GSPMD mode —
+            # see _get_step for why the state layout is pinned.
+            out_shardings = (
+                (NamedSharding(self.mesh, P()), NamedSharding(self.mesh, P("data")))
+                if self.gspmd
+                else None
+            )
 
-            @functools.partial(jax.jit, donate_argnums=0)
+            @functools.partial(jax.jit, donate_argnums=0, out_shardings=out_shardings)
             def step(states, params, embed_params, images, start, n_total):
                 b = images.shape[0]
                 sample_ids = start + jnp.arange(b, dtype=jnp.int32)
@@ -209,6 +237,15 @@ class CollectEngine:
     def _init_states(self, n_latents: dict[str, int]):
         if self.mesh is None:
             return {name: init_topk(c, self.n_collect) for name, c in n_latents.items()}
+        if self.gspmd:  # single global (C, k) state, replicated over the mesh
+            rep = NamedSharding(self.mesh, P())
+            return {
+                name: TopKState(
+                    values=jax.device_put(jnp.zeros((c, self.n_collect), jnp.bfloat16), rep),
+                    ids=jax.device_put(jnp.full((c, self.n_collect), -1, jnp.int32), rep),
+                )
+                for name, c in n_latents.items()
+            }
         sharding = NamedSharding(self.mesh, P("data"))
         return {
             name: TopKState(
@@ -223,7 +260,7 @@ class CollectEngine:
         }
 
     def _finalize(self, states):
-        if self.mesh is not None:
+        if self.mesh is not None and not self.gspmd:
             merge = jax.jit(topk_merge)
             states = {name: merge(st) for name, st in states.items()}
         return states
@@ -279,7 +316,9 @@ class CollectEngine:
             values = jnp.asarray(t["values"])
             ids = jnp.asarray(t["ids"])
             if self.mesh is not None:
-                sharding = NamedSharding(self.mesh, P("data"))
+                sharding = NamedSharding(
+                    self.mesh, P() if self.gspmd else P("data")
+                )
                 values = jax.device_put(values, sharding)
                 ids = jax.device_put(ids, sharding)
             states[name] = TopKState(values=values, ids=ids)

@@ -8,14 +8,20 @@ from semanticlens_tpu.parallel.multihost import (
 )
 from semanticlens_tpu.parallel.tensor_parallel import (
     clip_param_specs_2d,
+    gpt2_param_specs_2d,
+    llama_param_specs_2d,
     shard_clip_params,
+    shard_params,
     siglip_param_specs_2d,
 )
 
 __all__ = [
+    "shard_params",
     "shard_clip_params",
     "clip_param_specs_2d",
     "siglip_param_specs_2d",
+    "llama_param_specs_2d",
+    "gpt2_param_specs_2d",
     "collect_multihost",
     "fused_multihost",
     "gather_selected_rows",

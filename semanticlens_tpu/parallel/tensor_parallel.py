@@ -66,13 +66,64 @@ def siglip_param_specs_2d(cfg, *, model_axis: str = "model") -> dict[str, P]:
     return specs
 
 
-def shard_clip_params(params: dict, mesh: Mesh, specs: dict[str, P]):
+def llama_param_specs_2d(model, *, model_axis: str = "model") -> dict[str, P]:
+    """Megatron-style PartitionSpecs for a :class:`~semanticlens_tpu.models.llama.Llama`
+    SUBJECT model (covers the Mistral/Qwen2 variants — same param names).
+
+    Weights are (in, out) (models/layers.py:linear): column-parallel =
+    shard the OUTPUT dim of q/k/v and gate/up (each chip computes its head
+    slice / its slice of the SwiGLU hidden), row-parallel = shard the INPUT
+    dim of o_proj/down_proj (partial sums all-reduced on ICI). Norm scales
+    and embeddings stay replicated. This is what makes 70B-class subjects
+    dissectable: the dominant per-layer weights split ``tp``-ways while the
+    collect engine keeps data parallelism on the other mesh axis.
+
+    GSPMD is semantics-preserving — these specs are layout HINTS, never a
+    correctness condition; for efficiency prefer ``heads % tp == 0`` and
+    ``kv_heads % tp == 0`` (GQA: a kv dim that divides unevenly falls back
+    to replication in :func:`shard_params`).
+    """
+    specs: dict[str, P] = {}
+    for i in range(model.depth):
+        p = f"model.layers.{i}"
+        for col in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                    "mlp.gate_proj", "mlp.up_proj"):
+            specs[f"{p}.{col}.weight"] = P(None, model_axis)
+            specs[f"{p}.{col}.bias"] = P(model_axis)  # Qwen2 attention_bias only
+        specs[f"{p}.self_attn.o_proj.weight"] = P(model_axis, None)
+        specs[f"{p}.mlp.down_proj.weight"] = P(model_axis, None)
+    return specs
+
+
+def gpt2_param_specs_2d(model, *, model_axis: str = "model") -> dict[str, P]:
+    """PartitionSpecs for a :class:`~semanticlens_tpu.models.gpt.GPT2` subject.
+
+    The fused ``c_attn`` (D, 3D) shards its output dim; the forward's
+    q/k/v slice boundaries sit at D and 2D, which align with shard tiles
+    only when ``tp % 3 == 0``, so for the usual tp ∈ {2, 4, 8} XLA inserts
+    one resharding collective after the QKV matmul. The MLP pair (2/3 of
+    the per-layer FLOPs at 4× expansion) shards cleanly either way.
+    """
+    specs: dict[str, P] = {}
+    for i in range(model.depth):
+        p = f"transformer.h.{i}"
+        specs[f"{p}.attn.c_attn.weight"] = P(None, model_axis)
+        specs[f"{p}.attn.c_attn.bias"] = P(model_axis)
+        specs[f"{p}.attn.c_proj.weight"] = P(model_axis, None)
+        specs[f"{p}.mlp.c_fc.weight"] = P(None, model_axis)
+        specs[f"{p}.mlp.c_fc.bias"] = P(model_axis)
+        specs[f"{p}.mlp.c_proj.weight"] = P(model_axis, None)
+    return specs
+
+
+def shard_params(params: dict, mesh: Mesh, specs: dict[str, P]):
     """Place a parameter dict onto ``mesh`` per ``specs`` (replicate the rest).
 
     Sharded dims must divide by the axis size; parameters whose spec does not
     divide evenly fall back to replication (with the head-count caveat that
-    attention requires heads % tp == 0 for correctness — CLIP widths satisfy
-    this for tp ∈ {2, 4, 8}).
+    attention requires heads % tp == 0 for efficiency — CLIP widths satisfy
+    this for tp ∈ {2, 4, 8}). Works for any flat name→array dict: FM towers
+    and subject models alike.
     """
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
 
@@ -83,6 +134,10 @@ def shard_clip_params(params: dict, mesh: Mesh, specs: dict[str, P]):
         return jax.device_put(arr, NamedSharding(mesh, P()))
 
     return {name: place(name, arr) for name, arr in params.items()}
+
+
+#: Backward-compatible name from before the helper went generic.
+shard_clip_params = shard_params
 
 
 def _divides(shape, spec, axis_sizes) -> bool:

@@ -110,3 +110,68 @@ def test_auto_tp_sharding_via_model_axis():
     mesh1d = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
     assert _maybe_shard_tp(params, tiny, mesh1d) is params
     assert _maybe_shard_tp(params, tiny, None) is params
+
+
+def test_llama_subject_tp_collect_matches_single_device(mesh2d):
+    """dp×tp GSPMD collect on a Llama SUBJECT equals single-device collect.
+
+    The engine's GSPMD path (CollectEngine with a "model" axis in the mesh):
+    params carry Megatron shardings from llama_param_specs_2d, the batch
+    shards on "data", and the replicated top-k state must come out with the
+    same evidence ids (exact) and values (reduction-order tolerance)."""
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.data.dataset import ArrayDataset
+    from semanticlens_tpu.models import Llama
+    from semanticlens_tpu.ops.aggregators import aggregate_transformer_mean
+    from semanticlens_tpu.parallel import llama_param_specs_2d, shard_params
+
+    model = Llama(vocab_size=61, n_positions=16, width=32, depth=2, heads=4,
+                  kv_heads=2, intermediate=64, dtype=jnp.float32, pad_id=0)
+    params = model.init(jax.random.PRNGKey(0))
+    model.name = "tp-llama"
+    rng = np.random.default_rng(3)
+    rows = rng.integers(1, 61, size=(12, 8), dtype=np.int32)
+    layers = ["model.layers.1.mlp.act_fn", "model.layers.0.self_attn.heads"]
+
+    def run(mesh, p):
+        eng = CollectEngine(model=model, layer_names=layers,
+                            aggregation_fn=aggregate_transformer_mean,
+                            n_collect=3, mesh=mesh,
+                            input_preprocess=lambda x: x)
+        states, n = eng.run(p, ArrayDataset(rows, name="toks"), batch_size=4)
+        assert n == 12
+        return states
+
+    want = run(None, params)
+
+    specs = llama_param_specs_2d(model)
+    sharded = shard_params(params, mesh2d, specs)
+    assert tuple(sharded["model.layers.0.self_attn.q_proj.weight"].sharding.spec) \
+        == (None, "model")
+    assert tuple(sharded["model.layers.0.self_attn.o_proj.weight"].sharding.spec) \
+        == ("model", None)
+    got = run(mesh2d, sharded)
+
+    for name in layers:
+        np.testing.assert_array_equal(
+            np.asarray(got[name].ids), np.asarray(want[name].ids), err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(got[name].values, np.float32),
+            np.asarray(want[name].values, np.float32), rtol=2e-2, atol=1e-4,
+            err_msg=name)
+
+
+def test_gpt2_param_specs_place(mesh2d):
+    from semanticlens_tpu.models import GPT2
+    from semanticlens_tpu.parallel import gpt2_param_specs_2d, shard_params
+
+    model = GPT2(vocab_size=61, n_positions=16, width=32, depth=2, heads=4,
+                 dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    sharded = shard_params(params, mesh2d, gpt2_param_specs_2d(model))
+    assert tuple(sharded["transformer.h.0.mlp.c_fc.weight"].sharding.spec) \
+        == (None, "model")
+    assert tuple(sharded["transformer.h.0.mlp.c_proj.weight"].sharding.spec) \
+        == ("model", None)
+    # norms/embeddings replicated
+    assert sharded["transformer.wte.weight"].sharding.spec == P()
