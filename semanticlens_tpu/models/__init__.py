@@ -5,6 +5,7 @@ from semanticlens_tpu.models.classic import AlexNet, SqueezeNet
 from semanticlens_tpu.models.convnext import ConvNeXt
 from semanticlens_tpu.models.densenet import DenseNet
 from semanticlens_tpu.models.efficientnet import EfficientNet, EfficientNetV2
+from semanticlens_tpu.models.gemma import Gemma, Gemma2
 from semanticlens_tpu.models.gpt import GPT2
 from semanticlens_tpu.models.inception import GoogLeNet, InceptionV3
 from semanticlens_tpu.models.llama import Llama, Qwen2
@@ -26,7 +27,7 @@ __all__ = [
     "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3", "SwinTransformer",
     "SwinTransformerV2",
     "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "MNASNet", "MaxViT",
-    "GPT2", "Llama", "Qwen2", "TorchSubjectModel",
+    "GPT2", "Llama", "Qwen2", "Gemma", "Gemma2", "TorchSubjectModel",
 ]
 
 from semanticlens_tpu.models.flax_adapter import FlaxSubjectModel  # noqa: E402

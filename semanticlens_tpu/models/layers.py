@@ -451,8 +451,16 @@ def multi_head_attention(x, params, prefix, n_heads, *, mask=None, kv=None):
     return linear(out, params[f"{prefix}.out_proj.weight"], params[f"{prefix}.out_proj.bias"])
 
 
-def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None, n_kv_heads=None):
+def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None, n_kv_heads=None,
+                                 scale=None, logit_cap=None):
     """Batched MHA core: (B, T, D) q / (B, S, Dkv) k,v → (B, T, D).
+
+    ``scale`` overrides the default ``head_dim**-0.5`` logit scaling (Gemma 2
+    scales by ``query_pre_attn_scalar**-0.5`` instead). ``logit_cap`` applies
+    tanh soft-capping ``cap·tanh(logits/cap)`` to the scaled logits BEFORE the
+    additive mask (the Gemma 2 convention); soft-capped attention is a
+    nonlinearity XLA's fused kernel doesn't model, so those layers take the
+    explicit einsum→softmax→einsum path and let XLA fuse it.
 
     Uses XLA's fused attention (``jax.nn.dot_product_attention``) — measured
     1.72× over the explicit matmul→softmax→matmul formulation at ViT shapes
@@ -494,15 +502,23 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None, n_kv_heads=None
             return x
         return jnp.repeat(x, n_heads // kv_heads, axis=2)
 
+    if scale is None:
+        scale = head_dim**-0.5
+
+    def soft_cap(logits):
+        if logit_cap is None:
+            return logits
+        return jnp.tanh(logits / logit_cap) * logit_cap
+
     if _lrp_active():
-        logits = (
+        logits = soft_cap(
             jnp.einsum(
                 "bthc,bshc->bhts",
                 split(q, t).astype(jnp.float32),
                 repeat_kv(split(k, s, kv_heads)).astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST,
             )
-            * head_dim**-0.5
+            * scale
         )
         if mask is not None:
             logits = logits + to_4d(mask)
@@ -521,8 +537,21 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None, n_kv_heads=None
         return _lrp_wrap(f, v, "epsilon", eps_r)
 
     bias = None if mask is None else to_4d(mask)
+    if logit_cap is not None:
+        logits = soft_cap(
+            jnp.einsum("bthc,bshc->bhts", split(q, t).astype(jnp.float32),
+                       repeat_kv(split(k, s, kv_heads)).astype(jnp.float32))
+            * scale)
+        if bias is not None:
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhts,bshc->bthc", probs,
+            repeat_kv(split(v, s, kv_heads)).astype(jnp.float32))
+        return out.reshape(b, t, d).astype(v.dtype)
     out = jax.nn.dot_product_attention(
-        split(q, t), split(k, s, kv_heads), split(v, s, kv_heads), bias=bias)
+        split(q, t), split(k, s, kv_heads), split(v, s, kv_heads), bias=bias,
+        scale=scale)
     return out.reshape(b, t, d)
 
 

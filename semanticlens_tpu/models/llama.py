@@ -266,6 +266,33 @@ class Llama(SubjectModel):
         out = xh * cos[:, :, None, :] + rot * sin[:, :, None, :]
         return out.reshape(b, t, d).astype(x.dtype)
 
+    def _mask_and_rope(self, ids, t: int, window: int | None):
+        """Additive causal mask + RoPE cos/sin tables, pad-aware.
+
+        Mask is (T, T) — 0 on/below diagonal, −inf above; with a sliding
+        ``window`` (Mistral; Gemma 2's even layers), position i also drops
+        keys more than window−1 behind it (HF keeps 0 ≤ i−j < window). With
+        ``pad_id`` set, edge-pad keys are dropped (each position keeps itself
+        so softmax rows stay finite) and RoPE angles index real-token order,
+        so real positions of a left-padded row match the unpadded sequence —
+        the mask is then (B, 1, T, T).
+        """
+        cos, sin = self._rope_tables(t)
+        pos_q = jnp.arange(t)[:, None]
+        pos_k = jnp.arange(t)[None, :]
+        allowed = pos_k <= pos_q
+        if window is not None:
+            allowed &= pos_q - pos_k < window
+        if self.pad_id is not None:
+            is_pad = edge_pad_mask(ids, self.pad_id)
+            pos_ids = jnp.clip(jnp.cumsum(~is_pad, axis=1) - 1, 0)
+            cos, sin = cos[pos_ids], sin[pos_ids]
+            allowed = allowed[None] & (~is_pad[:, None, :] | jnp.eye(t, dtype=bool)[None])
+            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+        else:
+            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
+        return mask, cos, sin
+
     # ----------------------------------------------------------------- apply
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
         """(B, T) int tokens → (logits (B, T, V), taps). Token taps (B, T, C)."""
@@ -277,28 +304,7 @@ class Llama(SubjectModel):
 
         wte = params["model.embed_tokens.weight"].astype(self.dtype)
         h = tap("model.embed_tokens", wte[ids])
-        cos, sin = self._rope_tables(t)
-
-        # additive causal mask, (T, T): 0 on/below diagonal, −inf above;
-        # with a sliding window (Mistral), position i also drops keys more
-        # than window−1 behind it (HF keeps 0 ≤ i−j < sliding_window)
-        pos_q = jnp.arange(t)[:, None]
-        pos_k = jnp.arange(t)[None, :]
-        allowed = pos_k <= pos_q
-        if self.sliding_window is not None:
-            allowed &= pos_q - pos_k < self.sliding_window
-        if self.pad_id is not None:
-            # edge-pad masking + real-token positions (see GPT2.apply): pad
-            # keys are dropped (each position keeps itself so softmax rows
-            # stay finite) and RoPE angles index real-token order, so real
-            # positions of a left-padded row match the unpadded sequence.
-            is_pad = edge_pad_mask(ids, self.pad_id)
-            pos_ids = jnp.clip(jnp.cumsum(~is_pad, axis=1) - 1, 0)
-            cos, sin = cos[pos_ids], sin[pos_ids]
-            allowed = allowed[None] & (~is_pad[:, None, :] | jnp.eye(t, dtype=bool)[None])
-            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
-        else:
-            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
+        mask, cos, sin = self._mask_and_rope(ids, t, self.sliding_window)
 
         for i in range(self.depth):
             p = f"model.layers.{i}"

@@ -68,7 +68,9 @@ def siglip_param_specs_2d(cfg, *, model_axis: str = "model") -> dict[str, P]:
 
 def llama_param_specs_2d(model, *, model_axis: str = "model") -> dict[str, P]:
     """Megatron-style PartitionSpecs for a :class:`~semanticlens_tpu.models.llama.Llama`
-    SUBJECT model (covers the Mistral/Qwen2 variants — same param names).
+    SUBJECT model (covers the Mistral/Qwen2 and Gemma/Gemma 2 variants —
+    same param names; Gemma's extra sandwich norms are 1-D scales that stay
+    replicated like every other norm).
 
     Weights are (in, out) (models/layers.py:linear): column-parallel =
     shard the OUTPUT dim of q/k/v and gate/up (each chip computes its head

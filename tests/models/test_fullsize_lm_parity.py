@@ -82,3 +82,47 @@ def test_llama_3_2_1b_fullsize_parity():
         want = hf(torch.from_numpy(ids)).logits.numpy()
     got = np.asarray(model.apply(params, jnp.asarray(ids))[0])
     _assert_logit_parity(got, want, "llama-3.2-1b full-size")
+
+
+def test_gemma2_2b_fullsize_parity():
+    """Gemma-2-2B at real depth/width/heads/kv/head_dim/intermediate — the
+    decoupled head_dim 256 (q/k/v are 2304→2048/1024), query_pre_attn_scalar
+    256 ≠ head_dim, both tanh soft-caps, sandwich norms, and the alternating
+    4096-token window (inert at T=32 but wired) at production scale. Vocab
+    shrunk 256 000 → 2 048 (row-gather only)."""
+    from semanticlens_tpu.models import Gemma2
+
+    VOCAB = 2048
+    torch.manual_seed(2)
+    cfg = transformers.Gemma2Config(
+        vocab_size=VOCAB, hidden_size=2304, intermediate_size=9216,
+        num_hidden_layers=26, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=256, max_position_embeddings=8192, rms_norm_eps=1e-6,
+        rope_theta=10000.0, sliding_window=4096, query_pre_attn_scalar=256,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        hidden_act="gelu_pytorch_tanh", attention_dropout=0.0,
+        attn_implementation="eager")
+    hf = transformers.Gemma2ForCausalLM(cfg).eval()
+    # RMSNorm weights are zero-init (the (1+w) scale starts at identity);
+    # randomize so the (1+w) convention is load-bearing at full depth
+    with torch.no_grad():
+        for n, t in hf.named_parameters():
+            if "layernorm" in n or n.endswith("norm.weight"):
+                t.normal_(0.0, 0.2)
+
+    preset = Gemma2.from_name("gemma-2-2b", dtype=jnp.float32)
+    model = Gemma2(VOCAB, preset.n_positions, preset.width, preset.depth,
+                   preset.heads, preset.kv_heads, preset.intermediate,
+                   head_dim=preset.head_dim, rope_theta=preset.rope_theta,
+                   rms_eps=preset.rms_eps, sliding_window=preset.sliding_window,
+                   query_pre_attn_scalar=preset.query_pre_attn_scalar,
+                   dtype=jnp.float32)
+    assert (model.width, model.depth, model.heads, model.kv_heads,
+            model.head_dim, model.intermediate) == (2304, 26, 8, 4, 256, 9216)
+    params = model.load_torch_state_dict(hf.state_dict())
+
+    ids = np.random.default_rng(2).integers(0, VOCAB, size=(2, 32))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(ids))[0])
+    _assert_logit_parity(got, want, "gemma-2-2b full-size")

@@ -175,3 +175,45 @@ def test_gpt2_param_specs_place(mesh2d):
         == ("model", None)
     # norms/embeddings replicated
     assert sharded["transformer.wte.weight"].sharding.spec == P()
+
+
+def test_gemma2_subject_tp_collect_matches_single_device(mesh2d):
+    """llama_param_specs_2d covers Gemma subjects unchanged (same matmul
+    param names; sandwich norms replicate) — dp×tp GSPMD collect on a
+    Gemma-2 subject equals single-device collect, soft-caps and all."""
+    from semanticlens_tpu.collect.engine import CollectEngine
+    from semanticlens_tpu.data.dataset import ArrayDataset
+    from semanticlens_tpu.models import Gemma2
+    from semanticlens_tpu.ops.aggregators import aggregate_transformer_mean
+    from semanticlens_tpu.parallel import llama_param_specs_2d, shard_params
+
+    model = Gemma2(vocab_size=61, n_positions=16, width=32, depth=2, heads=4,
+                   kv_heads=2, head_dim=8, intermediate=64, sliding_window=5,
+                   dtype=jnp.float32, pad_id=0)
+    params = model.init(jax.random.PRNGKey(0))
+    model.name = "tp-gemma2"
+    rows = np.random.default_rng(4).integers(1, 61, size=(12, 8), dtype=np.int32)
+    layers = ["model.layers.1.mlp.act_fn", "model.layers.0.self_attn.heads"]
+
+    def run(mesh, p):
+        eng = CollectEngine(model=model, layer_names=layers,
+                            aggregation_fn=aggregate_transformer_mean,
+                            n_collect=3, mesh=mesh,
+                            input_preprocess=lambda x: x)
+        states, n = eng.run(p, ArrayDataset(rows, name="toks"), batch_size=4)
+        assert n == 12
+        return states
+
+    want = run(None, params)
+    sharded = shard_params(params, mesh2d, llama_param_specs_2d(model))
+    assert tuple(sharded["model.layers.0.mlp.gate_proj.weight"].sharding.spec) \
+        == (None, "model")
+    assert sharded["model.layers.0.post_feedforward_layernorm.weight"].sharding.spec == P()
+    got = run(mesh2d, sharded)
+    for name in layers:
+        np.testing.assert_array_equal(
+            np.asarray(got[name].ids), np.asarray(want[name].ids), err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(got[name].values, np.float32),
+            np.asarray(want[name].values, np.float32), rtol=2e-2, atol=1e-4,
+            err_msg=name)

@@ -81,6 +81,10 @@ def build_model(args, jnp):
         return models.Llama.from_name(args.variant or "llama-3.2-1b", dtype=dt)
     if args.arch == "qwen2":  # HF qwen2.5-0.5b/-1.5b/-7b
         return models.Qwen2.from_name(args.variant or "qwen2.5-0.5b", dtype=dt)
+    if args.arch == "gemma":  # HF gemma-2b/-7b
+        return models.Gemma.from_name(args.variant or "gemma-2b", dtype=dt)
+    if args.arch == "gemma2":  # HF gemma-2-2b/-9b/-27b
+        return models.Gemma2.from_name(args.variant or "gemma-2-2b", dtype=dt)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -94,7 +98,7 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--seq-len", type=int, default=512,
-                    help="token length for --arch gpt2/llama")
+                    help="token length for --arch gpt2/llama/gemma")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -112,7 +116,7 @@ def main():
     b, n_steps, s = args.batch, args.steps, args.image_size
 
     rng = np.random.default_rng(0)
-    if args.arch in ("gpt2", "llama", "qwen2"):  # token batches; "image" = one sequence
+    if args.arch in ("gpt2", "llama", "qwen2", "gemma", "gemma2"):  # token batches; "image" = one sequence
         s = args.seq_len
         batches = [
             jax.device_put(rng.integers(0, model.vocab_size, size=(b, s), dtype=np.int32))
@@ -178,6 +182,8 @@ def main():
         "gpt2": args.variant or "gpt2",
         "llama": args.variant or "llama-3.2-1b",
         "qwen2": args.variant or "qwen2.5-0.5b",
+        "gemma": args.variant or "gemma-2b",
+        "gemma2": args.variant or "gemma-2-2b",
     }[args.arch]
     print(json.dumps({
         "model": label,

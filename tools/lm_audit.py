@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--evidence", type=int, default=5)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    ap.add_argument("--family", default="gpt2", choices=["gpt2", "llama"],
+    ap.add_argument("--family", default="gpt2", choices=["gpt2", "llama", "gemma2"],
                     help="subject architecture (HF naming conventions)")
     args = ap.parse_args()
 
@@ -58,7 +58,7 @@ def main():
     from semanticlens_tpu.collect import TextActivationComponentVisualizer, TokenTextDataset
     from semanticlens_tpu.core import enable_compilation_cache
     from semanticlens_tpu.foundation_models import OpenClip
-    from semanticlens_tpu.models import GPT2, Llama
+    from semanticlens_tpu.models import GPT2, Gemma2, Llama
     from semanticlens_tpu.relevance.text import token_relevance
 
     enable_compilation_cache()
@@ -80,6 +80,13 @@ def main():
                    depth=args.depth, heads=args.heads,
                    kv_heads=max(1, args.heads // 2), dtype=jnp.float32,
                    pad_id=pad_id)
+        default_layer = f"model.layers.{args.depth - 1}.mlp.act_fn"
+    elif args.family == "gemma2":
+        lm = Gemma2(vocab_size=v, n_positions=args.seq_len, width=args.width,
+                    depth=args.depth, heads=args.heads,
+                    kv_heads=max(1, args.heads // 2),
+                    sliding_window=args.seq_len // 2, dtype=jnp.float32,
+                    pad_id=pad_id)
         default_layer = f"model.layers.{args.depth - 1}.mlp.act_fn"
     else:
         lm = GPT2(vocab_size=v, n_positions=args.seq_len, width=args.width,
