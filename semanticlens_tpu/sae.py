@@ -10,7 +10,7 @@ Monosemanticity). Latent f of the SAE becomes component f of a virtual tap
 machinery unchanged — top-activating examples, CLIP embeddings, text search,
 clarity/polysemanticity scores, CLIP-Dissect naming.
 
-Two SAE flavours, selected by ``SAEConfig.k``:
+Three SAE flavours:
 
 - ``k > 0`` — **TopK SAE** (arXiv:2406.04093): keep the k largest
   pre-activations per row, zero the rest; pure MSE objective, sparsity is
@@ -19,6 +19,13 @@ Two SAE flavours, selected by ``SAEConfig.k``:
 - ``k == 0`` — **ReLU + L1** SAE: ReLU encoder, ``mse + l1_coef * |z|_1``
   objective with unit-norm decoder rows (gradient projected off the radial
   direction, rows renormalized every step).
+- ``jumprelu=True`` — **JumpReLU SAE** (arXiv:2407.14435; the Gemma Scope
+  architecture, arXiv:2408.05147): per-latent learned thresholds θ,
+  ``z = pre · H(pre − θ)``, trained on ``mse + l0_coef · L0(z)`` with the
+  paper's straight-through estimators (rectangle-kernel pseudo-derivatives
+  of width ``ste_eps`` for the θ gradient). Published Gemma Scope
+  dictionaries load via :func:`load_gemma_scope_params` and audit through
+  the standard pipeline.
 
 TPU-native design: the whole optimizer step is one jitted program with the
 (params, opt_state, stats) carry **donated**, and the streaming trainer scans
@@ -73,6 +80,11 @@ class SAEConfig:
         streaming trainer (0 = every position). Conv taps at 224² produce
         ~200k floats per image; subsampling decorrelates rows AND bounds
         memory.
+    jumprelu / l0_coef / ste_eps / init_theta : JumpReLU flavour
+        (requires ``k == 0``): per-latent thresholds ``θ = exp(log_theta)``
+        initialised to ``init_theta``, loss ``mse + l0_coef · E[L0]``,
+        rectangle-kernel STE bandwidth ``ste_eps`` (arXiv:2407.14435 uses
+        0.001 on normalised activations).
     """
 
     d_in: int
@@ -86,21 +98,34 @@ class SAEConfig:
     batch_rows: int = 1024
     positions_per_image: int = 0
     approx_topk: bool = True
+    jumprelu: bool = False
+    l0_coef: float = 6e-4
+    ste_eps: float = 1e-3
+    init_theta: float = 1e-3
     seed: int = 0
+
+    def __post_init__(self):
+        if self.jumprelu and self.k:
+            raise ValueError("jumprelu=True requires k=0 (thresholded, not TopK)")
 
 
 def init_sae(rng, cfg: SAEConfig) -> dict:
     """Decoder rows unit-norm, encoder = decoderᵀ, biases zero — the
     transpose init of arXiv:2406.04093 §A.1 (makes latents approximately
-    reconstruct their own direction at step 0)."""
+    reconstruct their own direction at step 0). JumpReLU adds per-latent
+    ``log_theta`` at ``log(init_theta)``."""
     w = jax.random.normal(rng, (cfg.n_latents, cfg.d_in), jnp.float32)
     w_dec = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
-    return {
+    params = {
         "W_enc": w_dec.T,
         "b_enc": jnp.zeros((cfg.n_latents,), jnp.float32),
         "W_dec": w_dec,
         "b_dec": jnp.zeros((cfg.d_in,), jnp.float32),
     }
+    if cfg.jumprelu:
+        params["log_theta"] = jnp.full(
+            (cfg.n_latents,), float(np.log(cfg.init_theta)), jnp.float32)
+    return params
 
 
 def _topk_mask(pre, k: int):
@@ -128,11 +153,69 @@ def _sparsify(pre, k: int, approx: bool):
     return _topk_mask(pre, k)
 
 
+def _rect_kernel(u):
+    """Rectangle kernel K(u) = 1{|u| ≤ ½} — the arXiv:2407.14435 default."""
+    return (jnp.abs(u) <= 0.5).astype(jnp.float32)
+
+
+@jax.custom_vjp
+def _jumprelu_ste(pre, log_theta, eps):
+    theta = jnp.exp(log_theta)
+    return pre * (pre > theta)
+
+
+def _jumprelu_fwd(pre, log_theta, eps):
+    return _jumprelu_ste(pre, log_theta, eps), (pre, log_theta, eps)
+
+
+def _jumprelu_bwd(res, g):
+    # STE (arXiv:2407.14435 §3): ∂/∂pre is the true a.e. derivative
+    # H(pre−θ); ∂/∂θ uses the kernel pseudo-derivative −(θ/ε)K((pre−θ)/ε),
+    # chained with θ = exp(log_theta).
+    pre, log_theta, eps = res
+    theta = jnp.exp(log_theta)
+    d_pre = g * (pre > theta)
+    d_theta = g * (-(theta / eps) * _rect_kernel((pre - theta) / eps))
+    d_log = (d_theta * theta).reshape(-1, theta.shape[-1]).sum(axis=0)
+    return d_pre, d_log, None
+
+
+_jumprelu_ste.defvjp(_jumprelu_fwd, _jumprelu_bwd)
+
+
+@jax.custom_vjp
+def _l0_ste(pre, log_theta, eps):
+    theta = jnp.exp(log_theta)
+    return (pre > theta).astype(jnp.float32)
+
+
+def _l0_fwd(pre, log_theta, eps):
+    return _l0_ste(pre, log_theta, eps), (pre, log_theta, eps)
+
+
+def _l0_bwd(res, g):
+    # H(pre−θ) is flat a.e. in pre (gradient 0); θ gets the kernel
+    # pseudo-derivative −(1/ε)K((pre−θ)/ε) — this is the ONLY pathway that
+    # teaches thresholds to rise and kill marginal firings.
+    pre, log_theta, eps = res
+    theta = jnp.exp(log_theta)
+    d_theta = g * (-(1.0 / eps) * _rect_kernel((pre - theta) / eps))
+    d_log = (d_theta * theta).reshape(-1, theta.shape[-1]).sum(axis=0)
+    return jnp.zeros_like(pre), d_log, None
+
+
+_l0_ste.defvjp(_l0_fwd, _l0_bwd)
+
+
 def encode(params: Mapping, x, k: int = 0):
-    """Rows (..., d_in) → codes (..., n_latents); TopK when ``k > 0``."""
+    """Rows (..., d_in) → codes (..., n_latents); TopK when ``k > 0``;
+    JumpReLU (``pre · H(pre − exp(log_theta))``) when the dictionary
+    carries per-latent thresholds."""
     pre = (x.astype(jnp.float32) - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
     if k > 0:
         return _topk_mask(pre, k)
+    if "log_theta" in params:
+        return pre * (pre > jnp.exp(params["log_theta"]))
     return jax.nn.relu(pre)
 
 
@@ -153,6 +236,39 @@ def finalize_sae_params(params: Mapping, cfg: SAEConfig) -> dict:
             "k": jnp.asarray(cfg.k, jnp.int32)}
 
 
+def load_gemma_scope_params(arrays: Mapping) -> dict:
+    """Convert a published Gemma Scope dictionary (arXiv:2408.05147) to this
+    module's parameter convention.
+
+    Gemma Scope stores ``W_enc (d_in, n_latents)``, ``b_enc``, ``W_dec
+    (n_latents, d_in)``, ``b_dec``, ``threshold (n_latents,)`` and encodes
+    WITHOUT input centering: ``pre = x @ W_enc + b_enc``. This module's
+    :func:`encode` centers by ``b_dec`` first, so the loader FOLDS the
+    centering into the encoder bias — ``b_enc' = b_enc + b_dec @ W_enc`` —
+    making ``encode`` bit-equivalent to the published convention (tested).
+    Thresholds become ``log_theta`` (JumpReLU dispatch); non-positive
+    thresholds are clamped to a tiny positive ε so the log is finite (a
+    θ ≤ 0 latent fires on every positive pre-activation either way).
+    The returned dict carries ``k = 0``.
+    """
+    w_enc = jnp.asarray(arrays["W_enc"], jnp.float32)
+    b_enc = jnp.asarray(arrays["b_enc"], jnp.float32)
+    w_dec = jnp.asarray(arrays["W_dec"], jnp.float32)
+    b_dec = jnp.asarray(arrays["b_dec"], jnp.float32)
+    theta = jnp.asarray(arrays["threshold"], jnp.float32)
+    if w_enc.shape != w_dec.shape[::-1]:
+        raise ValueError(
+            f"W_enc {tuple(w_enc.shape)} is not W_dec {tuple(w_dec.shape)} transposed")
+    return {
+        "W_enc": w_enc,
+        "b_enc": b_enc + b_dec @ w_enc,
+        "W_dec": w_dec,
+        "b_dec": b_dec,
+        "log_theta": jnp.log(jnp.maximum(theta, 1e-12)),
+        "k": jnp.asarray(0, jnp.int32),
+    }
+
+
 def init_stats(cfg: SAEConfig) -> dict:
     """Per-latent liveness tracking carried through training (int32 so the
     donated carry stays fixed-dtype): steps since each latent last fired."""
@@ -165,11 +281,19 @@ def init_stats(cfg: SAEConfig) -> dict:
 def _loss_fn(params, x, cfg: SAEConfig, last_fired):
     x = x.astype(jnp.float32)
     pre = (x - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
-    z = _sparsify(pre, cfg.k, cfg.approx_topk) if cfg.k > 0 else jax.nn.relu(pre)
+    if cfg.jumprelu:
+        z = _jumprelu_ste(pre, params["log_theta"], cfg.ste_eps)
+    else:
+        z = _sparsify(pre, cfg.k, cfg.approx_topk) if cfg.k > 0 else jax.nn.relu(pre)
     recon = decode(params, z)
     err = recon - x
     mse = jnp.mean(jnp.sum(err * err, axis=-1))
     loss = mse
+    if cfg.jumprelu:
+        # Expected L0 per row; the STE's θ pseudo-gradient is the only
+        # signal pushing thresholds up (arXiv:2407.14435 eq. 9-11).
+        loss = loss + cfg.l0_coef * jnp.mean(
+            jnp.sum(_l0_ste(pre, params["log_theta"], cfg.ste_eps), axis=-1))
     if cfg.k > 0 and cfg.aux_k > 0:
         # AuxK (arXiv:2406.04093 §A.2): top aux_k DEAD latents reconstruct
         # the main residual; gradients flow only through dead latents.
@@ -186,7 +310,7 @@ def _loss_fn(params, x, cfg: SAEConfig, last_fired):
         # With no dead latents z_aux ≡ 0 and aux degrades to ‖err‖² — a
         # constant w.r.t. the dead path but not w.r.t. the main one; gate it.
         loss = loss + cfg.aux_coef * jnp.where(dead.any(), aux, 0.0)
-    if cfg.k == 0:
+    if cfg.k == 0 and not cfg.jumprelu:
         # Norm-weighted L1 (decoder rows are unit-norm by projection, but
         # weighting keeps the objective well-defined between renorms).
         row_norm = jnp.linalg.norm(params["W_dec"], axis=-1)
@@ -231,11 +355,14 @@ def make_train_step(cfg: SAEConfig, optimizer=None):
         (loss, (fired, metrics)), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
         )(params, x, cfg, stats["last_fired"])
-        if cfg.k == 0:
+        # Unit-norm decoder constraint is the ReLU+L1 anti-scale-gaming
+        # device; L0 is scale-invariant so JumpReLU trains unconstrained
+        # (arXiv:2407.14435 trains W_dec freely).
+        if cfg.k == 0 and not cfg.jumprelu:
             grads = _project_decoder(params, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        if cfg.k == 0:
+        if cfg.k == 0 and not cfg.jumprelu:
             params = _renorm_decoder(params)
         stats = {
             "last_fired": jnp.where(fired, 0, stats["last_fired"] + 1),

@@ -330,3 +330,116 @@ def test_approx_topk_training_identical_on_cpu():
         out[flag], _, _ = train_sae_from_rows(x, cfg, steps=40)
     for key in out[True]:
         assert jnp.array_equal(out[True][key], out[False][key]), key
+
+
+# ------------------------------------------------------------------ jumprelu
+def test_jumprelu_encode_thresholds_per_latent():
+    from semanticlens_tpu.sae import load_gemma_scope_params
+
+    cfg = SAEConfig(d_in=8, n_latents=12, k=0, jumprelu=True)
+    params = init_sae(jax.random.PRNGKey(0), cfg)
+    params["log_theta"] = jnp.log(jnp.linspace(0.05, 2.0, 12))
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 8))
+    z = np.asarray(encode(params, x, k=0))
+    pre = np.asarray((x - params["b_dec"]) @ params["W_enc"] + params["b_enc"])
+    theta = np.exp(np.asarray(params["log_theta"]))
+    np.testing.assert_allclose(z, pre * (pre > theta), rtol=1e-6)
+    # sub-threshold positives are zeroed (the ReLU encoder would keep them)
+    assert ((pre > 0) & (pre <= theta)).any()
+    assert (z[(pre > 0) & (pre <= theta)] == 0).all()
+
+
+def test_jumprelu_requires_k_zero():
+    with pytest.raises(ValueError, match="jumprelu"):
+        SAEConfig(d_in=8, n_latents=12, k=4, jumprelu=True)
+
+
+def test_jumprelu_trains_thresholds_and_recovers():
+    """The STE pseudo-gradients are load-bearing: starting from near-zero
+    thresholds (dense firing), the L0 penalty must RAISE thresholds (a path
+    that exists only through the kernel pseudo-derivative — the true
+    gradient of L0 w.r.t. θ is zero a.e.) while reconstruction stays good."""
+    atoms, x = _planted_dictionary()
+    # normalise rows as GDM do (ste_eps is calibrated to unit-scale data)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True).mean()
+    cfg = SAEConfig(d_in=16, n_latents=32, k=0, jumprelu=True, l0_coef=8e-3,
+                    ste_eps=0.2, init_theta=0.02, lr=3e-3, batch_rows=512,
+                    seed=3)
+    params, stats, metrics = train_sae_from_rows(x, cfg, steps=1200)
+    theta = np.exp(np.asarray(params["log_theta"]))
+    assert (theta > 0.04).sum() > 16, "thresholds never moved up — STE dead"
+    assert metrics["fvu"] < 0.1
+    # dense ReLU fires ~26/32 latents on this data; the L0 penalty (whose
+    # only gradient path is the STE) must cut that by >2x toward the true
+    # 3-sparse codes
+    assert metrics["l0"] < 12.0
+    best = _recovery(atoms, params)
+    # Transpose-init JumpReLU aligns slowly on toy data (0.77 mean at 2x the
+    # steps); the bar here checks direction learning happens, not TopK-grade
+    # recovery — fidelity parity at scale is the papers' claim, not toys'.
+    assert best.mean() > 0.65
+
+
+def test_gemma_scope_loader_matches_published_convention():
+    """Published Gemma Scope dictionaries encode WITHOUT b_dec centering;
+    the loader folds the centering into b_enc so our encode/decode are
+    numerically identical to the published recipe."""
+    from semanticlens_tpu.sae import load_gemma_scope_params
+
+    rng = np.random.default_rng(0)
+    d_in, n_lat = 10, 20
+    raw = {
+        "W_enc": rng.normal(size=(d_in, n_lat)).astype(np.float32),
+        "b_enc": rng.normal(size=(n_lat,)).astype(np.float32),
+        "W_dec": rng.normal(size=(n_lat, d_in)).astype(np.float32),
+        "b_dec": rng.normal(size=(d_in,)).astype(np.float32),
+        "threshold": np.abs(rng.normal(size=(n_lat,))).astype(np.float32) + 0.01,
+    }
+    params = load_gemma_scope_params(raw)
+    assert int(params["k"]) == 0
+
+    x = rng.normal(size=(5, d_in)).astype(np.float32)
+    # reference: the published Gemma Scope forward
+    pre = x @ raw["W_enc"] + raw["b_enc"]
+    z_ref = pre * (pre > raw["threshold"])
+    recon_ref = z_ref @ raw["W_dec"] + raw["b_dec"]
+
+    z = np.asarray(encode(params, jnp.asarray(x), k=0))
+    np.testing.assert_allclose(z, z_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(decode(params, jnp.asarray(z))), recon_ref, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="transposed"):
+        load_gemma_scope_params({**raw, "W_dec": raw["W_dec"][:, :-1]})
+
+
+def test_jumprelu_dictionary_through_sae_subject_model():
+    """A JumpReLU dictionary (Gemma Scope convention) audits through the
+    standard pipeline: SAESubjectModel exposes the virtual tap with the
+    thresholded codes."""
+    from semanticlens_tpu.models import GPT2
+    from semanticlens_tpu.sae import SAESubjectModel, load_gemma_scope_params
+
+    lm = GPT2(vocab_size=61, n_positions=8, width=16, depth=1, heads=2,
+              dtype=jnp.float32)
+    base_params = lm.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    d_in, n_lat = 64, 24  # the mlp.act tap is 4x width
+    raw = {
+        "W_enc": rng.normal(size=(d_in, n_lat)).astype(np.float32),
+        "b_enc": np.zeros(n_lat, np.float32),
+        "W_dec": rng.normal(size=(n_lat, d_in)).astype(np.float32),
+        "b_dec": np.zeros(d_in, np.float32),
+        "threshold": np.full(n_lat, 0.1, np.float32),
+    }
+    sae_params = load_gemma_scope_params(raw)
+    layer = "transformer.h.0.mlp.act"
+    subject = SAESubjectModel(lm, layer, sae_params, base_params=base_params)
+    ids = jnp.asarray(rng.integers(0, 61, size=(2, 8)))
+    _, taps = subject.apply(subject.params, ids, (subject.sae_tap,))
+    codes = np.asarray(taps[subject.sae_tap])
+    assert codes.shape == (2, 8, n_lat)
+    # codes obey the threshold semantics
+    _, base_taps = lm.apply(base_params, ids, (layer,))
+    want = np.asarray(encode(sae_params, base_taps[layer], k=0))
+    np.testing.assert_allclose(codes, want, rtol=1e-5, atol=1e-6)

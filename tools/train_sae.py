@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--latents", type=int, default=8192)
     ap.add_argument("--k", type=int, default=32, help="TopK sparsity; 0 = ReLU+L1")
     ap.add_argument("--aux-k", type=int, default=256)
+    ap.add_argument("--jumprelu", action="store_true",
+                    help="JumpReLU flavour (requires --k 0): learned per-latent "
+                         "thresholds, mse + l0_coef*L0 with STE gradients")
+    ap.add_argument("--l0-coef", type=float, default=6e-4)
+    ap.add_argument("--ste-eps", type=float, default=1e-3)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=256, help="images per extraction batch")
     ap.add_argument("--batch-rows", type=int, default=4096, help="rows per optimizer step")
@@ -86,6 +91,7 @@ def main():
     cfg = SAEConfig(
         d_in=d_in, n_latents=args.latents, k=args.k,
         aux_k=args.aux_k if args.k else 0, lr=args.lr,
+        jumprelu=args.jumprelu, l0_coef=args.l0_coef, ste_eps=args.ste_eps,
         batch_rows=args.batch_rows, positions_per_image=args.positions, seed=0,
     )
 
@@ -107,6 +113,7 @@ def main():
         np.savez(args.out, **{k: np.asarray(v) for k, v in sae_params.items()})
     print(json.dumps({
         "layer": args.layer, "d_in": d_in, "latents": args.latents, "k": args.k,
+        "jumprelu": args.jumprelu,
         "steps": steps, "rows_per_step": cfg.batch_rows,
         "wall_s": round(wall, 2),
         "steps_per_s": round(steps / wall, 2),
