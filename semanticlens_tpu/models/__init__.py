@@ -12,6 +12,7 @@ from semanticlens_tpu.models.llama import Llama, Qwen2
 from semanticlens_tpu.models.maxvit import MaxViT
 from semanticlens_tpu.models.mnasnet import MNASNet
 from semanticlens_tpu.models.mobilenet import MobileNetV2, MobileNetV3
+from semanticlens_tpu.models.phi import Phi3
 from semanticlens_tpu.models.regnet import RegNet
 from semanticlens_tpu.models.resnet import ResNet
 from semanticlens_tpu.models.shufflenet import ShuffleNetV2
@@ -27,7 +28,7 @@ __all__ = [
     "MobileNetV2", "MobileNetV3", "GoogLeNet", "InceptionV3", "SwinTransformer",
     "SwinTransformerV2",
     "RegNet", "ShuffleNetV2", "AlexNet", "SqueezeNet", "MNASNet", "MaxViT",
-    "GPT2", "Llama", "Qwen2", "Gemma", "Gemma2", "TorchSubjectModel",
+    "GPT2", "Llama", "Qwen2", "Gemma", "Gemma2", "Phi3", "TorchSubjectModel",
 ]
 
 from semanticlens_tpu.models.flax_adapter import FlaxSubjectModel  # noqa: E402

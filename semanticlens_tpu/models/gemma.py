@@ -37,21 +37,13 @@ nonlinearity the fused kernel doesn't model) and XLA fuses it.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
-
-import jax
 import jax.numpy as jnp
 
-from semanticlens_tpu.models.base import TapCollector
 from semanticlens_tpu.models.layers import (
-    attn_out_projection,
     channel_scale,
-    gate_scale,
     gelu,
-    linear,
     residual_add,
     rms_norm,
-    scaled_dot_product_attention,
 )
 from semanticlens_tpu.models.llama import Llama
 
@@ -94,125 +86,28 @@ class Gemma(Llama):
         """(1 + w)-scaled RMSNorm — HF GemmaRMSNorm, zero-init weights."""
         return rms_norm(h, params[f"{name}.weight"] + 1.0, eps=self.rms_eps)
 
-    def _layer_window(self, i: int) -> int | None:
-        return self.sliding_window
+    _norm_init = "zeros"
 
-    def _param_specs(self):
+    def _block_param_specs(self, p: str) -> list:
+        # No attention_bias variant in the Gemma family.
         w, hd = self.width, self.head_dim
-        specs = [("model.embed_tokens.weight", (self.vocab_size, w), "embed")]
-        for i in range(self.depth):
-            p = f"model.layers.{i}"
-            specs += [(f"{p}.{n}.weight", (w,), "zeros") for n in self._norm_names]
-            specs += [
-                (f"{p}.self_attn.q_proj.weight", (w, self.heads * hd), "linear"),
-                (f"{p}.self_attn.k_proj.weight", (w, self.kv_heads * hd), "linear"),
-                (f"{p}.self_attn.v_proj.weight", (w, self.kv_heads * hd), "linear"),
-                (f"{p}.self_attn.o_proj.weight", (self.heads * hd, w), "linear"),
-                (f"{p}.mlp.gate_proj.weight", (w, self.intermediate), "linear"),
-                (f"{p}.mlp.up_proj.weight", (w, self.intermediate), "linear"),
-                (f"{p}.mlp.down_proj.weight", (self.intermediate, w), "linear"),
-            ]
-        specs.append(("model.norm.weight", (w,), "zeros"))
-        if not self.tie_word_embeddings:
-            specs.append(("lm_head.weight", (w, self.vocab_size), "linear"))
-        return specs
+        return [
+            (f"{p}.self_attn.q_proj.weight", (w, self.heads * hd), "linear"),
+            (f"{p}.self_attn.k_proj.weight", (w, self.kv_heads * hd), "linear"),
+            (f"{p}.self_attn.v_proj.weight", (w, self.kv_heads * hd), "linear"),
+            (f"{p}.self_attn.o_proj.weight", (self.heads * hd, w), "linear"),
+            (f"{p}.mlp.gate_proj.weight", (w, self.intermediate), "linear"),
+            (f"{p}.mlp.up_proj.weight", (w, self.intermediate), "linear"),
+            (f"{p}.mlp.down_proj.weight", (self.intermediate, w), "linear"),
+        ]
 
-    _norm_names = ("input_layernorm", "post_attention_layernorm")
-
-    def _enumerate_module_names(self):
-        names = ["model", "model.embed_tokens", "model.layers"]
-        for i in range(self.depth):
-            p = f"model.layers.{i}"
-            names += [p] + [f"{p}.{n}" for n in self._norm_names] + [
-                f"{p}.self_attn",
-                f"{p}.self_attn.q_proj",
-                f"{p}.self_attn.k_proj",
-                f"{p}.self_attn.v_proj",
-                f"{p}.self_attn.heads",
-                f"{p}.self_attn.o_proj",
-                f"{p}.mlp",
-                f"{p}.mlp.gate_proj",
-                f"{p}.mlp.up_proj",
-                f"{p}.mlp.act_fn",
-                f"{p}.mlp.down_proj",
-            ]
-        names += ["model.norm", "lm_head"]
-        return names
-
-    def _attention(self, tap, params, p, n1, mask, cos, sin):
-        """One attention block body: q/k/v → RoPE → SDPA → o_proj (+heads tap)."""
-        q = tap(f"{p}.self_attn.q_proj", linear(n1, params[f"{p}.self_attn.q_proj.weight"]))
-        k = tap(f"{p}.self_attn.k_proj", linear(n1, params[f"{p}.self_attn.k_proj.weight"]))
-        v = tap(f"{p}.self_attn.v_proj", linear(n1, params[f"{p}.self_attn.v_proj.weight"]))
-        q = self._apply_rope(q, cos, sin)
-        k = self._apply_rope(k, cos, sin)
-        a = scaled_dot_product_attention(
-            q, k, v, self.heads, mask=mask, n_kv_heads=self.kv_heads,
-            **self._attn_kwargs())
-        a = attn_out_projection(
-            tap, f"{p}.self_attn.heads", f"{p}.self_attn.o_proj", a,
-            params[f"{p}.self_attn.o_proj.weight"], None, self.heads)
-        return tap(f"{p}.self_attn", a)
-
-    def _mlp(self, tap, params, p, n2):
-        g = tap(f"{p}.mlp.gate_proj", linear(n2, params[f"{p}.mlp.gate_proj.weight"]))
-        u = tap(f"{p}.mlp.up_proj", linear(n2, params[f"{p}.mlp.up_proj.weight"]))
-        act = tap(f"{p}.mlp.act_fn", self._mlp_act(g))
-        m = gate_scale(u, act)
-        m = tap(f"{p}.mlp.down_proj", linear(m, params[f"{p}.mlp.down_proj.weight"]))
-        return tap(f"{p}.mlp", m)
-
-    def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
-        """(B, T) int tokens → (logits (B, T, V), taps). Token taps (B, T, C)."""
-        tap = TapCollector(tap_names)
-        ids = x.astype(jnp.int32)
-        b, t = ids.shape
-        if t > self.n_positions:
-            raise ValueError(f"sequence length {t} exceeds n_positions {self.n_positions}")
-
-        wte = params["model.embed_tokens.weight"].astype(self.dtype)
-        # embedding normalizer: √width in the activation dtype (HF casts the
-        # scalar to hidden_states.dtype before multiplying). channel_scale
-        # carries the ε rule so a constant scaling conserves relevance —
-        # raw autograd would multiply every token's relevance by √width.
+    def _embed(self, tap, params, ids):
+        # embedding normalizer: sqrt(width) in the activation dtype (HF casts
+        # the scalar to hidden_states.dtype before multiplying). channel_scale
+        # carries the eps rule so a constant scaling conserves relevance -
+        # raw autograd would multiply every token's relevance by sqrt(width).
         normalizer = jnp.asarray(self.width**0.5, self.dtype)
-        h = channel_scale(tap("model.embed_tokens", wte[ids]), normalizer)
-
-        windows = sorted({self._layer_window(i) for i in range(self.depth)},
-                         key=lambda w: (w is None, w))
-        masks = {}
-        for win in windows:
-            masks[win], cos, sin = self._mask_and_rope(ids, t, win)
-
-        for i in range(self.depth):
-            p = f"model.layers.{i}"
-            mask = masks[self._layer_window(i)]
-            n1 = self._norm_tapped(tap, params, f"{p}.input_layernorm", h)
-            a = self._attention(tap, params, p, n1, mask, cos, sin)
-            h = self._post_attention(tap, params, p, h, a)
-            h = self._feed_forward(tap, params, p, h)
-            h = tap(p, h)
-        h = tap("model.layers", h)
-
-        h = self._norm_tapped(tap, params, "model.norm", h)
-        h = tap("model", h)
-        head_w = (wte.T if self.tie_word_embeddings else params["lm_head.weight"])
-        logits = tap("lm_head", linear(h, head_w))
-        return self._cap_logits(logits), tap.taps
-
-    def _norm_tapped(self, tap, params, name, h):
-        return tap(name, self._norm(h, params, name))
-
-    def _post_attention(self, tap, params, p, h, a):
-        """Gemma 1: pre-norm residual — attention output adds straight back."""
-        return residual_add(h, a)
-
-    def _feed_forward(self, tap, params, p, h):
-        n2 = self._norm_tapped(tap, params, f"{p}.post_attention_layernorm", h)
-        return residual_add(h, self._mlp(tap, params, p, n2))
-
-    def _cap_logits(self, logits):
-        return logits
+        return channel_scale(super()._embed(tap, params, ids), normalizer)
 
 
 class Gemma2(Gemma):
@@ -231,7 +126,6 @@ class Gemma2(Gemma):
 
     _norm_names = ("input_layernorm", "post_attention_layernorm",
                    "pre_feedforward_layernorm", "post_feedforward_layernorm")
-
     # HF zoo: name → ctor kwargs (pinned from the checkpoints' config.json)
     _HF_VARIANTS = {
         "gemma-2-2b": dict(

@@ -172,58 +172,69 @@ class Llama(SubjectModel):
             raise ValueError(f"name must be one of {sorted(cls._HF_VARIANTS)}, got {name!r}")
         return cls(**cls._HF_VARIANTS[name], dtype=dtype, pad_id=pad_id)
 
+    # Per-layer RMSNorm module names + their init kind (subclass knobs:
+    # Gemma adds sandwich norms and zero-init (1+w) scales).
+    _norm_names = ("input_layernorm", "post_attention_layernorm")
+    _norm_init = "ones"
+
     # ----------------------------------------------------------------- names
     def _enumerate_module_names(self):
         names = ["model", "model.embed_tokens", "model.layers"]
         for i in range(self.depth):
             p = f"model.layers.{i}"
-            names += [
-                p,
-                f"{p}.input_layernorm",
-                f"{p}.self_attn",
-                f"{p}.self_attn.q_proj",
-                f"{p}.self_attn.k_proj",
-                f"{p}.self_attn.v_proj",
-                f"{p}.self_attn.heads",
-                f"{p}.self_attn.o_proj",
-                f"{p}.post_attention_layernorm",
-                f"{p}.mlp",
-                f"{p}.mlp.gate_proj",
-                f"{p}.mlp.up_proj",
-                f"{p}.mlp.act_fn",
-                f"{p}.mlp.down_proj",
-            ]
+            names += [p] + [f"{p}.{n}" for n in self._norm_names]
+            names += self._block_module_names(p)
         names += ["model.norm", "lm_head"]
         return names
 
+    def _block_module_names(self, p: str) -> list[str]:
+        return [
+            f"{p}.self_attn",
+            f"{p}.self_attn.q_proj",
+            f"{p}.self_attn.k_proj",
+            f"{p}.self_attn.v_proj",
+            f"{p}.self_attn.heads",
+            f"{p}.self_attn.o_proj",
+            f"{p}.mlp",
+            f"{p}.mlp.gate_proj",
+            f"{p}.mlp.up_proj",
+            f"{p}.mlp.act_fn",
+            f"{p}.mlp.down_proj",
+        ]
+
     # ----------------------------------------------------------------- specs
     def _param_specs(self):
-        w, hd = self.width, self.head_dim
+        w = self.width
         specs = [("model.embed_tokens.weight", (self.vocab_size, w), "embed")]
         for i in range(self.depth):
             p = f"model.layers.{i}"
-            specs += [
-                (f"{p}.input_layernorm.weight", (w,), "ones"),
-                (f"{p}.self_attn.q_proj.weight", (w, self.heads * hd), "linear"),
-                (f"{p}.self_attn.k_proj.weight", (w, self.kv_heads * hd), "linear"),
-                (f"{p}.self_attn.v_proj.weight", (w, self.kv_heads * hd), "linear"),
-                (f"{p}.self_attn.o_proj.weight", (self.heads * hd, w), "linear"),
-            ]
-            if self.attention_bias:  # Qwen2-style q/k/v biases (o_proj: none)
-                specs += [
-                    (f"{p}.self_attn.q_proj.bias", (self.heads * hd,), "zeros"),
-                    (f"{p}.self_attn.k_proj.bias", (self.kv_heads * hd,), "zeros"),
-                    (f"{p}.self_attn.v_proj.bias", (self.kv_heads * hd,), "zeros"),
-                ]
-            specs += [
-                (f"{p}.post_attention_layernorm.weight", (w,), "ones"),
-                (f"{p}.mlp.gate_proj.weight", (w, self.intermediate), "linear"),
-                (f"{p}.mlp.up_proj.weight", (w, self.intermediate), "linear"),
-                (f"{p}.mlp.down_proj.weight", (self.intermediate, w), "linear"),
-            ]
-        specs.append(("model.norm.weight", (w,), "ones"))
+            specs += [(f"{p}.{n}.weight", (w,), self._norm_init)
+                      for n in self._norm_names]
+            specs += self._block_param_specs(p)
+        specs.append(("model.norm.weight", (w,), self._norm_init))
         if not self.tie_word_embeddings:
             specs.append(("lm_head.weight", (w, self.vocab_size), "linear"))
+        return specs
+
+    def _block_param_specs(self, p: str) -> list:
+        w, hd = self.width, self.head_dim
+        specs = [
+            (f"{p}.self_attn.q_proj.weight", (w, self.heads * hd), "linear"),
+            (f"{p}.self_attn.k_proj.weight", (w, self.kv_heads * hd), "linear"),
+            (f"{p}.self_attn.v_proj.weight", (w, self.kv_heads * hd), "linear"),
+            (f"{p}.self_attn.o_proj.weight", (self.heads * hd, w), "linear"),
+        ]
+        if self.attention_bias:  # Qwen2-style q/k/v biases (o_proj: none)
+            specs += [
+                (f"{p}.self_attn.q_proj.bias", (self.heads * hd,), "zeros"),
+                (f"{p}.self_attn.k_proj.bias", (self.kv_heads * hd,), "zeros"),
+                (f"{p}.self_attn.v_proj.bias", (self.kv_heads * hd,), "zeros"),
+            ]
+        specs += [
+            (f"{p}.mlp.gate_proj.weight", (w, self.intermediate), "linear"),
+            (f"{p}.mlp.up_proj.weight", (w, self.intermediate), "linear"),
+            (f"{p}.mlp.down_proj.weight", (self.intermediate, w), "linear"),
+        ]
         return specs
 
     def init(self, rng) -> dict[str, jax.Array]:
@@ -293,6 +304,79 @@ class Llama(SubjectModel):
             mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
         return mask, cos, sin
 
+    # ------------------------------------------------------------ block hooks
+    # Subclasses specialize these (Gemma/Gemma2/Phi3); the `apply` skeleton
+    # is shared across the whole decoder-LM zoo.
+    def _embed(self, tap, params, ids):
+        wte = params["model.embed_tokens.weight"].astype(self.dtype)
+        return tap("model.embed_tokens", wte[ids])
+
+    def _norm(self, h, params, name):
+        return rms_norm(h, params[f"{name}.weight"], eps=self.rms_eps)
+
+    def _norm_tapped(self, tap, params, name, h):
+        return tap(name, self._norm(h, params, name))
+
+    def _attn_kwargs(self) -> dict:
+        """Extra scaled_dot_product_attention kwargs (Gemma 2: scale/cap)."""
+        return {}
+
+    def _mlp_act(self, g):
+        return silu(g)
+
+    def _layer_window(self, i: int) -> int | None:
+        return self.sliding_window
+
+    def _qkv(self, tap, params, p, n1):
+        """Project to (q, k, v) — HF module-output taps, pre-RoPE."""
+        def attn_bias(which):
+            return params.get(f"{p}.self_attn.{which}.bias") if self.attention_bias else None
+
+        q = tap(f"{p}.self_attn.q_proj", linear(
+            n1, params[f"{p}.self_attn.q_proj.weight"], attn_bias("q_proj")))
+        k = tap(f"{p}.self_attn.k_proj", linear(
+            n1, params[f"{p}.self_attn.k_proj.weight"], attn_bias("k_proj")))
+        v = tap(f"{p}.self_attn.v_proj", linear(
+            n1, params[f"{p}.self_attn.v_proj.weight"], attn_bias("v_proj")))
+        return q, k, v
+
+    def _attention(self, tap, params, p, n1, mask, cos, sin):
+        q, k, v = self._qkv(tap, params, p, n1)
+        q = self._apply_rope(q, cos, sin)
+        k = self._apply_rope(k, cos, sin)
+        a = scaled_dot_product_attention(
+            q, k, v, self.heads, mask=mask, n_kv_heads=self.kv_heads,
+            **self._attn_kwargs())
+        # virtual per-HEAD components "{p}.self_attn.heads": ‖head h's
+        # residual-stream contribution‖ per token — same contract as
+        # GPT2's "…attn.heads" tap; interventions rescale each head's
+        # contribution (layers.attn_out_projection).
+        a = attn_out_projection(
+            tap, f"{p}.self_attn.heads", f"{p}.self_attn.o_proj", a,
+            params[f"{p}.self_attn.o_proj.weight"], None, self.heads)
+        return tap(f"{p}.self_attn", a)
+
+    def _post_attention(self, tap, params, p, h, a):
+        """Pre-norm residual: attention output adds straight back."""
+        return residual_add(h, a)
+
+    def _mlp(self, tap, params, p, n2):
+        g = tap(f"{p}.mlp.gate_proj", linear(n2, params[f"{p}.mlp.gate_proj.weight"]))
+        u = tap(f"{p}.mlp.up_proj", linear(n2, params[f"{p}.mlp.up_proj.weight"]))
+        act = tap(f"{p}.mlp.act_fn", self._mlp_act(g))
+        # gated product: under LRP the gate activation is a constant and
+        # relevance rides the up_proj branch (module docstring)
+        m = gate_scale(u, act)
+        m = tap(f"{p}.mlp.down_proj", linear(m, params[f"{p}.mlp.down_proj.weight"]))
+        return tap(f"{p}.mlp", m)
+
+    def _feed_forward(self, tap, params, p, h):
+        n2 = self._norm_tapped(tap, params, f"{p}.post_attention_layernorm", h)
+        return residual_add(h, self._mlp(tap, params, p, n2))
+
+    def _cap_logits(self, logits):
+        return logits
+
     # ----------------------------------------------------------------- apply
     def apply(self, params: Mapping, x, tap_names: Sequence[str] = ()):
         """(B, T) int tokens → (logits (B, T, V), taps). Token taps (B, T, C)."""
@@ -302,57 +386,29 @@ class Llama(SubjectModel):
         if t > self.n_positions:
             raise ValueError(f"sequence length {t} exceeds n_positions {self.n_positions}")
 
-        wte = params["model.embed_tokens.weight"].astype(self.dtype)
-        h = tap("model.embed_tokens", wte[ids])
-        mask, cos, sin = self._mask_and_rope(ids, t, self.sliding_window)
+        h = self._embed(tap, params, ids)
+        windows = sorted({self._layer_window(i) for i in range(self.depth)},
+                         key=lambda w: (w is None, w))
+        masks = {}
+        for win in windows:
+            masks[win], cos, sin = self._mask_and_rope(ids, t, win)
 
         for i in range(self.depth):
             p = f"model.layers.{i}"
-            n1 = tap(f"{p}.input_layernorm", rms_norm(
-                h, params[f"{p}.input_layernorm.weight"], eps=self.rms_eps))
-            # q/k/v taps are the HF module outputs: pre-RoPE projections
-            def attn_bias(which):
-                return params.get(f"{p}.self_attn.{which}.bias") if self.attention_bias else None
-
-            q = tap(f"{p}.self_attn.q_proj", linear(
-                n1, params[f"{p}.self_attn.q_proj.weight"], attn_bias("q_proj")))
-            k = tap(f"{p}.self_attn.k_proj", linear(
-                n1, params[f"{p}.self_attn.k_proj.weight"], attn_bias("k_proj")))
-            v = tap(f"{p}.self_attn.v_proj", linear(
-                n1, params[f"{p}.self_attn.v_proj.weight"], attn_bias("v_proj")))
-            q = self._apply_rope(q, cos, sin)
-            k = self._apply_rope(k, cos, sin)
-            a = scaled_dot_product_attention(
-                q, k, v, self.heads, mask=mask, n_kv_heads=self.kv_heads)
-            # virtual per-HEAD components "{p}.self_attn.heads": ‖head h's
-            # residual-stream contribution‖ per token — same contract as
-            # GPT2's "…attn.heads" tap; interventions rescale each head's
-            # contribution (layers.attn_out_projection).
-            a = attn_out_projection(
-                tap, f"{p}.self_attn.heads", f"{p}.self_attn.o_proj", a,
-                params[f"{p}.self_attn.o_proj.weight"], None, self.heads)
-            a = tap(f"{p}.self_attn", a)
-            h = residual_add(h, a)
-            n2 = tap(f"{p}.post_attention_layernorm", rms_norm(
-                h, params[f"{p}.post_attention_layernorm.weight"], eps=self.rms_eps))
-            g = tap(f"{p}.mlp.gate_proj", linear(n2, params[f"{p}.mlp.gate_proj.weight"]))
-            u = tap(f"{p}.mlp.up_proj", linear(n2, params[f"{p}.mlp.up_proj.weight"]))
-            act = tap(f"{p}.mlp.act_fn", silu(g))
-            # SwiGLU product: under LRP the silu gate is a constant and
-            # relevance rides the up_proj branch (module docstring)
-            m = gate_scale(u, act)
-            m = tap(f"{p}.mlp.down_proj", linear(m, params[f"{p}.mlp.down_proj.weight"]))
-            m = tap(f"{p}.mlp", m)
-            h = residual_add(h, m)
+            mask = masks[self._layer_window(i)]
+            n1 = self._norm_tapped(tap, params, f"{p}.input_layernorm", h)
+            a = self._attention(tap, params, p, n1, mask, cos, sin)
+            h = self._post_attention(tap, params, p, h, a)
+            h = self._feed_forward(tap, params, p, h)
             h = tap(p, h)
         h = tap("model.layers", h)
 
-        h = tap("model.norm", rms_norm(h, params["model.norm.weight"], eps=self.rms_eps))
+        h = self._norm_tapped(tap, params, "model.norm", h)
         h = tap("model", h)
-        head_w = (wte.T if self.tie_word_embeddings
-                  else params["lm_head.weight"])
+        head_w = (params["model.embed_tokens.weight"].astype(self.dtype).T
+                  if self.tie_word_embeddings else params["lm_head.weight"])
         logits = tap("lm_head", linear(h, head_w))
-        return logits, tap.taps
+        return self._cap_logits(logits), tap.taps
 
     # ------------------------------------------------------------------ load
     def load_torch_state_dict(self, state_dict) -> dict[str, jax.Array]:

@@ -9,6 +9,7 @@ from semanticlens_tpu.parallel.multihost import (
 from semanticlens_tpu.parallel.tensor_parallel import (
     clip_param_specs_2d,
     gpt2_param_specs_2d,
+    phi3_param_specs_2d,
     llama_param_specs_2d,
     shard_clip_params,
     shard_params,
@@ -22,6 +23,7 @@ __all__ = [
     "siglip_param_specs_2d",
     "llama_param_specs_2d",
     "gpt2_param_specs_2d",
+    "phi3_param_specs_2d",
     "collect_multihost",
     "fused_multihost",
     "gather_selected_rows",

@@ -97,6 +97,25 @@ def llama_param_specs_2d(model, *, model_axis: str = "model") -> dict[str, P]:
     return specs
 
 
+def phi3_param_specs_2d(model, *, model_axis: str = "model") -> dict[str, P]:
+    """PartitionSpecs for a :class:`~semanticlens_tpu.models.phi.Phi3` subject.
+
+    The fused ``qkv_proj`` (D, (H+2KV)·hd) and ``gate_up_proj`` (D, 2I)
+    shard their output dims; like GPT-2's ``c_attn``, the forward's split
+    boundaries align with shard tiles only for friendly tp values, and XLA
+    inserts one resharding collective otherwise. ``o_proj``/``down_proj``
+    are row-parallel.
+    """
+    specs: dict[str, P] = {}
+    for i in range(model.depth):
+        p = f"model.layers.{i}"
+        specs[f"{p}.self_attn.qkv_proj.weight"] = P(None, model_axis)
+        specs[f"{p}.mlp.gate_up_proj.weight"] = P(None, model_axis)
+        specs[f"{p}.self_attn.o_proj.weight"] = P(model_axis, None)
+        specs[f"{p}.mlp.down_proj.weight"] = P(model_axis, None)
+    return specs
+
+
 def gpt2_param_specs_2d(model, *, model_axis: str = "model") -> dict[str, P]:
     """PartitionSpecs for a :class:`~semanticlens_tpu.models.gpt.GPT2` subject.
 

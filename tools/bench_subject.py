@@ -85,6 +85,8 @@ def build_model(args, jnp):
         return models.Gemma.from_name(args.variant or "gemma-2b", dtype=dt)
     if args.arch == "gemma2":  # HF gemma-2-2b/-9b/-27b
         return models.Gemma2.from_name(args.variant or "gemma-2-2b", dtype=dt)
+    if args.arch == "phi3":  # HF phi-3-mini-4k/-medium-4k
+        return models.Phi3.from_name(args.variant or "phi-3-mini-4k", dtype=dt)
     raise SystemExit(f"unknown arch {args.arch}")
 
 
@@ -116,7 +118,7 @@ def main():
     b, n_steps, s = args.batch, args.steps, args.image_size
 
     rng = np.random.default_rng(0)
-    if args.arch in ("gpt2", "llama", "qwen2", "gemma", "gemma2"):  # token batches; "image" = one sequence
+    if args.arch in ("gpt2", "llama", "qwen2", "gemma", "gemma2", "phi3"):  # token batches; "image" = one sequence
         s = args.seq_len
         batches = [
             jax.device_put(rng.integers(0, model.vocab_size, size=(b, s), dtype=np.int32))
@@ -184,6 +186,7 @@ def main():
         "qwen2": args.variant or "qwen2.5-0.5b",
         "gemma": args.variant or "gemma-2b",
         "gemma2": args.variant or "gemma-2-2b",
+        "phi3": args.variant or "phi-3-mini-4k",
     }[args.arch]
     print(json.dumps({
         "model": label,
