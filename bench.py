@@ -6,8 +6,20 @@ foundation-model forward pass) — executed the TPU-native way: uint8 batches
 upload once, are normalized on device, and feed BOTH models in a single fused
 pass; the top-k state lives in HBM; embeddings come back in one readback.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "imgs/s/chip", "vs_baseline": N}
+Budget-safe protocol (the driver records whatever JSON line appears LAST on
+stdout, so every intermediate print is itself a complete, valid result):
+
+1. The core end-to-end measurement runs FIRST and its JSON line is printed
+   immediately — a degraded tunnel or driver timeout after this point still
+   leaves a recorded number.
+2. Optional stages (device-compute ceilings, real-data path, serving latency,
+   CPU baselines) each run only if the remaining wall-clock budget allows,
+   and each failure is caught — after every stage the full merged JSON line
+   is re-printed, so being killed mid-extras loses only the unfinished extra.
+3. ``SL_BENCH_BUDGET_S`` (default 540 s) bounds total wall-clock.
+
+Prints (possibly several times, last one wins) ONE JSON line:
+    {"metric": ..., "value": N, "unit": "imgs/s/chip", "vs_baseline": N, ...}
 
 The reference publishes no numbers (BASELINE.md: "this repo establishes the
 number"), so ``vs_baseline`` is a MEASURED ratio against the reference's own
@@ -15,13 +27,25 @@ pipeline (its ActMaxCache hook machinery driving torch ResNet-50 + a torch
 CLIP ViT-B/32 sweep, tools/ref_baseline.py) run on this host's only torch
 device — the CPU. The ratio therefore folds in the TPU-vs-1-core-CPU hardware
 gap, not just framework overheads; the detail dict labels it as such and
-carries the raw baseline measurement. The measurement is cached in
-REF_BASELINE.json so repeat bench runs don't re-pay the torch sweep.
+carries the raw baseline measurement. Baseline measurements are cached in
+REF_BASELINE.json / SELF_BASELINE.json, which are COMMITTED: a driver
+container whose host fingerprint matches pays nothing; a different host
+re-measures (the host check stops a foreign cache from masquerading as a
+local measurement).
+
+Because the end-to-end number rides the host→device tunnel (observed 7–17
+MB/s swings across rounds on identical code, docs/PERF_NOTES.md), the
+stable, design-attributable rates are first-class top-level fields the
+driver can trend across rounds:
+  - ``fused_compute_imgs_per_s``  — both networks chained on-device (ceiling)
+  - ``sustained_imagenet_scale_imgs_per_s`` — last measured
+    tools/bench_imagenet_scale.py sustained rate (1.28M samples, round 2).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -36,7 +60,21 @@ import jax.numpy as jnp
 from semanticlens_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
 
 _REF_CACHE = Path(__file__).resolve().parent / "REF_BASELINE.json"
+_SELF_CACHE = Path(__file__).resolve().parent / "SELF_BASELINE.json"
 _REF_N, _REF_BATCH = 64, 16
+
+_START = time.perf_counter()
+_BUDGET_S = float(os.environ.get("SL_BENCH_BUDGET_S", "540"))
+
+# Measured once at ImageNet scale (tools/bench_imagenet_scale.py, round 2:
+# 1,282,048 samples, 237 s wall on one chip — docs/PERF_NOTES.md:116-128).
+# Re-run that tool to refresh; carried here so the driver's trend line has
+# the transport-independent sustained rate even on short budgets.
+_SUSTAINED_IMAGENET_SCALE = 5400.0
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.perf_counter() - _START)
 
 
 def _host_id() -> str:
@@ -48,35 +86,70 @@ def _host_id() -> str:
     return f"{platform.node()}-{platform.machine()}-{os.cpu_count()}cpu"
 
 
-def measure_reference_baseline() -> dict:
-    """Measured reference-pipeline throughput on this host (cached per host —
-    a committed cache from a different machine must not masquerade as a local
-    measurement)."""
-    if _REF_CACHE.exists():
-        try:
-            cached = json.loads(_REF_CACHE.read_text())
-            if (
-                cached.get("n_images") == _REF_N
-                and cached.get("ref_imgs_per_s", 0) > 0
-                and cached.get("host") == _host_id()
-            ):
-                return cached
-        except (json.JSONDecodeError, OSError):
-            pass
-    tool = Path(__file__).resolve().parent / "tools" / "ref_baseline.py"
+def _load_cached_baseline(path: Path, rate_key: str) -> dict | None:
+    """Committed-or-local cache, accepted only when the host fingerprint
+    matches this machine."""
+    if not path.exists():
+        return None
+    try:
+        cached = json.loads(path.read_text())
+    except (json.JSONDecodeError, OSError):
+        return None
+    if (
+        cached.get("n_images") == _REF_N
+        and cached.get(rate_key, 0)
+        and cached.get(rate_key, 0) > 0
+        and cached.get("host") == _host_id()
+    ):
+        return cached
+    return None
+
+
+def _measure_baseline(tool_name: str, cache: Path, rate_key: str, timeout_s: float) -> dict:
+    tool = Path(__file__).resolve().parent / "tools" / tool_name
     proc = subprocess.run(
         [sys.executable, str(tool), "--n-images", str(_REF_N), "--batch", str(_REF_BATCH)],
         capture_output=True,
         text=True,
-        timeout=1200,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},  # the baseline never needs the TPU
+        timeout=timeout_s,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},  # baselines never need the TPU
     )
     if proc.returncode != 0:
-        return {"ref_imgs_per_s": None, "error": proc.stderr[-500:]}
+        return {rate_key: None, "error": proc.stderr[-500:]}
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     result["host"] = _host_id()
-    _REF_CACHE.write_text(json.dumps(result))
+    cache.write_text(json.dumps(result))
     return result
+
+
+def measure_reference_baseline(budget_s: float) -> dict:
+    """Measured reference-pipeline throughput on this host (committed cache
+    hit is free; re-measured only when the host differs and budget allows)."""
+    cached = _load_cached_baseline(_REF_CACHE, "ref_imgs_per_s")
+    if cached is not None:
+        return cached
+    if budget_s < 60:
+        return {"ref_imgs_per_s": None, "error": f"no cache for host {_host_id()}; budget too small"}
+    try:
+        return _measure_baseline("ref_baseline.py", _REF_CACHE, "ref_imgs_per_s", budget_s)
+    except subprocess.TimeoutExpired:
+        return {"ref_imgs_per_s": None, "error": "baseline measurement timed out"}
+
+
+def measure_self_cpu_baseline(budget_s: float) -> dict:
+    """THIS framework on the same CPU as the reference baseline (cached) —
+    the like-for-like framework-vs-framework number. On one CPU core both
+    pipelines are bound by their conv libraries (torch MKL vs XLA-CPU), so
+    expect ~parity here; the headline ratio is hardware + design."""
+    cached = _load_cached_baseline(_SELF_CACHE, "self_cpu_imgs_per_s")
+    if cached is not None:
+        return cached
+    if budget_s < 60:
+        return {"self_cpu_imgs_per_s": None, "error": f"no cache for host {_host_id()}; budget too small"}
+    try:
+        return _measure_baseline("self_baseline.py", _SELF_CACHE, "self_cpu_imgs_per_s", budget_s)
+    except subprocess.TimeoutExpired:
+        return {"self_cpu_imgs_per_s": None, "error": "baseline measurement timed out"}
 
 
 def real_data_bench(engine, params, embed_fn, images: np.ndarray, batch: int) -> dict:
@@ -126,40 +199,6 @@ def real_data_bench(engine, params, embed_fn, images: np.ndarray, batch: int) ->
     }
 
 
-_SELF_CACHE = Path(__file__).resolve().parent / "SELF_BASELINE.json"
-
-
-def measure_self_cpu_baseline() -> dict:
-    """THIS framework on the same CPU as the reference baseline (cached) —
-    the like-for-like framework-vs-framework number. On one CPU core both
-    pipelines are bound by their conv libraries (torch MKL vs XLA-CPU), so
-    expect ~parity here; the headline ratio is hardware + design."""
-    if _SELF_CACHE.exists():
-        try:
-            cached = json.loads(_SELF_CACHE.read_text())
-            if (
-                cached.get("n_images") == _REF_N
-                and cached.get("self_cpu_imgs_per_s", 0) > 0
-                and cached.get("host") == _host_id()
-            ):
-                return cached
-        except (json.JSONDecodeError, OSError):
-            pass
-    tool = Path(__file__).resolve().parent / "tools" / "self_baseline.py"
-    proc = subprocess.run(
-        [sys.executable, str(tool), "--n-images", str(_REF_N), "--batch", str(_REF_BATCH)],
-        capture_output=True,
-        text=True,
-        timeout=1200,
-    )
-    if proc.returncode != 0:
-        return {"self_cpu_imgs_per_s": None, "error": proc.stderr[-500:]}
-    result = json.loads(proc.stdout.strip().splitlines()[-1])
-    result["host"] = _host_id()
-    _SELF_CACHE.write_text(json.dumps(result))
-    return result
-
-
 def serving_latency_bench(fm, concept_db, n_req: int = 40) -> dict:
     """Warm text-search latency through the REAL HTTP serving path.
 
@@ -193,7 +232,6 @@ def serving_latency_bench(fm, concept_db, n_req: int = 40) -> dict:
         server.shutdown()
         server.server_close()
     lat.sort()
-    import math
 
     def nearest_rank(q):  # nearest-rank percentile: ceil(q*n)-th sorted sample
         return lat[max(0, math.ceil(q * len(lat)) - 1)]
@@ -213,20 +251,26 @@ N_COLLECT = 25
 LAYERS = ("layer1", "layer2", "layer3", "layer4")
 
 
+def _emit(result: dict) -> None:
+    """Print the full result as one JSON line and flush — the driver takes
+    the LAST parseable line, so each emission supersedes the previous."""
+    print(json.dumps(result), flush=True)
+
+
 def main():
     from semanticlens_tpu.core import backend_reachable
 
     # a dead tunnel makes the first device call hang forever; a bench that
     # hangs is worse than a bench that reports failure
     if not backend_reachable():
-        print(json.dumps({
+        _emit({
             "metric": "fused_collect_embed_throughput",
             "value": 0,
             "unit": "imgs/s/chip",
             "vs_baseline": 0,
             "detail": {"error": "accelerator backend unreachable (tunnel down); "
                                 "no measurement taken"},
-        }))
+        })
         sys.exit(1)
 
     from semanticlens_tpu.core import enable_compilation_cache
@@ -255,20 +299,18 @@ def main():
     from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
 
     fm = OpenClip("ViT-B-32", dtype=jnp.bfloat16, seed=0)
+    setup_s = time.perf_counter() - _START
 
-    def make_cv(dataset):
-        return ActivationComponentVisualizer(
-            model=model,
-            dataset_model=dataset,
-            dataset_fm=dataset,  # same raw images → fused single pass
-            layer_names=list(LAYERS),
-            num_samples=N_COLLECT,
-            aggregate_fn=aggregate_conv_mean,
-            cache_dir=None,
-            model_preprocess=model_preprocess,
-        )
-
-    cv = make_cv(ds)
+    cv = ActivationComponentVisualizer(
+        model=model,
+        dataset_model=ds,
+        dataset_fm=ds,  # same raw images → fused single pass
+        layer_names=list(LAYERS),
+        num_samples=N_COLLECT,
+        aggregate_fn=aggregate_conv_mean,
+        cache_dir=None,
+        model_preprocess=model_preprocess,
+    )
 
     # Warm-up: compile the fused step + embed program on one batch-sized
     # slice, reusing the SAME engine and fm (jit caches live on them).
@@ -281,85 +323,17 @@ def main():
         model.params, warm_ds, BATCH, embed_fn
     )
     np.asarray(warm_states["layer4"].values), warm_embeds
+    warmup_s = time.perf_counter() - _START - setup_s
 
-    # Device-resident compute throughput — the design's ceiling where the
-    # host→device link is not the bottleneck (real TPU hosts). Methodology
-    # (docs/PERF_NOTES.md): the tunnel imposes a ~32 ms dispatch+readback
-    # floor per program, so all N_CHAIN batches are processed inside ONE
-    # jitted program (unrolled chain threading the top-k state) and the
-    # result is reduced on device — best of 3. Measured BEFORE the
-    # end-to-end run: the tunnel's remote executor degrades under transfer
-    # backlog and would pollute a post-pipeline measurement.
-    N_CHAIN = 8
-    bufs = [jax.device_put(images[i * BATCH : (i + 1) * BATCH]) for i in range(N_CHAIN)]
-    for b in bufs:  # sync EVERY upload — in-flight transfers would pollute timing
-        np.asarray(b[:1, :1, :1])
-    n_latents = cv.engine.infer_n_latents(
-        model.params, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), images.dtype
-    )
-
-    @jax.jit
-    def collect_chain(states, params, *batches):
-        for i, b in enumerate(batches):
-            ids = np.int32(i * BATCH) + jnp.arange(BATCH, dtype=jnp.int32)
-            states = cv.engine._local_step(
-                states, params, b, ids, jnp.ones((BATCH,), bool)
-            )
-        return jnp.sum(states["layer4"].values.astype(jnp.float32))
-
-    @jax.jit
-    def embed_chain(params, *batches):
-        acc = jnp.zeros((), jnp.float32)
-        for b in batches:
-            acc = acc + jnp.sum(fm._encode_image(params, b))
-        return acc
-
-    def best_of(fn, *args, n=3):
-        np.asarray(fn(*args))  # compile + warm
-        times = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            np.asarray(fn(*args))
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    # Fused ceiling: BOTH networks in one program per batch — the production
-    # rate where the host→device link is provisioned (bench_imagenet_scale
-    # measures the same program sustained at ImageNet scale).
-    @jax.jit
-    def fused_chain(states, params, fparams, *batches):
-        acc = jnp.zeros((), jnp.float32)
-        for i, b in enumerate(batches):
-            ids = np.int32(i * BATCH) + jnp.arange(BATCH, dtype=jnp.int32)
-            states = cv.engine._local_step(states, params, b, ids, jnp.ones((BATCH,), bool))
-            acc = acc + jnp.sum(fm._encode_image(fparams, fm.preprocess(b)))
-        return acc + jnp.sum(states["layer4"].values.astype(jnp.float32))
-
-    pre_bufs = [fm.preprocess(b) for b in bufs]
-    for b in pre_bufs:
-        np.asarray(b[:1, :1, :1])
-    collect_compute_s = best_of(
-        lambda *bs: collect_chain(cv.engine._init_states(n_latents), model.params, *bs), *bufs
-    )
-    embed_compute_s = best_of(lambda *bs: embed_chain(fm.params, *bs), *pre_bufs)
-    fused_compute_s = best_of(
-        lambda *bs: fused_chain(cv.engine._init_states(n_latents), model.params, fm.params, *bs),
-        *bufs,
-    )
-    chain_imgs = N_CHAIN * BATCH
-    del bufs, pre_bufs
-
-    # Real-data path: JPEGs on disk through ImageFolder decode + fused pass
-    # (reference DataLoader-pipeline analogue, activation_based.py:344-349).
-    real_data = real_data_bench(
-        cv.engine, model.params, embed_fn, images[: min(512, N_IMAGES)], BATCH
-    )
-
-    # End-to-end pipeline, best of 3 (host→device transport on shared links
-    # is noisy with multi-x swings between phases; compute is deterministic).
+    # ---- Core measurement: end-to-end pipeline, best of up to 3 ----------
+    # (host→device transport on shared links is noisy with multi-x swings
+    # between phases; compute is deterministic). Each repeat runs only while
+    # budget remains — at least one always runs.
     walls = []
     concept_db = None
-    for _ in range(3):
+    for i in range(3):
+        if i > 0 and _remaining() < 2.5 * walls[0]:
+            break
         t0 = time.perf_counter()
         concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
         _force(concept_db)  # host materialization = honest end-to-end timing
@@ -367,18 +341,22 @@ def main():
     total_s = min(walls)
     imgs_per_sec = N_IMAGES / total_s
 
-    serving = serving_latency_bench(fm, concept_db)
-
-    ref = measure_reference_baseline()
+    # Baselines: committed caches are free; re-measurement deferred to the
+    # extras phase below so the headline is never blocked on a subprocess.
+    ref = _load_cached_baseline(_REF_CACHE, "ref_imgs_per_s") or {"ref_imgs_per_s": None}
+    self_cpu = _load_cached_baseline(_SELF_CACHE, "self_cpu_imgs_per_s") or {
+        "self_cpu_imgs_per_s": None
+    }
     ref_rate = ref.get("ref_imgs_per_s")
-    self_cpu = measure_self_cpu_baseline()
-    self_cpu_rate = self_cpu.get("self_cpu_imgs_per_s")
 
     result = {
         "metric": "concept-DB build imgs/sec/chip (fused ResNet-50 collect + CLIP ViT-B/32 embed)",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/s/chip",
         "vs_baseline": round(imgs_per_sec / ref_rate, 3) if ref_rate else None,
+        # transport-independent trend fields (see module docstring)
+        "fused_compute_imgs_per_s": None,  # filled by the ceiling stage below
+        "sustained_imagenet_scale_imgs_per_s": _SUSTAINED_IMAGENET_SCALE,
         "detail": {
             "baseline": {
                 **ref,
@@ -395,27 +373,150 @@ def main():
             "layers": list(LAYERS),
             "n_collect": N_COLLECT,
             "uploaded_mb": round(images.nbytes / 2**20, 1),
-            "collect_compute_imgs_per_s": round(chain_imgs / collect_compute_s, 1),
-            "embed_compute_imgs_per_s": round(chain_imgs / embed_compute_s, 1),
-            "fused_compute_imgs_per_s": round(chain_imgs / fused_compute_s, 1),
-            "compute_ceiling_method": f"{N_CHAIN} batches chained in one program, best of 3",
-            "real_data": real_data,
-            "serving_text_search_latency": serving,
-            "framework_vs_framework_cpu": {
-                **self_cpu,
-                "ratio_vs_reference_cpu": (
-                    round(self_cpu_rate / ref_rate, 3) if self_cpu_rate and ref_rate else None
-                ),
-                "note": (
-                    "same workload, same single CPU core, both frameworks; "
-                    "~parity expected (both conv-library-bound on CPU) - the "
-                    "headline vs_baseline additionally folds in TPU hardware"
-                ),
-            },
+            "budget_s": _BUDGET_S,
+            "setup_s": round(setup_s, 1),
+            "warmup_compile_s": round(warmup_s, 1),
+            "e2e_note": (
+                "end-to-end value rides the host->device tunnel (7-17 MB/s "
+                "observed variance across rounds on identical code); the "
+                "fused_compute / sustained fields are the stable "
+                "design-attributable rates"
+            ),
             "db_shapes": {k: list(np.asarray(v).shape) for k, v in concept_db.items()},
         },
     }
-    print(json.dumps(result))
+    _emit(result)  # headline recorded — everything past here is opportunistic
+
+    # ---- Extras: each stage budget-gated and failure-isolated ------------
+    def stage(name: str, min_budget_s: float, fn) -> None:
+        if _remaining() < min_budget_s:
+            result["detail"][name] = {"skipped": f"budget ({_remaining():.0f}s left)"}
+            return
+        try:
+            fn()
+        except Exception as e:  # one broken extra must not cost the round
+            result["detail"][name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        _emit(result)
+
+    def ceilings():
+        # Device-resident compute throughput — the design's ceiling where the
+        # host→device link is not the bottleneck (real TPU hosts). Methodology
+        # (docs/PERF_NOTES.md): the tunnel imposes a ~32 ms dispatch+readback
+        # floor per program, so all N_CHAIN batches are processed inside ONE
+        # jitted program (unrolled chain threading the top-k state) and the
+        # result is reduced on device — best of 3.
+        N_CHAIN = 8
+        bufs = [jax.device_put(images[i * BATCH: (i + 1) * BATCH]) for i in range(N_CHAIN)]
+        for b in bufs:  # sync EVERY upload — in-flight transfers would pollute timing
+            np.asarray(b[:1, :1, :1])
+        n_latents = cv.engine.infer_n_latents(
+            model.params, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), images.dtype
+        )
+
+        @jax.jit
+        def collect_chain(states, params, *batches):
+            for i, b in enumerate(batches):
+                ids = np.int32(i * BATCH) + jnp.arange(BATCH, dtype=jnp.int32)
+                states = cv.engine._local_step(
+                    states, params, b, ids, jnp.ones((BATCH,), bool)
+                )
+            return jnp.sum(states["layer4"].values.astype(jnp.float32))
+
+        @jax.jit
+        def embed_chain(params, *batches):
+            acc = jnp.zeros((), jnp.float32)
+            for b in batches:
+                acc = acc + jnp.sum(fm._encode_image(params, b))
+            return acc
+
+        def best_of(fn, *args, n=3):
+            np.asarray(fn(*args))  # compile + warm
+            times = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                np.asarray(fn(*args))
+                times.append(time.perf_counter() - t0)
+            return min(times)
+
+        # Fused ceiling: BOTH networks in one program per batch — the
+        # production rate where the host→device link is provisioned
+        # (tools/bench_imagenet_scale.py measures the same program sustained).
+        @jax.jit
+        def fused_chain(states, params, fparams, *batches):
+            acc = jnp.zeros((), jnp.float32)
+            for i, b in enumerate(batches):
+                ids = np.int32(i * BATCH) + jnp.arange(BATCH, dtype=jnp.int32)
+                states = cv.engine._local_step(states, params, b, ids, jnp.ones((BATCH,), bool))
+                acc = acc + jnp.sum(fm._encode_image(fparams, fm.preprocess(b)))
+            return acc + jnp.sum(states["layer4"].values.astype(jnp.float32))
+
+        pre_bufs = [fm.preprocess(b) for b in bufs]
+        for b in pre_bufs:
+            np.asarray(b[:1, :1, :1])
+        chain_imgs = N_CHAIN * BATCH
+        # fused ceiling first: it is the field the driver trends
+        fused_compute_s = best_of(
+            lambda *bs: fused_chain(
+                cv.engine._init_states(n_latents), model.params, fm.params, *bs
+            ),
+            *bufs,
+        )
+        result["fused_compute_imgs_per_s"] = round(chain_imgs / fused_compute_s, 1)
+        result["detail"]["fused_compute_imgs_per_s"] = result["fused_compute_imgs_per_s"]
+        result["detail"]["compute_ceiling_method"] = (
+            f"{N_CHAIN} batches chained in one program, best of 3"
+        )
+        _emit(result)
+        if _remaining() > 60:
+            collect_compute_s = best_of(
+                lambda *bs: collect_chain(cv.engine._init_states(n_latents), model.params, *bs),
+                *bufs,
+            )
+            embed_compute_s = best_of(lambda *bs: embed_chain(fm.params, *bs), *pre_bufs)
+            result["detail"]["collect_compute_imgs_per_s"] = round(
+                chain_imgs / collect_compute_s, 1
+            )
+            result["detail"]["embed_compute_imgs_per_s"] = round(chain_imgs / embed_compute_s, 1)
+
+    def real_data():
+        result["detail"]["real_data"] = real_data_bench(
+            cv.engine, model.params, embed_fn, images[: min(512, N_IMAGES)], BATCH
+        )
+
+    def serving():
+        result["detail"]["serving_text_search_latency"] = serving_latency_bench(fm, concept_db)
+
+    def baselines():
+        nonlocal ref, self_cpu
+        if ref.get("ref_imgs_per_s") is None:
+            ref = measure_reference_baseline(min(_remaining() - 30, 600))
+            rate = ref.get("ref_imgs_per_s")
+            result["detail"]["baseline"].update(ref)
+            if rate:
+                result["vs_baseline"] = round(result["value"] / rate, 3)
+        if self_cpu.get("self_cpu_imgs_per_s") is None and _remaining() > 90:
+            self_cpu = measure_self_cpu_baseline(min(_remaining() - 30, 600))
+        rate = ref.get("ref_imgs_per_s")
+        self_rate = self_cpu.get("self_cpu_imgs_per_s")
+        result["detail"]["framework_vs_framework_cpu"] = {
+            **self_cpu,
+            "ratio_vs_reference_cpu": (
+                round(self_rate / rate, 3) if self_rate and rate else None
+            ),
+            "note": (
+                "same workload, same single CPU core, both frameworks; "
+                "~parity expected (both conv-library-bound on CPU) - the "
+                "headline vs_baseline additionally folds in TPU hardware"
+            ),
+        }
+
+    stage("baselines", 5, baselines)  # committed-cache hit costs ~0 s
+    stage("ceilings", 120, ceilings)
+    stage("real_data", 90, real_data)
+    stage("serving_text_search_latency", 60, serving)
+
+    result["detail"]["total_bench_wall_s"] = round(time.perf_counter() - _START, 1)
+    _emit(result)
 
 
 def _force(tree):
