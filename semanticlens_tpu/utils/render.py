@@ -51,25 +51,34 @@ def get_crop_range(heatmap: np.ndarray, crop_th: float):
     return int(row_idx[0]), int(row_idx[-1]) + 1, int(col_idx[0]), int(col_idx[-1]) + 1
 
 
+def _widen_span(lo: int, hi: int, target_len: int) -> tuple[int, int]:
+    """Symmetrically widen the half-open span [lo, hi) toward ``target_len``.
+
+    Each side grows by half the deficit, floor-divided — so an odd deficit
+    leaves the span one pixel short of ``target_len`` (behavior-parity with
+    the reference's integer arithmetic, reference render.py:13-32). A span
+    pushed past index 0 slides forward instead of clamping; the far edge is
+    deliberately left unclamped — callers slice with numpy, which clamps.
+    """
+    grow = (target_len - (hi - lo)) // 2
+    lo, hi = lo - grow, hi + grow
+    if lo < 0:
+        hi -= lo
+        lo = 0
+    return lo, hi
+
+
 def _get_square_crop_box(heatmap: np.ndarray, crop_th: float):
-    """Square crop box covering the relevant region (reference render.py:13-32)."""
+    """Square crop box covering the relevant region.
+
+    Re-derivation of the capability in reference render.py:13-32: take the
+    thresholded bounding box, then widen whichever axis is shorter until the
+    box is (near-)square. Property-tested in tests/test_render.py.
+    """
     row1, row2, col1, col2 = get_crop_range(heatmap, crop_th)
-
-    dr = row2 - row1
-    dc = col2 - col1
-    if dr > dc:
-        col1 -= (dr - dc) // 2
-        col2 += (dr - dc) // 2
-        if col1 < 0:
-            col2 -= col1
-            col1 = 0
-    elif dc > dr:
-        row1 -= (dc - dr) // 2
-        row2 += (dc - dr) // 2
-        if row1 < 0:
-            row2 -= row1
-            row1 = 0
-
+    side = max(row2 - row1, col2 - col1)
+    row1, row2 = _widen_span(row1, row2, side)
+    col1, col2 = _widen_span(col1, col2, side)
     return row1, row2, col1, col2
 
 

@@ -72,3 +72,56 @@ def test_mystroke_outlines_alpha_edge():
     assert stroked.size == (16, 16)
     # The stroke extends beyond the original square.
     assert np.asarray(stroked)[3, 4, 3] > 0
+
+
+def _random_heatmap(rng):
+    h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+    heat = np.zeros((h, w), np.float32)
+    r1, c1 = int(rng.integers(0, h)), int(rng.integers(0, w))
+    r2, c2 = int(rng.integers(r1, h)) + 1, int(rng.integers(c1, w)) + 1
+    heat[r1:r2, c1:c2] = rng.random((r2 - r1, c2 - c1)) + 0.5
+    return heat, (r1, r2, c1, c2)
+
+
+def test_square_crop_box_properties():
+    """Property tests for _get_square_crop_box: (near-)square, covers the
+    thresholded mask, clamps only at the near border, stays deterministic."""
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        heat, (r1, r2, c1, c2) = _random_heatmap(rng)
+        row1, row2, col1, col2 = _get_square_crop_box(heat, crop_th=0.1)
+        dr, dc = row2 - row1, col2 - col1
+        # near-square: integer halving may leave the widened axis 1 short
+        assert abs(dr - dc) <= 1
+        # covers the active region entirely
+        assert row1 <= r1 and row2 >= r2 and col1 <= c1 and col2 >= c2
+        # near border clamped, far border may exceed (numpy slicing clamps)
+        assert row1 >= 0 and col1 >= 0
+        # crop retains every above-threshold pixel
+        mask = np.abs(heat) > 0.1 * 1.0
+        assert mask[row1:row2, col1:col2].sum() == mask.sum()
+
+
+def test_square_crop_box_matches_reference_arithmetic():
+    """Pin the exact reference expansion arithmetic (render.py:13-32):
+    shorter axis widened by floor(diff/2) on each side, negative starts
+    slide the window instead of shrinking it."""
+    heat = np.zeros((40, 40), np.float32)
+    heat[0:3, 5:20] = 1.0  # tall-thin inverse: dr=3, dc=15 -> widen rows
+    row1, row2, col1, col2 = _get_square_crop_box(heat, 0.5)
+    # deficit 12 -> 6 each side; row1 would be -6 -> slides to 0, row2 = 15
+    assert (row1, row2, col1, col2) == (0, 15, 5, 20)
+
+    heat2 = np.zeros((40, 40), np.float32)
+    heat2[10:15, 8:18] = 1.0  # dr=5, dc=10, odd deficit 5 -> 2 each side
+    row1, row2, col1, col2 = _get_square_crop_box(heat2, 0.5)
+    assert (row1, row2, col1, col2) == (8, 17, 8, 18)
+    assert (row2 - row1) == 9  # one short of square: reference quirk kept
+
+
+def test_square_crop_box_degenerate_heatmap_squares_full_image():
+    # all-below-threshold -> crop range is the whole image; the box is then
+    # squared like any other, with the far edge past the image (numpy slicing
+    # clamps it) — same as the reference arithmetic.
+    heat = np.zeros((16, 24), np.float32)
+    assert _get_square_crop_box(heat, 0.5) == (0, 24, 0, 24)
