@@ -68,11 +68,10 @@ class Gemma(Llama):
             rms_eps=1e-6),
     }
 
-    def __init__(self, *args, head_dim: int | None = None, **kwargs):
+    def __init__(self, *args, **kwargs):
+        # head_dim (decoupled from width//heads) is handled by Llama.__init__
         kwargs.setdefault("tie_word_embeddings", True)
         super().__init__(*args, **kwargs)
-        if head_dim is not None:
-            self.head_dim = head_dim
 
     # attention-scale / soft-cap hooks (Gemma 2 overrides)
     def _attn_kwargs(self) -> dict:

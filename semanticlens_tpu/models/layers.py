@@ -538,16 +538,20 @@ def scaled_dot_product_attention(q, k, v, n_heads, *, mask=None, n_kv_heads=None
 
     bias = None if mask is None else to_4d(mask)
     if logit_cap is not None:
+        # HIGHEST matches the LRP path above — on TPU the default matmul
+        # precision would let the capped (Gemma 2) forward drift from it.
         logits = soft_cap(
             jnp.einsum("bthc,bshc->bhts", split(q, t).astype(jnp.float32),
-                       repeat_kv(split(k, s, kv_heads)).astype(jnp.float32))
+                       repeat_kv(split(k, s, kv_heads)).astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
             * scale)
         if bias is not None:
             logits = logits + bias
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum(
             "bhts,bshc->bthc", probs,
-            repeat_kv(split(v, s, kv_heads)).astype(jnp.float32))
+            repeat_kv(split(v, s, kv_heads)).astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST)
         return out.reshape(b, t, d).astype(v.dtype)
     out = jax.nn.dot_product_attention(
         split(q, t), split(k, s, kv_heads), split(v, s, kv_heads), bias=bias,

@@ -132,6 +132,7 @@ class Llama(SubjectModel):
         kv_heads: int | None = None,
         intermediate: int | None = None,
         *,
+        head_dim: int | None = None,
         rope_theta: float = 10000.0,
         rope_scaling: Mapping | None = None,
         rms_eps: float = 1e-6,
@@ -149,9 +150,13 @@ class Llama(SubjectModel):
         self.kv_heads = kv_heads if kv_heads is not None else heads
         if heads % self.kv_heads:
             raise ValueError(f"heads={heads} not divisible by kv_heads={self.kv_heads}")
-        if width % heads:
-            raise ValueError(f"width={width} not divisible by heads={heads}")
-        self.head_dim = width // heads
+        # head_dim may be decoupled from width//heads (Gemma's 256-wide heads);
+        # the divisibility requirement only exists when it must be derived.
+        if head_dim is None:
+            if width % heads:
+                raise ValueError(f"width={width} not divisible by heads={heads}")
+            head_dim = width // heads
+        self.head_dim = head_dim
         self.intermediate = intermediate if intermediate is not None else 4 * width
         self.rope_theta = float(rope_theta)
         self.rope_scaling = dict(rope_scaling) if rope_scaling else None
@@ -277,18 +282,29 @@ class Llama(SubjectModel):
         out = xh * cos[:, :, None, :] + rot * sin[:, :, None, :]
         return out.reshape(b, t, d).astype(x.dtype)
 
-    def _mask_and_rope(self, ids, t: int, window: int | None):
-        """Additive causal mask + RoPE cos/sin tables, pad-aware.
+    def _rope(self, ids, t: int):
+        """RoPE cos/sin tables, pad-aware and window-independent.
+
+        With ``pad_id`` set, angles index real-token order (cumsum over
+        non-pad), so real positions of a left-padded row match the unpadded
+        sequence; tables become (B, T, head_dim).
+        """
+        cos, sin = self._rope_tables(t)
+        if self.pad_id is not None:
+            is_pad = edge_pad_mask(ids, self.pad_id)
+            pos_ids = jnp.clip(jnp.cumsum(~is_pad, axis=1) - 1, 0)
+            cos, sin = cos[pos_ids], sin[pos_ids]
+        return cos, sin
+
+    def _window_mask(self, ids, t: int, window: int | None):
+        """Additive causal mask, pad-aware.
 
         Mask is (T, T) — 0 on/below diagonal, −inf above; with a sliding
         ``window`` (Mistral; Gemma 2's even layers), position i also drops
         keys more than window−1 behind it (HF keeps 0 ≤ i−j < window). With
         ``pad_id`` set, edge-pad keys are dropped (each position keeps itself
-        so softmax rows stay finite) and RoPE angles index real-token order,
-        so real positions of a left-padded row match the unpadded sequence —
-        the mask is then (B, 1, T, T).
+        so softmax rows stay finite) and the mask is then (B, 1, T, T).
         """
-        cos, sin = self._rope_tables(t)
         pos_q = jnp.arange(t)[:, None]
         pos_k = jnp.arange(t)[None, :]
         allowed = pos_k <= pos_q
@@ -296,13 +312,9 @@ class Llama(SubjectModel):
             allowed &= pos_q - pos_k < window
         if self.pad_id is not None:
             is_pad = edge_pad_mask(ids, self.pad_id)
-            pos_ids = jnp.clip(jnp.cumsum(~is_pad, axis=1) - 1, 0)
-            cos, sin = cos[pos_ids], sin[pos_ids]
             allowed = allowed[None] & (~is_pad[:, None, :] | jnp.eye(t, dtype=bool)[None])
-            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
-        else:
-            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
-        return mask, cos, sin
+            return jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+        return jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
 
     # ------------------------------------------------------------ block hooks
     # Subclasses specialize these (Gemma/Gemma2/Phi3); the `apply` skeleton
@@ -387,11 +399,10 @@ class Llama(SubjectModel):
             raise ValueError(f"sequence length {t} exceeds n_positions {self.n_positions}")
 
         h = self._embed(tap, params, ids)
+        cos, sin = self._rope(ids, t)  # window-independent, computed once
         windows = sorted({self._layer_window(i) for i in range(self.depth)},
                          key=lambda w: (w is None, w))
-        masks = {}
-        for win in windows:
-            masks[win], cos, sin = self._mask_and_rope(ids, t, win)
+        masks = {win: self._window_mask(ids, t, win) for win in windows}
 
         for i in range(self.depth):
             p = f"model.layers.{i}"

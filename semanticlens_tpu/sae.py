@@ -245,7 +245,9 @@ def load_gemma_scope_params(arrays: Mapping) -> dict:
     WITHOUT input centering: ``pre = x @ W_enc + b_enc``. This module's
     :func:`encode` centers by ``b_dec`` first, so the loader FOLDS the
     centering into the encoder bias — ``b_enc' = b_enc + b_dec @ W_enc`` —
-    making ``encode`` bit-equivalent to the published convention (tested).
+    making ``encode`` numerically equivalent to the published convention
+    (within float32 rounding — the fold reassociates the bias sum; tested
+    to tolerance).
     Thresholds become ``log_theta`` (JumpReLU dispatch); non-positive
     thresholds are clamped to a tiny positive ε so the log is finite (a
     θ ≤ 0 latent fires on every positive pre-activation either way).

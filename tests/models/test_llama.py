@@ -288,3 +288,20 @@ def test_left_padding_with_pad_id_matches_unpadded():
     np.testing.assert_allclose(
         np.asarray(t1[layer][0]), np.asarray(t2[layer][0, 4:]), rtol=1e-5, atol=1e-5)
     assert np.isfinite(np.asarray(o2)).all()
+
+
+def test_decoupled_head_dim_config_is_accepted():
+    """An explicit head_dim lifts the width %% heads divisibility requirement
+    (Gemma-style decoupled heads); without one, the guard still fires."""
+    from semanticlens_tpu.models import Llama
+
+    model = Llama(vocab_size=31, n_positions=16, width=36, depth=1, heads=5,
+                  head_dim=8, intermediate=48, dtype=jnp.float32)
+    assert model.head_dim == 8
+    params = model.init(jax.random.PRNGKey(0))
+    logits, _ = model.apply(params, jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert logits.shape == (1, 3, 31)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    with pytest.raises(ValueError):
+        Llama(vocab_size=31, n_positions=16, width=36, depth=1, heads=5)
