@@ -47,6 +47,7 @@ __all__ = [
     "steer",
     "necessity_ratio",
     "sae_latent_ablation",
+    "clear_programs",
 ]
 
 # Compiled ablation programs, keyed by (id(model), layer_name[, k]). The
@@ -54,7 +55,23 @@ __all__ = [
 # reused while an entry exists) and takes masks/params/images as jit
 # ARGUMENTS — a fresh `jax.jit(vmap(run))` per call would embed the full
 # parameter set as jaxpr constants and pay a retrace+compile every call.
+# LRU-bounded: a long-lived audit process cycling models/layers evicts the
+# oldest executable instead of pinning every model it ever touched alive.
 _PROGRAMS: dict[tuple, object] = {}
+_MAX_PROGRAMS = 16
+
+
+def clear_programs() -> None:
+    """Drop all cached compiled ablation programs (and the model references
+    their closures hold). They re-trace on next use."""
+    _PROGRAMS.clear()
+
+
+def _cache_program(key, program):
+    _PROGRAMS[key] = program
+    while len(_PROGRAMS) > _MAX_PROGRAMS:
+        _PROGRAMS.pop(next(iter(_PROGRAMS)))  # evict oldest insertion
+    return program
 
 
 def _validated_ids(ids, width: int, what: str) -> np.ndarray:
@@ -126,8 +143,7 @@ def ablation_effects(
                 out, _ = model.apply(params, images, ())
             return out
 
-        program = jax.jit(jax.vmap(run, in_axes=(0, None, None, None)))
-        _PROGRAMS[key] = program
+        program = _cache_program(key, jax.jit(jax.vmap(run, in_axes=(0, None, None, None))))
 
     ablated = program(masks, fill, params, images)  # (K, B, n_out)
     delta = clean_out[None].astype(jnp.float32) - ablated.astype(jnp.float32)
@@ -250,8 +266,9 @@ def sae_latent_ablation(
                 out, _ = model.apply(params, images, ())
             return out
 
-        program = jax.jit(jax.vmap(run, in_axes=(0, None, None, None)))
-        _PROGRAMS[cache_key] = program
+        program = _cache_program(
+            cache_key, jax.jit(jax.vmap(run, in_axes=(0, None, None, None)))
+        )
 
     ablated = program(keep_masks, params, sae_params, images)  # (K, B, n_out)
     if substitute_clean:

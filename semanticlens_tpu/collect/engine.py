@@ -97,8 +97,28 @@ class CollectEngine:
         # the active interventions fingerprint: a step traced inside a
         # `models.base.interventions` context bakes the rewrites into the
         # executable, so it must never be reused outside it (and vice versa).
+        # Both caches are LRU-bounded (insertion order + eviction) so a
+        # long-lived process cycling embed_fns or interventions cannot pin
+        # an unbounded set of executables (and their donated-state layouts).
         self._steps: dict[tuple, Callable] = {}
         self._fused_steps: dict[tuple, Callable] = {}  # (id(embed_fn), fp) → step
+        self.max_compiled_steps = 8  # per cache; oldest evicted beyond this
+
+    def clear_compiled(self) -> None:
+        """Drop every memoized compiled step (they re-trace on next use).
+
+        For long-lived audit processes (serve.py) that cycle many engines,
+        embed functions, or interventions contexts — compiled programs pin
+        XLA executables and the objects captured in their closures alive.
+        """
+        self._steps.clear()
+        self._fused_steps.clear()
+
+    def _cache_step(self, cache: dict, key, step):
+        cache[key] = step
+        while len(cache) > self.max_compiled_steps:
+            cache.pop(next(iter(cache)))  # evict oldest insertion
+        return step
 
     # ----------------------------------------------------------------- shapes
     def infer_n_latents(self, params, batch_shape, dtype=jnp.float32) -> dict[str, int]:
@@ -150,8 +170,7 @@ class CollectEngine:
                 valid = sample_ids < n_total
                 return self._local_step(states, params, images, sample_ids, valid)
 
-            self._steps[fp] = step
-            return step
+            return self._cache_step(self._steps, fp, step)
 
         mesh = self.mesh
 
@@ -173,8 +192,7 @@ class CollectEngine:
             check_vma=False,
         )
         step = jax.jit(step_sharded, donate_argnums=0)
-        self._steps[fp] = step
-        return step
+        return self._cache_step(self._steps, fp, step)
 
     def _get_fused_step(self, embed_fn):
         """Combined Collect+Embed step: both networks in ONE XLA program.
@@ -231,8 +249,7 @@ class CollectEngine:
                 donate_argnums=0,
             )
 
-        self._fused_steps[key] = step
-        return step
+        return self._cache_step(self._fused_steps, key, step)
 
     def _init_states(self, n_latents: dict[str, int]):
         if self.mesh is None:
@@ -484,6 +501,7 @@ class CollectEngine:
         checkpoint_dir=None,
         checkpoint_every: int = 0,
         id_offset: int = 0,
+        embed_flush_mb: float = 512.0,
     ):
         """Single-pass Collect + Embed: one upload per image feeds both.
 
@@ -502,8 +520,10 @@ class CollectEngine:
           reuse the compiled step across sweeps.
 
         Returns ``({layer: TopKState}, embeds (N, D) float32 numpy, n)``.
-        Without checkpointing, embeddings accumulate on device and come back
-        in one readback.
+        Embeddings accumulate on device only up to ``embed_flush_mb`` (then
+        drain to host regardless of checkpointing) — an arbitrarily long
+        sweep is HBM-bounded: a 10M-sample × 512-d sweep holds at most the
+        flush budget + one batch on device instead of ~20 GB.
 
         With ``checkpoint_dir`` + ``checkpoint_every`` (batches), both halves
         of the sweep persist periodically — the running top-k states AND the
@@ -543,9 +563,20 @@ class CollectEngine:
         else:
             step = self._get_step()
 
-        pending = []  # device-resident embed chunks since the last flush
+        pending = []  # device-resident embed chunks awaiting a host drain
+        pending_bytes = 0
+        flush_bytes = int(embed_flush_mb * 2**20)
+        since_ckpt: list[np.ndarray] = []  # host rows since last checkpoint commit
         flushed_rows = resume_start
         batches_done = 0
+
+        def drain_pending():
+            # device → host; bounds HBM residency independent of checkpointing
+            nonlocal pending, pending_bytes
+            if pending:
+                since_ckpt.append(np.asarray(jnp.concatenate(pending, axis=0), np.float32))
+                pending, pending_bytes = [], 0
+
         for images, start_index, _ in self._batches(dataset, batch_size, prefetch, resume_start):
             if embed_params is not None:
                 states, emb = fused_step(
@@ -556,23 +587,27 @@ class CollectEngine:
                     np.int32(start_index + id_offset),
                     np.int32(n + id_offset),
                 )
-                pending.append(emb)
             else:
                 states = step(
                     states, params, images, np.int32(start_index + id_offset), np.int32(n + id_offset)
                 )
-                pending.append(embed_fn(images))
+                emb = embed_fn(images)
+            pending.append(emb)
+            pending_bytes += emb.nbytes
+            if pending_bytes >= flush_bytes:
+                drain_pending()
             batches_done += 1
             if checkpoint_dir is not None and checkpoint_every and batches_done % checkpoint_every == 0:
-                chunk = np.asarray(jnp.concatenate(pending, axis=0), np.float32)
+                drain_pending()
+                chunk = np.concatenate(since_ckpt, axis=0)
                 self._store_embed_chunk(checkpoint_dir, flushed_rows, chunk)
                 host_chunks.append(chunk)
-                pending = []
+                since_ckpt.clear()
                 flushed_rows = start_index + batch_size
                 self.save_checkpoint(checkpoint_dir, states, flushed_rows)
 
-        if pending:
-            host_chunks.append(np.asarray(jnp.concatenate(pending, axis=0), np.float32))
+        drain_pending()
+        host_chunks.extend(since_ckpt)
         embeds = np.concatenate(host_chunks, axis=0)[:n]
         return self._finalize(states), embeds, n
 

@@ -384,3 +384,89 @@ def test_sentinel_slots_are_zero_rows_single_and_multihost(tiny_setup):
 
     _, mh_db, _ = fused_multihost(cv.engine, model.params, small, 2, embed_fn)
     np.testing.assert_allclose(mh_db["0"], db, rtol=0, atol=1e-5)
+
+
+def test_embed_flush_budget_bounds_device_memory(tiny_setup):
+    """A tiny embed_flush_mb forces host drains mid-sweep; the final
+    embedding table and top-k states must be identical to the default
+    accumulate-everything path (VERDICT r3: run_fused HBM guard)."""
+    model, ds = tiny_setup
+    fm = FakeVLM()
+
+    def embed_fn(x):
+        return fm.encode_image(fm.preprocess(x))
+
+    cv = _make_cv(model, ds)
+    states_a, emb_a, n_a = cv.engine.run_fused(model.params, ds, 16, embed_fn)
+    # 50 imgs / batch 16 -> 4 batches; 16*32*4B ≈ 2KB per batch, so a ~1KB
+    # budget drains after every batch.
+    states_b, emb_b, n_b = cv.engine.run_fused(
+        model.params, ds, 16, embed_fn, embed_flush_mb=0.001
+    )
+    assert n_a == n_b
+    np.testing.assert_array_equal(emb_a, emb_b)
+    for layer in states_a:
+        np.testing.assert_array_equal(
+            np.asarray(states_a[layer].values, np.float32),
+            np.asarray(states_b[layer].values, np.float32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(states_a[layer].ids), np.asarray(states_b[layer].ids)
+        )
+
+
+def test_embed_flush_budget_with_checkpointing(tiny_setup, tmp_path):
+    """Host drains interleave with checkpoint flushes without duplicating
+    or dropping rows."""
+    model, ds = tiny_setup
+    fm = FakeVLM()
+
+    def embed_fn(x):
+        return fm.encode_image(fm.preprocess(x))
+
+    cv = _make_cv(model, ds)
+    _, emb_plain, _ = cv.engine.run_fused(model.params, ds, 8, embed_fn)
+    ckpt = tmp_path / "ckpt-flush"
+    _, emb_ckpt, _ = cv.engine.run_fused(
+        model.params, ds, 8, embed_fn,
+        checkpoint_dir=ckpt, checkpoint_every=2, embed_flush_mb=0.001,
+    )
+    np.testing.assert_array_equal(emb_plain, emb_ckpt)
+
+
+def test_clear_compiled_reruns_correctly(tiny_setup):
+    """clear_compiled drops memoized steps; a cleared engine re-traces and
+    produces identical results (VERDICT r3: program-cache hygiene)."""
+    model, ds = tiny_setup
+    cv = _make_cv(model, ds)
+    states_a, _ = cv.engine.run(model.params, ds, 16)
+    assert cv.engine._steps
+    cv.engine.clear_compiled()
+    assert not cv.engine._steps and not cv.engine._fused_steps
+    states_b, _ = cv.engine.run(model.params, ds, 16)
+    for layer in states_a:
+        np.testing.assert_array_equal(
+            np.asarray(states_a[layer].ids), np.asarray(states_b[layer].ids)
+        )
+
+
+def test_compiled_step_cache_is_bounded(tiny_setup):
+    """Cycling distinct embed_fns may not grow the fused-step cache past
+    max_compiled_steps (oldest evicted), and results stay correct."""
+    model, ds = tiny_setup
+    fm = FakeVLM()
+    cv = _make_cv(model, ds)
+    cv.engine.max_compiled_steps = 2
+
+    def make_embed(scale):
+        def embed(params, x):  # traceable: compiled into the fused step
+            return fm.encode_image(x.astype(jnp.float32)) * scale
+        return embed
+
+    fns = [make_embed(s) for s in (1.0, 2.0, 4.0)]
+    embeds = [
+        cv.engine.run_fused(model.params, ds, 16, f, embed_params={})[1] for f in fns
+    ]
+    assert len(cv.engine._fused_steps) <= 2
+    np.testing.assert_allclose(embeds[1], embeds[0] * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(embeds[2], embeds[0] * 4.0, rtol=1e-6)

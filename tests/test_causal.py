@@ -281,3 +281,24 @@ def test_interventions_are_thread_local(lin):
         out_in, _ = model.apply(params, x)
     assert np.abs(results["clean"]).sum() > 0, "other thread saw the intervention"
     assert np.allclose(np.asarray(out_in), 0.0), "context thread must see it"
+
+
+def test_program_cache_bounded_and_clearable(lin):
+    """_PROGRAMS is LRU-bounded and clear_programs() re-traces correctly."""
+    model, params, x = lin
+    a1 = causal.ablation_effects(model, params, "hidden", x, [0, 1])
+    causal.clear_programs()
+    assert not causal._PROGRAMS
+    a2 = causal.ablation_effects(model, params, "hidden", x, [0, 1])
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+
+    old_cap = causal._MAX_PROGRAMS
+    try:
+        causal._MAX_PROGRAMS = 2
+        for layer in ("hidden", "head"):
+            causal.ablation_effects(model, params, layer, x, [0])
+            causal.ablation_effects(model, params, layer, x, [0], mode="mean")
+        assert len(causal._PROGRAMS) <= 2
+    finally:
+        causal._MAX_PROGRAMS = old_cap
+        causal.clear_programs()
