@@ -156,13 +156,54 @@ def fetch(name: str, dest: Path) -> None:
         _verify(target)
 
 
+def golden_verify(dest: Path) -> bool:
+    """Fetch → convert → golden check, one command (``--verify``).
+
+    For every golden family (tools/make_golden.py) whose checkpoint is now
+    present under ``dest``: if a committed fixture exists, re-convert the
+    checkpoint with THIS framework and assert cosine ≥ 0.999 against the
+    fixture; otherwise generate the fixture (preferring the torch reference
+    implementation as ground truth when importable) so it can be committed.
+    Returns True when every applicable family passed.
+    """
+    import json
+    import os
+
+    import make_golden
+
+    os.environ.setdefault("SEMANTICLENS_ASSETS", str(dest))
+    ok = True
+    for family, spec in make_golden.FAMILIES.items():
+        ckpt = next(
+            (dest / p for p in spec["ckpt_patterns"] if (dest / p).exists()), None
+        )
+        if ckpt is None:
+            continue
+        fixture = make_golden.fixture_path(family)
+        if not fixture.exists():
+            print(f"{family}: no fixture yet — generating from {ckpt.name}")
+            make_golden.generate(family, ckpt)
+            print(f"  commit {fixture} to pin real-weight parity offline")
+            continue
+        result = make_golden.check(family, ckpt, fixture)
+        print(json.dumps(result))
+        ok &= result["pass"]
+    return ok
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help=f"asset sets: {sorted(ASSETS)}")
     ap.add_argument("--dest", default="~/.cache/semanticlens_tpu")
     ap.add_argument("--list", action="store_true")
+    ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="after fetching, run the golden real-weight parity check "
+        "(tools/make_golden.py) for every family whose checkpoint is present",
+    )
     args = ap.parse_args()
-    if args.list or not args.names:
+    if args.list or (not args.names and not args.verify):
         for name, items in ASSETS.items():
             print(f"{name}:")
             for url, fname in items:
@@ -174,6 +215,8 @@ def main() -> None:
             raise SystemExit(f"unknown asset set '{name}' (have {sorted(ASSETS)})")
         fetch(name, dest)
     print(f"\ndone. export SEMANTICLENS_ASSETS={dest}")
+    if args.verify and not golden_verify(dest):
+        raise SystemExit("golden real-weight parity check FAILED")
 
 
 if __name__ == "__main__":
