@@ -188,7 +188,12 @@ def conv2d(x, weight, bias=None, *, stride=1, padding=0, groups=1):
     def _conv(x, w):
         # Precision policy: the input dtype selects the MXU regime (cast x to
         # bf16 for speed); HIGHEST stops the backend from silently downcasting
-        # f32 inputs to bf16.
+        # f32 inputs to bf16. The explicit f32 output dtype applies ONLY to
+        # f32 operands: for bf16 operands the MXU accumulates in f32 anyway
+        # (we round back to bf16 immediately), and a widened output dtype
+        # makes the primitive non-transposable — conv's transpose rule feeds
+        # the f32 cotangent and the bf16 weight into one conv, which lax
+        # rejects, killing every gradient/LRP pass through a bf16 model.
         out = jax.lax.conv_general_dilated(
             x,
             w.astype(x.dtype),
@@ -197,7 +202,7 @@ def conv2d(x, weight, bias=None, *, stride=1, padding=0, groups=1):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=groups,
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
         ).astype(x.dtype)
         return out
 

@@ -462,3 +462,22 @@ def test_lrp_attribution_through_vgg(tmp_path):
     assert heat.shape == (2, 224, 224)
     assert np.isfinite(heat).all()
     assert np.abs(heat).max() > 0
+
+
+def test_attribution_through_bf16_model():
+    """Gradients/LRP must work on mixed-precision subjects (config 4 runs the
+    collect sweep AND attribution on the same bf16 tower).
+
+    Regression: conv2d pinned preferred_element_type=f32 unconditionally,
+    which makes the conv primitive non-transposable for bf16 operands (lax
+    rejects the f32-cotangent/bf16-weight transpose conv) — every gradient
+    through a bf16 conv model raised TypeError.
+    """
+    model = ResNet(depth=18, num_classes=10, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    img = np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+    for comp in ("gradient", "epsilon_plus_flat"):
+        fn = make_attribution_fn(model, "layer2", composite=comp)
+        heat = np.asarray(fn(params, jnp.asarray(img), jnp.int32(0)))
+        assert heat.shape == (2, 64, 64) and np.isfinite(heat).all()
+        assert np.abs(heat).sum() > 0
