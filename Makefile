@@ -1,6 +1,12 @@
-.PHONY: test lint bench dryrun native
+.PHONY: test test-all lint bench dryrun native
 
+# Fast tier: excludes @pytest.mark.slow (full-size parity twins, fuzz sweeps,
+# multi-process DCN tests). Measured runtimes + latest full-suite green tail
+# live in docs/TESTING.md.
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -q
 
 test-cov:
