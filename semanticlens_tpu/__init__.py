@@ -53,4 +53,4 @@ __all__ = [
     "redundancy_score",
 ]
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
