@@ -17,6 +17,7 @@ invalidating caches.
 from __future__ import annotations
 
 import logging
+import math
 import warnings
 from pathlib import Path
 
@@ -437,60 +438,70 @@ class ActivationComponentVisualizer(AbstractComponentVisualizer):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        if hasattr(self.dataset, "denormalization_fn"):
-            post_process = self.dataset.denormalization_fn
-        elif denormalization_fn is not None:
-            post_process = denormalization_fn
-        else:
-            logger.debug("Dataset does not have denormalization_fn method.")
-
-            def post_process(x):
-                return x
-
+        post_process = self._resolve_denormalization(denormalization_fn)
         component_ids = np.asarray(component_ids)
-        pics = []
-        for component_id in component_ids:
-            ids = self.get_max_reference(layer_name)[int(component_id)][:n_samples]
-            # post_process receives the RAW dataset item (may be a PIL image,
-            # like the reference's denormalization path) — np conversion after.
-            imgs = [np.asarray(post_process(_extract_image(self.dataset[int(i)]))) for i in ids]
-            pics.append(_make_grid(imgs, nrow=nrows))
+        grids = [
+            self._component_example_grid(int(c), layer_name, n_samples, nrows, post_process)
+            for c in component_ids
+        ]
 
-        n_pics = len(pics)
-        n_cols = int(n_pics**0.5)
-        n_rows = (n_pics + n_cols - 1) // n_cols
+        # Own layout policy: near-square panel arrangement, wide-first
+        # (ceil(sqrt) columns), one panel per component.
+        n_panels = len(grids)
+        n_cols = max(1, math.isqrt(n_panels - 1) + 1) if n_panels else 1
+        n_rows = max(1, -(-n_panels // n_cols))
         fig, axs = plt.subplots(n_rows, n_cols, figsize=(3 * n_cols, 3 * n_rows))
         axs = np.atleast_1d(axs).flatten()
+        for ax in axs:
+            ax.axis("off")
+        for ax, cid, grid in zip(axs, component_ids, grids):
+            ax.imshow(np.clip(grid, 0, 1) if grid.dtype.kind == "f" else grid)
+            ax.set_title(f"Neuron {cid}")
 
-        for i, pic in enumerate(pics):
-            axs[i].imshow(np.clip(pic, 0, 1) if pic.dtype.kind == "f" else pic)
-            axs[i].set_title(f"Neuron {component_ids[i]}")
-            axs[i].set_xticks([])
-            axs[i].set_yticks([])
-        for i in range(n_pics, len(axs)):
-            axs[i].axis("off")
+        title = f"{self.model.name} · {layer_name}"
+        fig.suptitle((f"{fname} — " if fname else "") + title, fontsize=16)
+        fig.tight_layout(rect=[0, 0, 1, 0.96])
 
-        plt.suptitle(
-            (f"{fname:.15} " if fname else "") + f"{self.model.name:>.10} {layer_name:<.15}",
-            fontsize=16,
-        )
-        plt.tight_layout(rect=[0, 0, 1, 0.96])
-        if self.caching:
-            component_id_str = "-".join(map(str, component_ids.tolist()))
+        try:
+            if not self.caching:
+                if fname:
+                    logger.warning(
+                        "Failed to save visualization. Caching is not enabled in the "
+                        "ComponentVisualizer (`cv.caching: False`)"
+                    )
+                return None
+            # Artifact path matches the reference's plots/ naming so existing
+            # tooling finds the grids in the same place.
+            stem = "-".join(str(int(c)) for c in component_ids)
             fdir = self.storage_dir / "plots"
             fdir.mkdir(parents=True, exist_ok=True)
-            fpath = fdir / ((fname + "_" if fname else "") + f"{layer_name}_{component_id_str}.png")
-            plt.savefig(fpath)
-            plt.close(fig)
+            fpath = fdir / ((fname + "_" if fname else "") + f"{layer_name}_{stem}.png")
+            fig.savefig(fpath)
             logger.info(f"Saved visualization to {fpath}")
             return fpath
-        elif fname:
-            logger.warning(
-                "Failed to save visualization. Caching is not enabled in the "
-                "ComponentVisualizer (`cv.caching: False`)"
-            )
-        plt.close(fig)
-        return None
+        finally:
+            plt.close(fig)
+
+    def _resolve_denormalization(self, denormalization_fn):
+        """Pick the de-normalizer for raw dataset items (dataset attr wins,
+        then the explicit argument, then identity — reference precedence)."""
+        ds_fn = getattr(self.dataset, "denormalization_fn", None)
+        if ds_fn is not None:
+            return ds_fn
+        if denormalization_fn is not None:
+            return denormalization_fn
+        logger.debug("Dataset does not have denormalization_fn method.")
+        return lambda x: x
+
+    def _component_example_grid(self, component_id, layer_name, n_samples, nrows, post_process):
+        """Tile one component's top-``n_samples`` dataset items into a grid.
+
+        ``post_process`` receives the RAW dataset item (may be a PIL image,
+        like the reference's denormalization path) — np conversion after.
+        """
+        ids = self.get_max_reference(layer_name)[component_id][:n_samples]
+        imgs = [np.asarray(post_process(_extract_image(self.dataset[int(i)]))) for i in ids]
+        return _make_grid(imgs, nrow=nrows)
 
     def _check_layer_name(self, layer_name: str):
         if layer_name not in self.layer_names:
