@@ -453,20 +453,29 @@ def main():
         pre_bufs = [fm.preprocess(b) for b in bufs]
         for b in pre_bufs:
             np.asarray(b[:1, :1, :1])
+
+        def measure_fused(n_chain: int, n_reps: int) -> None:
+            # the fused ceiling is the field the driver trends — fill it as
+            # cheaply as possible first (short chain compiles much faster),
+            # then upgrade to the longer chain while budget remains
+            fused_compute_s = best_of(
+                lambda *bs: fused_chain(
+                    cv.engine._init_states(n_latents), model.params, fm.params, *bs
+                ),
+                *bufs[:n_chain],
+                n=n_reps,
+            )
+            result["fused_compute_imgs_per_s"] = round(n_chain * BATCH / fused_compute_s, 1)
+            result["detail"]["fused_compute_imgs_per_s"] = result["fused_compute_imgs_per_s"]
+            result["detail"]["compute_ceiling_method"] = (
+                f"{n_chain} batches chained in one program, best of {n_reps}"
+            )
+            _emit(result)
+
+        measure_fused(4, 2)  # quick fill — ~half the compile time of the 8-chain
+        if _remaining() > 90:
+            measure_fused(N_CHAIN, 3)  # full-methodology upgrade (overwrites)
         chain_imgs = N_CHAIN * BATCH
-        # fused ceiling first: it is the field the driver trends
-        fused_compute_s = best_of(
-            lambda *bs: fused_chain(
-                cv.engine._init_states(n_latents), model.params, fm.params, *bs
-            ),
-            *bufs,
-        )
-        result["fused_compute_imgs_per_s"] = round(chain_imgs / fused_compute_s, 1)
-        result["detail"]["fused_compute_imgs_per_s"] = result["fused_compute_imgs_per_s"]
-        result["detail"]["compute_ceiling_method"] = (
-            f"{N_CHAIN} batches chained in one program, best of 3"
-        )
-        _emit(result)
         if _remaining() > 60:
             collect_compute_s = best_of(
                 lambda *bs: collect_chain(cv.engine._init_states(n_latents), model.params, *bs),
@@ -510,8 +519,11 @@ def main():
             ),
         }
 
-    stage("baselines", 5, baselines)  # committed-cache hit costs ~0 s
-    stage("ceilings", 120, ceilings)
+    # ceilings first: fused_compute_imgs_per_s is the driver-trended field and
+    # must survive harsh external kills; baselines on a committed-cache hit
+    # cost ~0 s but on a miss can eat the whole budget in subprocesses.
+    stage("ceilings", 45, ceilings)
+    stage("baselines", 5, baselines)
     stage("real_data", 90, real_data)
     stage("serving_text_search_latency", 60, serving)
 
