@@ -66,11 +66,12 @@ _REF_N, _REF_BATCH = 64, 16
 _START = time.perf_counter()
 _BUDGET_S = float(os.environ.get("SL_BENCH_BUDGET_S", "540"))
 
-# Measured once at ImageNet scale (tools/bench_imagenet_scale.py, round 2:
-# 1,282,048 samples, 237 s wall on one chip — docs/PERF_NOTES.md:116-128).
+# Measured at ImageNet scale (tools/bench_imagenet_scale.py): round 2
+# 5,400 imgs/s (1,282,048 samples, 237 s), round 4 re-measurement 5,382.6
+# (238.2 s) — stable to 0.3% across rounds (docs/PERF_NOTES.md).
 # Re-run that tool to refresh; carried here so the driver's trend line has
 # the transport-independent sustained rate even on short budgets.
-_SUSTAINED_IMAGENET_SCALE = 5400.0
+_SUSTAINED_IMAGENET_SCALE = 5382.6
 
 
 def _remaining() -> float:

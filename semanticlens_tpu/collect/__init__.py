@@ -30,8 +30,10 @@ __all__ += [
 
 from semanticlens_tpu.collect.relevance_based import RelevanceComponentVisualizer  # noqa: E402
 from semanticlens_tpu.collect.sae_based import SAEComponentVisualizer  # noqa: E402
+from semanticlens_tpu.collect.synthesis_based import SynthesisComponentVisualizer  # noqa: E402
 
-__all__ += ["RelevanceComponentVisualizer", "SAEComponentVisualizer"]
+__all__ += ["RelevanceComponentVisualizer", "SAEComponentVisualizer",
+            "SynthesisComponentVisualizer"]
 
 from semanticlens_tpu.collect.text_based import (  # noqa: E402
     TextActivationComponentVisualizer,

@@ -1,0 +1,200 @@
+"""Optimization-based feature visualization: synthesize concept examples.
+
+Beyond the reference (which only *collects* evidence from a dataset —
+activation_based.py top-k / relevance_based.py attribution crops), this
+module *synthesizes* evidence: gradient ascent on the input image until a
+chosen component fires maximally (the classic "feature visualization"
+programme, Olah et al., distill.pub/2017/feature-visualization). The
+synthesized images drop into the same Embed → Analyze pipeline: a
+foundation model embeds them into the joint image–text space, so
+text_probing / label_components / scores run on *dataset-free* concept
+databases — useful exactly when a component's concept is missing from the
+probe dataset.
+
+TPU-first design:
+
+- ALL components of a request are synthesized in one XLA program: the K
+  per-component canvases form a (K, H, W, 3) batch, one forward pass taps
+  the layer once, and each canvas ascends its own component's aggregated
+  activation (a gather over the (K, C) aggregate — no per-component Python
+  loop, no K recompiles).
+- The whole optimization loop is a ``lax.scan`` over steps (static trip
+  count, data-independent control flow), with optax Adam state threaded
+  through the carry — one dispatch per synthesis call, not per step.
+- Robustness transforms (random shift / flip) are in-graph: the canvas is
+  optimized at (H + 2*jitter) and a random window is dynamic-sliced out
+  each step, so the compiled program stays static-shaped.
+
+Reference pointers (for the parity map): the reference has no synthesis
+path; this extends its Collect stage (semanticlens/component_visualization/
+activation_based.py:41-120) with a dataset-free strategy.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["synthesize", "SynthesisConfig"]
+
+
+class SynthesisConfig:
+    """Hyper-parameters for :func:`synthesize` (plain attributes so a config
+    hashes by identity for jit-cache keying).
+
+    Parameters mirror the classic feature-visualization recipe: Adam ascent
+    on a sigmoid-parametrized canvas with per-step random shifts, weight
+    decay toward mid-gray, and total-variation smoothing.
+    """
+
+    def __init__(
+        self,
+        *,
+        steps: int = 256,
+        lr: float = 0.05,
+        jitter: int = 4,
+        flip: bool = True,
+        l2: float = 1e-3,
+        tv: float = 2.5e-4,
+        init_scale: float = 0.01,
+    ):
+        self.steps = int(steps)
+        self.lr = float(lr)
+        self.jitter = int(jitter)
+        self.flip = bool(flip)
+        self.l2 = float(l2)
+        self.tv = float(tv)
+        self.init_scale = float(init_scale)
+
+    def _key(self):
+        return (self.steps, self.lr, self.jitter, self.flip, self.l2, self.tv, self.init_scale)
+
+
+def _total_variation(img):
+    """Anisotropic TV over a (K, H, W, C) batch → (K,) penalties."""
+    dh = jnp.abs(img[:, 1:, :, :] - img[:, :-1, :, :])
+    dw = jnp.abs(img[:, :, 1:, :] - img[:, :, :-1, :])
+    return jnp.mean(dh, axis=(1, 2, 3)) + jnp.mean(dw, axis=(1, 2, 3))
+
+
+def _agg_component(taps, component_ids, aggregate_fn):
+    """Aggregate a tapped activation and gather each canvas's component.
+
+    ``taps``: the tapped activation for the (K, …) canvas batch;
+    ``aggregate_fn`` maps it to (K, C); returns (K,) — canvas k's
+    component_ids[k] aggregate.
+    """
+    agg = aggregate_fn(taps)
+    if agg.ndim != 2:
+        raise ValueError(
+            f"aggregate_fn must map the tapped activation to (batch, components); got rank {agg.ndim}"
+        )
+    return agg[jnp.arange(agg.shape[0]), component_ids]
+
+
+def synthesize(
+    model,
+    params,
+    layer_name: str,
+    component_ids,
+    aggregate_fn,
+    *,
+    image_size: int = 224,
+    model_preprocess=None,
+    config: SynthesisConfig | None = None,
+    seed: int = 0,
+    return_trace: bool = False,
+):
+    """Synthesize one maximally-activating image per component.
+
+    Parameters
+    ----------
+    model, params : a ``SubjectModel`` (``apply(params, x, tap_names)``) and
+        its parameters.
+    layer_name : tap to maximize at.
+    component_ids : (K,) ints — component per canvas. Duplicates are fine
+        (vary ``seed`` for diverse variants of one component).
+    aggregate_fn : maps the tapped activation to (K, C) — the same
+        aggregators the Collect stage uses (``ops.aggregators``).
+    image_size : canvas height/width fed to the model.
+    model_preprocess : device-side fn applied to the 0–255 canvas before the
+        model, the ``ActivationComponentVisualizer`` convention (e.g.
+        ``make_preprocess_fn``'s normalizer). Identity when ``None``.
+    config : :class:`SynthesisConfig`.
+    seed : PRNG seed for canvas init + per-step augmentation draws.
+    return_trace : also return the (steps,) mean-objective trajectory.
+
+    Returns
+    -------
+    images : (K, image_size, image_size, 3) float32 in [0, 1].
+    objective : (K,) float32 — final (un-augmented) component aggregates.
+    trace : (steps,) float32, only when ``return_trace``.
+    """
+    import optax
+
+    cfg = config or SynthesisConfig()
+    component_ids = jnp.asarray(np.asarray(component_ids, np.int32))
+    if component_ids.ndim != 1:
+        raise ValueError("component_ids must be a 1-D sequence of component indices")
+    k = int(component_ids.shape[0])
+    pad = cfg.jitter
+    canvas_hw = image_size + 2 * pad
+
+    if model_preprocess is None:
+        model_preprocess = lambda x: x  # noqa: E731
+
+    def forward_objective(img01, ids):
+        """(K, S, S, 3) in [0,1] → (K,) component aggregates."""
+        x = model_preprocess(img01 * 255.0)
+        _, taps = model.apply(params, x, tap_names=(layer_name,))
+        return _agg_component(taps[layer_name], ids, aggregate_fn)
+
+    opt = optax.adam(cfg.lr)
+
+    def loss_fn(z, step_key):
+        img = jax.nn.sigmoid(z)  # (K, canvas, canvas, 3)
+        if pad > 0:
+            kh, kw, kf = jax.random.split(step_key, 3)
+            oy = jax.random.randint(kh, (), 0, 2 * pad + 1)
+            ox = jax.random.randint(kw, (), 0, 2 * pad + 1)
+            img = jax.lax.dynamic_slice(
+                img, (0, oy, ox, 0), (k, image_size, image_size, 3)
+            )
+        else:
+            kf = step_key
+        if cfg.flip:
+            flipped = img[:, :, ::-1, :]
+            img = jnp.where(jax.random.bernoulli(kf, shape=(k, 1, 1, 1)), flipped, img)
+        obj = forward_objective(img, component_ids)
+        reg = cfg.l2 * jnp.mean((img - 0.5) ** 2, axis=(1, 2, 3)) + cfg.tv * _total_variation(img)
+        # ascend the objective, descend the regularizers; scale-free mean
+        return jnp.mean(reg - obj), jnp.mean(obj)
+
+    def step(carry, step_key):
+        z, opt_state = carry
+        (_, obj), grads = jax.value_and_grad(loss_fn, has_aux=True)(z, step_key)
+        updates, opt_state = opt.update(grads, opt_state, z)
+        return (optax.apply_updates(z, updates), opt_state), obj
+
+    @jax.jit
+    def run(key):
+        kinit, kloop = jax.random.split(key)
+        z0 = cfg.init_scale * jax.random.normal(kinit, (k, canvas_hw, canvas_hw, 3), jnp.float32)
+        (z, _), trace = jax.lax.scan(
+            step, (z0, opt.init(z0)), jax.random.split(kloop, cfg.steps)
+        )
+        img = jax.nn.sigmoid(z)[:, pad : pad + image_size, pad : pad + image_size, :]
+        final = forward_objective(img, component_ids)
+        return img, final, trace
+
+    images, objective, trace = run(jax.random.PRNGKey(seed))
+    images = np.asarray(images, np.float32)
+    objective = np.asarray(objective, np.float32)
+    if return_trace:
+        return images, objective, np.asarray(trace, np.float32)
+    return images, objective

@@ -191,6 +191,24 @@ print(f"necessity ratio of neuron {top_neuron} on its own evidence:",
 # causal.steer (concept-direction steering). tools/causal_audit.py runs the
 # full collect -> ablate -> report loop from the command line.
 
+# --- 4g. Synthesize concept examples (dataset-free Collect) ------------------
+# When a component's concept is missing from the probe dataset, create the
+# evidence instead: batched feature visualization — K canvases ascend K
+# components in one lax.scan program — feeding the same Embed/Analyze path.
+from semanticlens_tpu.collect import SynthesisComponentVisualizer
+from semanticlens_tpu.featviz import SynthesisConfig
+
+syn = SynthesisComponentVisualizer(
+    model, ["layer4"], {"layer4": 4}, num_samples=2,
+    aggregate_fn=aggregate_conv_mean, image_size=64,
+    model_preprocess=lambda x: x.astype(jnp.float32) / 255.0,
+    config=SynthesisConfig(steps=32, jitter=2),  # demo-sized; default is 256
+    cache_dir=str(cache),
+)
+syn_db = lens.compute_concept_db(syn, batch_size=8)
+print("synthesized concept DB:", {k: np.asarray(v).shape for k, v in syn_db.items()})
+print("synthesis objectives (first component):", np.round(syn.objectives["layer4"][0], 3))
+
 # --- 5. Serve the concept DB -------------------------------------------------
 from semanticlens_tpu.serve import SearchService, serve
 
