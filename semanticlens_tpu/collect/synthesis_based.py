@@ -43,8 +43,11 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
     num_samples : synthesis variants per component (concept-DB rows).
     aggregate_fn : Collect-stage aggregator mapping the tapped activation to
         ``(batch, components)``.
-    image_size / model_preprocess / config / seed : forwarded to
-        :func:`semanticlens_tpu.featviz.synthesize`.
+    image_size / model_preprocess / config / seed / loop : forwarded to
+        :func:`semanticlens_tpu.featviz.synthesize` (``loop="host"``, the
+        default, re-dispatches one compiled step — measured 12× faster than
+        the whole-loop ``"scan"`` program on v5e and far cheaper to
+        compile).
     max_batch : canvases per XLA program (components × variants are chunked
         to this size; one compile per distinct chunk shape).
     cache_dir : when set, the synthesized gallery persists as
@@ -67,6 +70,7 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
         max_batch: int = 64,
         cache_dir: str | None = None,
         params=None,
+        loop: str = "host",
     ):
         validate_layers(model, layer_names)
         self.model = model
@@ -85,6 +89,7 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
         self.config = config or SynthesisConfig()
         self.seed = int(seed)
         self.max_batch = int(max_batch)
+        self.loop = loop
         self._cache_dir = Path(cache_dir) if cache_dir else None
         if not hasattr(self.model, "name"):
             self.model.name = get_fallback_name(self.model)
@@ -158,6 +163,7 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
                 model_preprocess=self.model_preprocess,
                 config=self.config,
                 seed=self.seed + start,
+                loop=self.loop,
             )
             for i, (c, v) in enumerate(items[start : start + self.max_batch]):
                 imgs[c, v] = images[i]

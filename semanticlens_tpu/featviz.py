@@ -18,12 +18,23 @@ TPU-first design:
   the layer once, and each canvas ascends its own component's aggregated
   activation (a gather over the (K, C) aggregate — no per-component Python
   loop, no K recompiles).
-- The whole optimization loop is a ``lax.scan`` over steps (static trip
-  count, data-independent control flow), with optax Adam state threaded
-  through the carry — one dispatch per synthesis call, not per step.
+- The optimization loop re-dispatches ONE compiled update step from the
+  host (``loop="host"``, the measured default): steps have no host
+  readback, so dispatches pipeline and the accelerator overlaps weight
+  prefetch across iterations. The alternative ``loop="scan"`` compiles the
+  whole loop as one ``lax.scan`` program — measured 12× SLOWER on v5e
+  (49.8 vs 617.9 fwd+bwd/s, ResNet-50 layer3 @224²) because the scan body
+  re-streams the subject's weights from HBM with no cross-iteration
+  overlap, reproducing the round-2 scan-collect pathology
+  (docs/PERF_NOTES.md "Feature synthesis on chip"). Both modes run the
+  identical step function with identical keys and are bit-equal (tested).
 - Robustness transforms (random shift / flip) are in-graph: the canvas is
   optimized at (H + 2*jitter) and a random window is dynamic-sliced out
   each step, so the compiled program stays static-shaped.
+- Compiled programs are memoized by (model, layer, shapes, config, loop) —
+  ``params`` and ``component_ids`` are runtime arguments, so sweeping a
+  layer's components in chunks reuses ONE program (`clear_programs()`
+  empties the bounded cache).
 
 Reference pointers (for the parity map): the reference has no synthesis
 path; this extends its Collect stage (semanticlens/component_visualization/
@@ -40,12 +51,21 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["synthesize", "SynthesisConfig"]
+__all__ = ["synthesize", "SynthesisConfig", "clear_programs"]
+
+# compiled-program memo (bounded; see clear_programs)
+_PROGRAMS: dict = {}
+_PROGRAM_CAP = 32
+
+
+def clear_programs() -> None:
+    """Drop every memoized synthesis program (frees compiled executables)."""
+    _PROGRAMS.clear()
 
 
 class SynthesisConfig:
-    """Hyper-parameters for :func:`synthesize` (plain attributes so a config
-    hashes by identity for jit-cache keying).
+    """Hyper-parameters for :func:`synthesize` (plain attributes; the tuple
+    from ``_key()`` keys the compiled-program memo).
 
     Parameters mirror the classic feature-visualization recipe: Adam ascent
     on a sigmoid-parametrized canvas with per-step random shifts, weight
@@ -97,6 +117,88 @@ def _agg_component(taps, component_ids, aggregate_fn):
     return agg[jnp.arange(agg.shape[0]), component_ids]
 
 
+def _build_programs(model, layer_name, aggregate_fn, model_preprocess, cfg, k, image_size, loop):
+    """Compile-once factory: returns callables taking (params, ids, …)."""
+    import optax
+
+    pad = cfg.jitter
+    canvas_hw = image_size + 2 * pad
+    opt = optax.adam(cfg.lr)
+
+    def forward_objective(params, img01, ids):
+        """(K, S, S, 3) in [0,1] → (K,) component aggregates."""
+        x = model_preprocess(img01 * 255.0)
+        _, taps = model.apply(params, x, tap_names=(layer_name,))
+        return _agg_component(taps[layer_name], ids, aggregate_fn)
+
+    def loss_fn(z, params, ids, step_key):
+        img = jax.nn.sigmoid(z)  # (K, canvas, canvas, 3)
+        if pad > 0:
+            kh, kw, kf = jax.random.split(step_key, 3)
+            oy = jax.random.randint(kh, (), 0, 2 * pad + 1)
+            ox = jax.random.randint(kw, (), 0, 2 * pad + 1)
+            img = jax.lax.dynamic_slice(
+                img, (0, oy, ox, 0), (k, image_size, image_size, 3)
+            )
+        else:
+            kf = step_key
+        if cfg.flip:
+            flipped = img[:, :, ::-1, :]
+            img = jnp.where(jax.random.bernoulli(kf, shape=(k, 1, 1, 1)), flipped, img)
+        obj = forward_objective(params, img, ids)
+        reg = cfg.l2 * jnp.mean((img - 0.5) ** 2, axis=(1, 2, 3)) + cfg.tv * _total_variation(img)
+        # ascend the objective, descend the regularizers; scale-free mean
+        return jnp.mean(reg - obj), jnp.mean(obj)
+
+    def step(params, ids, carry, step_key):
+        z, opt_state = carry
+        (_, obj), grads = jax.value_and_grad(loss_fn, has_aux=True)(z, params, ids, step_key)
+        updates, opt_state = opt.update(grads, opt_state, z)
+        return (optax.apply_updates(z, updates), opt_state), obj
+
+    def init_carry(key):
+        z0 = cfg.init_scale * jax.random.normal(key, (k, canvas_hw, canvas_hw, 3), jnp.float32)
+        return (z0, opt.init(z0))
+
+    def finalize(params, ids, z):
+        img = jax.nn.sigmoid(z)[:, pad : pad + image_size, pad : pad + image_size, :]
+        return img, forward_objective(params, img, ids)
+
+    if loop == "scan":
+
+        @jax.jit
+        def run(params, ids, key):
+            kinit, kloop = jax.random.split(key)
+
+            def body(carry, step_key):
+                return step(params, ids, carry, step_key)
+
+            (z, _), trace = jax.lax.scan(
+                body, init_carry(kinit), jax.random.split(kloop, cfg.steps)
+            )
+            img, final = finalize(params, ids, z)
+            return img, final, trace
+
+        return run
+
+    # host loop: the SAME step fn with the SAME per-step keys, compiled
+    # alone and re-dispatched from Python — bit-equal to the scan path
+    step_jit = jax.jit(step, donate_argnums=(2,))
+    finalize_jit = jax.jit(finalize)
+
+    def run_host(params, ids, key):
+        kinit, kloop = jax.random.split(key)
+        carry = init_carry(kinit)
+        objs = []
+        for step_key in jax.random.split(kloop, cfg.steps):
+            carry, obj = step_jit(params, ids, carry, step_key)
+            objs.append(obj)
+        img, final = finalize_jit(params, ids, carry[0])
+        return img, final, jnp.stack(objs)
+
+    return run_host
+
+
 def synthesize(
     model,
     params,
@@ -109,6 +211,7 @@ def synthesize(
     config: SynthesisConfig | None = None,
     seed: int = 0,
     return_trace: bool = False,
+    loop: str = "host",
 ):
     """Synthesize one maximally-activating image per component.
 
@@ -128,6 +231,13 @@ def synthesize(
     config : :class:`SynthesisConfig`.
     seed : PRNG seed for canvas init + per-step augmentation draws.
     return_trace : also return the (steps,) mean-objective trajectory.
+    loop : ``"host"`` (default) compiles a single update step and
+        re-dispatches it from Python — dispatches pipeline (no per-step
+        readback) and the accelerator keeps weight prefetch overlapped;
+        measured 12× faster than ``"scan"`` on v5e and far cheaper to
+        compile. ``"scan"`` compiles the whole loop as one lax.scan
+        program (one dispatch total). Bit-equal results either way
+        (tested).
 
     Returns
     -------
@@ -135,66 +245,38 @@ def synthesize(
     objective : (K,) float32 — final (un-augmented) component aggregates.
     trace : (steps,) float32, only when ``return_trace``.
     """
-    import optax
-
     cfg = config or SynthesisConfig()
-    component_ids = jnp.asarray(np.asarray(component_ids, np.int32))
-    if component_ids.ndim != 1:
+    ids = jnp.asarray(np.asarray(component_ids, np.int32))
+    if ids.ndim != 1:
         raise ValueError("component_ids must be a 1-D sequence of component indices")
-    k = int(component_ids.shape[0])
-    pad = cfg.jitter
-    canvas_hw = image_size + 2 * pad
+    if loop not in ("scan", "host"):
+        raise ValueError(f"loop must be 'scan' or 'host', got {loop!r}")
+    k = int(ids.shape[0])
 
     if model_preprocess is None:
-        model_preprocess = lambda x: x  # noqa: E731
+        model_preprocess = _identity
 
-    def forward_objective(img01, ids):
-        """(K, S, S, 3) in [0,1] → (K,) component aggregates."""
-        x = model_preprocess(img01 * 255.0)
-        _, taps = model.apply(params, x, tap_names=(layer_name,))
-        return _agg_component(taps[layer_name], ids, aggregate_fn)
-
-    opt = optax.adam(cfg.lr)
-
-    def loss_fn(z, step_key):
-        img = jax.nn.sigmoid(z)  # (K, canvas, canvas, 3)
-        if pad > 0:
-            kh, kw, kf = jax.random.split(step_key, 3)
-            oy = jax.random.randint(kh, (), 0, 2 * pad + 1)
-            ox = jax.random.randint(kw, (), 0, 2 * pad + 1)
-            img = jax.lax.dynamic_slice(
-                img, (0, oy, ox, 0), (k, image_size, image_size, 3)
-            )
-        else:
-            kf = step_key
-        if cfg.flip:
-            flipped = img[:, :, ::-1, :]
-            img = jnp.where(jax.random.bernoulli(kf, shape=(k, 1, 1, 1)), flipped, img)
-        obj = forward_objective(img, component_ids)
-        reg = cfg.l2 * jnp.mean((img - 0.5) ** 2, axis=(1, 2, 3)) + cfg.tv * _total_variation(img)
-        # ascend the objective, descend the regularizers; scale-free mean
-        return jnp.mean(reg - obj), jnp.mean(obj)
-
-    def step(carry, step_key):
-        z, opt_state = carry
-        (_, obj), grads = jax.value_and_grad(loss_fn, has_aux=True)(z, step_key)
-        updates, opt_state = opt.update(grads, opt_state, z)
-        return (optax.apply_updates(z, updates), opt_state), obj
-
-    @jax.jit
-    def run(key):
-        kinit, kloop = jax.random.split(key)
-        z0 = cfg.init_scale * jax.random.normal(kinit, (k, canvas_hw, canvas_hw, 3), jnp.float32)
-        (z, _), trace = jax.lax.scan(
-            step, (z0, opt.init(z0)), jax.random.split(kloop, cfg.steps)
+    memo_key = (
+        id(model), layer_name, id(aggregate_fn), id(model_preprocess),
+        cfg._key(), k, int(image_size), loop,
+    )
+    run = _PROGRAMS.get(memo_key)
+    if run is None:
+        if len(_PROGRAMS) >= _PROGRAM_CAP:
+            logger.info("featviz program memo full (%d); clearing", len(_PROGRAMS))
+            _PROGRAMS.clear()
+        run = _build_programs(
+            model, layer_name, aggregate_fn, model_preprocess, cfg, k, int(image_size), loop
         )
-        img = jax.nn.sigmoid(z)[:, pad : pad + image_size, pad : pad + image_size, :]
-        final = forward_objective(img, component_ids)
-        return img, final, trace
+        _PROGRAMS[memo_key] = run
 
-    images, objective, trace = run(jax.random.PRNGKey(seed))
+    images, objective, trace = run(params, ids, jax.random.PRNGKey(seed))
     images = np.asarray(images, np.float32)
     objective = np.asarray(objective, np.float32)
     if return_trace:
         return images, objective, np.asarray(trace, np.float32)
     return images, objective
+
+
+def _identity(x):
+    return x

@@ -188,3 +188,42 @@ def test_cv_requires_component_counts(toy):
     with pytest.raises(ValueError, match="missing entries"):
         SynthesisComponentVisualizer(
             toy, ["0", "1"], {"0": 4}, num_samples=2, aggregate_fn=aggregate_conv_mean)
+
+
+def test_host_loop_bit_equals_scan(toy):
+    from semanticlens_tpu import featviz
+
+    a = synthesize(toy, toy.params, "0", [0, 2], aggregate_conv_mean,
+                   image_size=IMG, model_preprocess=_preprocess, config=FAST, seed=3,
+                   loop="scan")
+    b = synthesize(toy, toy.params, "0", [0, 2], aggregate_conv_mean,
+                   image_size=IMG, model_preprocess=_preprocess, config=FAST, seed=3,
+                   loop="host")
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    featviz.clear_programs()
+
+
+def test_program_memo_reuses_across_component_sets(toy):
+    from semanticlens_tpu import featviz
+
+    featviz.clear_programs()
+    synthesize(toy, toy.params, "0", [0, 1], aggregate_conv_mean,
+               image_size=IMG, model_preprocess=_preprocess, config=FAST, seed=0)
+    assert len(featviz._PROGRAMS) == 1
+    # different component ids, same shapes -> SAME program (ids are traced args)
+    synthesize(toy, toy.params, "0", [5, 6], aggregate_conv_mean,
+               image_size=IMG, model_preprocess=_preprocess, config=FAST, seed=0)
+    assert len(featviz._PROGRAMS) == 1
+    # different K -> new program
+    synthesize(toy, toy.params, "0", [1], aggregate_conv_mean,
+               image_size=IMG, model_preprocess=_preprocess, config=FAST, seed=0)
+    assert len(featviz._PROGRAMS) == 2
+    featviz.clear_programs()
+    assert not featviz._PROGRAMS
+
+
+def test_rejects_unknown_loop_mode(toy):
+    with pytest.raises(ValueError, match="scan.*host"):
+        synthesize(toy, toy.params, "0", [0], aggregate_conv_mean,
+                   image_size=IMG, model_preprocess=_preprocess, config=FAST, loop="nope")
