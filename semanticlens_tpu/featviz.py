@@ -117,13 +117,22 @@ def _agg_component(taps, component_ids, aggregate_fn):
     return agg[jnp.arange(agg.shape[0]), component_ids]
 
 
-def _build_programs(model, layer_name, aggregate_fn, model_preprocess, cfg, k, image_size, loop):
+def _build_programs(
+    model, layer_name, aggregate_fn, model_preprocess, cfg, k, image_size, loop, sharding=None
+):
     """Compile-once factory: returns callables taking (params, ids, …)."""
     import optax
 
     pad = cfg.jitter
     canvas_hw = image_size + 2 * pad
     opt = optax.adam(cfg.lr)
+
+    def constrain(z):
+        # canvas-axis data parallelism: GSPMD partitions the whole
+        # optimization (forward, backward, Adam) once z0 is constrained
+        if sharding is not None:
+            return jax.lax.with_sharding_constraint(z, sharding)
+        return z
 
     def forward_objective(params, img01, ids):
         """(K, S, S, 3) in [0,1] → (K,) component aggregates."""
@@ -157,7 +166,9 @@ def _build_programs(model, layer_name, aggregate_fn, model_preprocess, cfg, k, i
         return (optax.apply_updates(z, updates), opt_state), obj
 
     def init_carry(key):
-        z0 = cfg.init_scale * jax.random.normal(key, (k, canvas_hw, canvas_hw, 3), jnp.float32)
+        z0 = constrain(
+            cfg.init_scale * jax.random.normal(key, (k, canvas_hw, canvas_hw, 3), jnp.float32)
+        )
         return (z0, opt.init(z0))
 
     def finalize(params, ids, z):
@@ -212,6 +223,7 @@ def synthesize(
     seed: int = 0,
     return_trace: bool = False,
     loop: str = "host",
+    mesh=None,
 ):
     """Synthesize one maximally-activating image per component.
 
@@ -231,6 +243,10 @@ def synthesize(
     config : :class:`SynthesisConfig`.
     seed : PRNG seed for canvas init + per-step augmentation draws.
     return_trace : also return the (steps,) mean-objective trajectory.
+    mesh : optional ``jax.sharding.Mesh`` — shards the K canvases over the
+        mesh's ``"data"`` axis (K must divide its size); the forward,
+        backward, and Adam update all partition via GSPMD. Results are
+        independent per canvas, so sharded and unsharded runs agree.
     loop : ``"host"`` (default) compiles a single update step and
         re-dispatches it from Python — dispatches pipeline (no per-step
         readback) and the accelerator keeps weight prefetch overlapped;
@@ -256,9 +272,20 @@ def synthesize(
     if model_preprocess is None:
         model_preprocess = _identity
 
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if k % mesh.devices.size:
+            raise ValueError(
+                f"K={k} canvases must divide the mesh size {mesh.devices.size}"
+            )
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        ids = jax.device_put(ids, sharding)
+
     memo_key = (
         id(model), layer_name, id(aggregate_fn), id(model_preprocess),
-        cfg._key(), k, int(image_size), loop,
+        cfg._key(), k, int(image_size), loop, id(mesh) if mesh is not None else None,
     )
     run = _PROGRAMS.get(memo_key)
     if run is None:
@@ -266,7 +293,8 @@ def synthesize(
             logger.info("featviz program memo full (%d); clearing", len(_PROGRAMS))
             _PROGRAMS.clear()
         run = _build_programs(
-            model, layer_name, aggregate_fn, model_preprocess, cfg, k, int(image_size), loop
+            model, layer_name, aggregate_fn, model_preprocess, cfg, k, int(image_size), loop,
+            sharding=sharding,
         )
         _PROGRAMS[memo_key] = run
 

@@ -227,3 +227,27 @@ def test_rejects_unknown_loop_mode(toy):
     with pytest.raises(ValueError, match="scan.*host"):
         synthesize(toy, toy.params, "0", [0], aggregate_conv_mean,
                    image_size=IMG, model_preprocess=_preprocess, config=FAST, loop="nope")
+
+
+def test_mesh_sharded_synthesis_matches_unsharded(toy):
+    from jax.sharding import Mesh
+    from semanticlens_tpu import featviz
+
+    featviz.clear_programs()
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    kw = dict(image_size=IMG, model_preprocess=_preprocess, config=FAST, seed=2)
+    a = synthesize(toy, toy.params, "0", list(range(8)), aggregate_conv_mean, **kw)
+    b = synthesize(toy, toy.params, "0", list(range(8)), aggregate_conv_mean,
+                   mesh=mesh, **kw)
+    np.testing.assert_allclose(a[0], b[0], atol=2e-6)
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-5)
+    featviz.clear_programs()
+
+
+def test_mesh_rejects_indivisible_k(toy):
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    with pytest.raises(ValueError, match="divide the mesh"):
+        synthesize(toy, toy.params, "0", [0, 1, 2], aggregate_conv_mean,
+                   image_size=IMG, model_preprocess=_preprocess, config=FAST, mesh=mesh)
