@@ -194,7 +194,7 @@ print(f"necessity ratio of neuron {top_neuron} on its own evidence:",
 # --- 4g. Synthesize concept examples (dataset-free Collect) ------------------
 # When a component's concept is missing from the probe dataset, create the
 # evidence instead: batched feature visualization — K canvases ascend K
-# components in one lax.scan program — feeding the same Embed/Analyze path.
+# components per compiled program — feeding the same Embed/Analyze path.
 from semanticlens_tpu.collect import SynthesisComponentVisualizer
 from semanticlens_tpu.featviz import SynthesisConfig
 
