@@ -232,3 +232,56 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
         """(num_samples, H, W, 3) synthesized variants of one component."""
         self.run()
         return self.gallery[layer_name][int(component_id)]
+
+    def visualize_components(self, component_ids, layer_name: str, fname=None):
+        """Plot each component's synthesized variants as one panel per
+        component (same artifact contract as the other visualizers: saved
+        under ``storage_dir/plots`` when caching is enabled, else None)."""
+        self._check_layer(layer_name)
+        self.run()
+        import math
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from semanticlens_tpu.collect.activation_based import _make_grid
+
+        component_ids = np.asarray(component_ids)
+        grids = [
+            _make_grid(list(self.gallery[layer_name][int(c)]), nrow=self.num_samples)
+            for c in component_ids
+        ]
+        n_panels = len(grids)
+        n_cols = max(1, math.isqrt(max(0, n_panels - 1)) + 1)
+        n_rows = max(1, -(-n_panels // n_cols))
+        fig, axs = plt.subplots(n_rows, n_cols, figsize=(3 * n_cols, 3 * n_rows))
+        axs = np.atleast_1d(axs).flatten()
+        for ax in axs:
+            ax.axis("off")
+        for ax, cid, grid in zip(axs, component_ids, grids):
+            ax.imshow(np.clip(grid, 0, 1))
+            obj = self.objectives[layer_name][int(cid)].max()
+            ax.set_title(f"Neuron {cid} (obj {obj:.3g})")
+        fig.suptitle((f"{fname} — " if fname else "") + f"{self.model.name} · {layer_name} (synthesized)",
+                     fontsize=14)
+        fig.tight_layout(rect=[0, 0, 1, 0.95])
+        try:
+            if not self.caching:
+                return None
+            stem = "-".join(str(int(c)) for c in component_ids)
+            fdir = self.storage_dir / "plots"
+            fdir.mkdir(parents=True, exist_ok=True)
+            fpath = fdir / ((fname + "_" if fname else "") + f"{layer_name}_{stem}.png")
+            fig.savefig(fpath)
+            logger.info(f"Saved synthesis visualization to {fpath}")
+            return fpath
+        finally:
+            plt.close(fig)
+
+    def _check_layer(self, layer_name: str):
+        if layer_name not in self.layer_names:
+            raise ValueError(
+                f"Layer '{layer_name}' not found in visualizer layers: {self.layer_names}"
+            )

@@ -251,3 +251,12 @@ def test_mesh_rejects_indivisible_k(toy):
     with pytest.raises(ValueError, match="divide the mesh"):
         synthesize(toy, toy.params, "0", [0, 1, 2], aggregate_conv_mean,
                    image_size=IMG, model_preprocess=_preprocess, config=FAST, mesh=mesh)
+
+
+def test_cv_visualize_components(toy, tmp_path):
+    cv = _make_cv(toy, tmp_path)
+    fpath = cv.visualize_components([0, 1], layer_name="0")
+    assert fpath is not None and fpath.exists() and fpath.stat().st_size > 1000
+    assert _make_cv(toy).visualize_components([0], layer_name="0") is None  # caching off
+    with pytest.raises(ValueError, match="not found"):
+        cv.visualize_components([0], layer_name="nope")
