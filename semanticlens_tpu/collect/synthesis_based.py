@@ -17,6 +17,7 @@ augmentation draws), giving the diversity that dataset top-k gets for free.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import logging
 from pathlib import Path
@@ -112,13 +113,20 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
             "dataset": "synthetic",
             "model": self.model.name,
             "strategy": "feature-synthesis",
-            "steps": str(self.config.steps),
+            # full-config digest: changing ANY synthesis hyper-parameter
+            # (lr, jitter, tv, …) must miss both the gallery cache and the
+            # Lens concept-DB cache, not silently reload stale artifacts
+            "config": self._config_digest(),
             "num_samples": str(self.num_samples),
         }
 
+    def _config_digest(self) -> str:
+        key = repr((self.config._key(), self.seed, self.image_size))
+        return hashlib.sha256(key.encode()).hexdigest()[:12]
+
     def _gallery_path(self, layer_name: str) -> Path:
         return self.storage_dir / (
-            f"synthesis-{self.config.steps}-{self.num_samples}-{layer_name}.safetensors"
+            f"synthesis-{self._config_digest()}-{self.num_samples}-{layer_name}.safetensors"
         )
 
     # ----------------------------------------------------------------- run

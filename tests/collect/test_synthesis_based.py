@@ -260,3 +260,17 @@ def test_cv_visualize_components(toy, tmp_path):
     assert _make_cv(toy).visualize_components([0], layer_name="0") is None  # caching off
     with pytest.raises(ValueError, match="not found"):
         cv.visualize_components([0], layer_name="nope")
+
+
+def test_cache_misses_on_config_change(toy, tmp_path):
+    """Changing any synthesis hyper-parameter must NOT reload a stale gallery."""
+    cv1 = _make_cv(toy, tmp_path)
+    cv1.run()
+    other = SynthesisComponentVisualizer(
+        toy, ["0"], {"0": 4}, num_samples=2, aggregate_fn=aggregate_conv_mean,
+        image_size=IMG, model_preprocess=_preprocess,
+        config=SynthesisConfig(steps=48, lr=0.05, jitter=2, tv=0.0, l2=1e-4),  # lr differs
+        cache_dir=str(tmp_path), max_batch=8,
+    )
+    assert other._gallery_path("0") != cv1._gallery_path("0")
+    assert other.metadata["config"] != cv1.metadata["config"]
