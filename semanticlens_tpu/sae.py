@@ -10,7 +10,14 @@ Monosemanticity). Latent f of the SAE becomes component f of a virtual tap
 machinery unchanged — top-activating examples, CLIP embeddings, text search,
 clarity/polysemanticity scores, CLIP-Dissect naming.
 
-Three SAE flavours:
+Three SAE flavours (each also available as a TRANSCODER — set ``d_out`` to
+train encode-from-``tap_in`` / decode-toward-``tap_out`` dictionaries, the
+sparse layer-replacement primitive of circuit analysis, arXiv:2406.11944;
+``skip=True`` adds the affine bypass of skip transcoders, arXiv:2501.18823.
+:func:`train_transcoder_on_layer` streams positionally-aligned row pairs,
+and :class:`TranscoderSubjectModel` both exposes the codes as a virtual
+``"{tap_in}.tc"`` tap for the standard pipeline AND patches the target tap
+with the transcoder's prediction for fidelity/causal analysis):
 
 - ``k > 0`` — **TopK SAE** (arXiv:2406.04093): keep the k largest
   pre-activations per row, zero the rest; pure MSE objective, sparsity is
@@ -103,10 +110,22 @@ class SAEConfig:
     ste_eps: float = 1e-3
     init_theta: float = 1e-3
     seed: int = 0
+    d_out: int = 0
+    skip: bool = False
 
     def __post_init__(self):
         if self.jumprelu and self.k:
             raise ValueError("jumprelu=True requires k=0 (thresholded, not TopK)")
+        if self.skip and not self.d_out:
+            raise ValueError("skip=True is a transcoder option; set d_out")
+
+    @property
+    def is_transcoder(self) -> bool:
+        """``d_out > 0`` selects the transcoder objective: encode from the
+        input tap, decode toward a DIFFERENT target tap (arXiv:2406.11944;
+        ``skip=True`` adds the affine bypass of skip transcoders,
+        arXiv:2501.18823)."""
+        return self.d_out > 0
 
 
 def init_sae(rng, cfg: SAEConfig) -> dict:
@@ -114,14 +133,32 @@ def init_sae(rng, cfg: SAEConfig) -> dict:
     transpose init of arXiv:2406.04093 §A.1 (makes latents approximately
     reconstruct their own direction at step 0). JumpReLU adds per-latent
     ``log_theta`` at ``log(init_theta)``."""
-    w = jax.random.normal(rng, (cfg.n_latents, cfg.d_in), jnp.float32)
-    w_dec = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
-    params = {
-        "W_enc": w_dec.T,
-        "b_enc": jnp.zeros((cfg.n_latents,), jnp.float32),
-        "W_dec": w_dec,
-        "b_dec": jnp.zeros((cfg.d_in,), jnp.float32),
-    }
+    if cfg.is_transcoder:
+        # d_out may differ from d_in, so the transpose init is unavailable:
+        # lecun-normal encoder, unit-norm decoder rows, separate input bias
+        k_enc, k_dec = jax.random.split(rng)
+        w = jax.random.normal(k_dec, (cfg.n_latents, cfg.d_out), jnp.float32)
+        params = {
+            "W_enc": jax.random.normal(k_enc, (cfg.d_in, cfg.n_latents), jnp.float32)
+            / np.sqrt(cfg.d_in),
+            "b_enc": jnp.zeros((cfg.n_latents,), jnp.float32),
+            "b_in": jnp.zeros((cfg.d_in,), jnp.float32),
+            "W_dec": w / jnp.linalg.norm(w, axis=-1, keepdims=True),
+            "b_dec": jnp.zeros((cfg.d_out,), jnp.float32),
+        }
+        if cfg.skip:
+            # zero-init: the bypass starts as a no-op and learns the
+            # affine component of the target map (arXiv:2501.18823)
+            params["W_skip"] = jnp.zeros((cfg.d_in, cfg.d_out), jnp.float32)
+    else:
+        w = jax.random.normal(rng, (cfg.n_latents, cfg.d_in), jnp.float32)
+        w_dec = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+        params = {
+            "W_enc": w_dec.T,
+            "b_enc": jnp.zeros((cfg.n_latents,), jnp.float32),
+            "W_dec": w_dec,
+            "b_dec": jnp.zeros((cfg.d_in,), jnp.float32),
+        }
     if cfg.jumprelu:
         params["log_theta"] = jnp.full(
             (cfg.n_latents,), float(np.log(cfg.init_theta)), jnp.float32)
@@ -210,8 +247,10 @@ _l0_ste.defvjp(_l0_fwd, _l0_bwd)
 def encode(params: Mapping, x, k: int = 0):
     """Rows (..., d_in) → codes (..., n_latents); TopK when ``k > 0``;
     JumpReLU (``pre · H(pre − exp(log_theta))``) when the dictionary
-    carries per-latent thresholds."""
-    pre = (x.astype(jnp.float32) - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
+    carries per-latent thresholds. Transcoder dictionaries carry a separate
+    input bias ``b_in`` (their ``b_dec`` lives in the OUTPUT space)."""
+    b_in = params["b_in"] if "b_in" in params else params["b_dec"]
+    pre = (x.astype(jnp.float32) - b_in) @ params["W_enc"] + params["b_enc"]
     if k > 0:
         return _topk_mask(pre, k)
     if "log_theta" in params:
@@ -219,8 +258,15 @@ def encode(params: Mapping, x, k: int = 0):
     return jax.nn.relu(pre)
 
 
-def decode(params: Mapping, z):
-    return z @ params["W_dec"] + params["b_dec"]
+def decode(params: Mapping, z, x=None):
+    """Codes → reconstruction. A skip-transcoder dictionary additionally
+    needs the original input rows ``x`` for its affine bypass."""
+    out = z @ params["W_dec"] + params["b_dec"]
+    if "W_skip" in params:
+        if x is None:
+            raise ValueError("skip-transcoder decode needs the input rows x")
+        out = out + x.astype(jnp.float32) @ params["W_skip"]
+    return out
 
 
 def finalize_sae_params(params: Mapping, cfg: SAEConfig) -> dict:
@@ -280,15 +326,17 @@ def init_stats(cfg: SAEConfig) -> dict:
     }
 
 
-def _loss_fn(params, x, cfg: SAEConfig, last_fired):
+def _loss_fn(params, x, cfg: SAEConfig, last_fired, y=None):
     x = x.astype(jnp.float32)
-    pre = (x - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
+    target = x if y is None else y.astype(jnp.float32)
+    b_in = params["b_in"] if "b_in" in params else params["b_dec"]
+    pre = (x - b_in) @ params["W_enc"] + params["b_enc"]
     if cfg.jumprelu:
         z = _jumprelu_ste(pre, params["log_theta"], cfg.ste_eps)
     else:
         z = _sparsify(pre, cfg.k, cfg.approx_topk) if cfg.k > 0 else jax.nn.relu(pre)
-    recon = decode(params, z)
-    err = recon - x
+    recon = decode(params, z, x if "W_skip" in params else None)
+    err = recon - target
     mse = jnp.mean(jnp.sum(err * err, axis=-1))
     loss = mse
     if cfg.jumprelu:
@@ -318,7 +366,7 @@ def _loss_fn(params, x, cfg: SAEConfig, last_fired):
         row_norm = jnp.linalg.norm(params["W_dec"], axis=-1)
         loss = loss + cfg.l1_coef * jnp.mean(jnp.sum(z * row_norm, axis=-1))
     fired = jnp.any(z > 0.0, axis=tuple(range(z.ndim - 1)))
-    var = jnp.sum((x - jnp.mean(x, axis=0)) ** 2)
+    var = jnp.sum((target - jnp.mean(target, axis=0)) ** 2)
     aux_metrics = {
         "mse": mse,
         "fvu": jnp.sum(err * err) / jnp.maximum(var, 1e-9),
@@ -347,16 +395,17 @@ def make_optimizer(cfg: SAEConfig):
     return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
 
 
-def make_train_step(cfg: SAEConfig, optimizer=None):
+def make_train_step(cfg: SAEConfig, optimizer=None, *, paired: bool = False):
     """One optimizer step: ``step(params, opt_state, stats, x_rows)`` →
-    updated triple + scalar metrics. Pure — callers jit it (alone or inside
-    a scan) with the carry donated."""
+    updated triple + scalar metrics (``paired=True`` adds a ``y_rows``
+    argument — the transcoder target). Pure — callers jit it (alone or
+    inside a scan) with the carry donated."""
     optimizer = optimizer or make_optimizer(cfg)
 
-    def step(params, opt_state, stats, x):
+    def _update(params, opt_state, stats, x, y):
         (loss, (fired, metrics)), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
-        )(params, x, cfg, stats["last_fired"])
+        )(params, x, cfg, stats["last_fired"], y)
         # Unit-norm decoder constraint is the ReLU+L1 anti-scale-gaming
         # device; L0 is scale-invariant so JumpReLU trains unconstrained
         # (arXiv:2407.14435 trains W_dec freely).
@@ -372,18 +421,27 @@ def make_train_step(cfg: SAEConfig, optimizer=None):
         }
         return params, opt_state, stats, {"loss": loss, **metrics}
 
+    if paired:
+        def step(params, opt_state, stats, x, y):
+            return _update(params, opt_state, stats, x, y)
+    else:
+        def step(params, opt_state, stats, x):
+            return _update(params, opt_state, stats, x, None)
+
     return step
 
 
-def _scan_steps(cfg: SAEConfig, optimizer):
+def _scan_steps(cfg: SAEConfig, optimizer, paired: bool = False):
     """Jitted: run one optimizer step per leading-axis minibatch of
-    ``batches`` (S, batch_rows, d_in); carry donated in place in HBM."""
-    step = make_train_step(cfg, optimizer)
+    ``batches`` (S, batch_rows, d_in) — or per ``(x, y)`` minibatch pair
+    when ``paired`` — carry donated in place in HBM."""
+    step = make_train_step(cfg, optimizer, paired=paired)
 
     def run(params, opt_state, stats, batches):
-        def body(carry, x):
+        def body(carry, xy):
             params, opt_state, stats = carry
-            params, opt_state, stats, metrics = step(params, opt_state, stats, x)
+            args = xy if paired else (xy,)
+            params, opt_state, stats, metrics = step(params, opt_state, stats, *args)
             return (params, opt_state, stats), metrics
 
         (params, opt_state, stats), metrics = jax.lax.scan(
@@ -398,6 +456,7 @@ def train_sae_from_rows(
     rows,
     cfg: SAEConfig,
     *,
+    targets=None,
     steps: int = 1000,
     mesh=None,
     params: dict | None = None,
@@ -421,6 +480,18 @@ def train_sae_from_rows(
         raise ValueError(f"rows must be (N, {cfg.d_in}), got {tuple(rows.shape)}")
     if n < cfg.batch_rows:
         raise ValueError(f"need at least batch_rows={cfg.batch_rows} rows, got {n}")
+    paired = targets is not None
+    if cfg.is_transcoder != paired:
+        raise ValueError(
+            "transcoder configs (d_out > 0) train on (rows, targets) pairs; "
+            "plain SAE configs take rows only"
+        )
+    if paired:
+        targets = jnp.asarray(targets, jnp.float32)
+        if targets.shape != (n, cfg.d_out):
+            raise ValueError(
+                f"targets must be (N={n}, d_out={cfg.d_out}), got {tuple(targets.shape)}"
+            )
     key = jax.random.PRNGKey(cfg.seed)
     if params is None:
         key, sub = jax.random.split(key)
@@ -430,11 +501,13 @@ def train_sae_from_rows(
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     stats = init_stats(cfg)
-    runner = _scan_steps(cfg, optimizer)
+    runner = _scan_steps(cfg, optimizer, paired=paired)
 
     if mesh is not None:
         batch_sharding = NamedSharding(mesh, P(None, "data"))
         rows = jax.device_put(rows, NamedSharding(mesh, P()))
+        if paired:
+            targets = jax.device_put(targets, NamedSharding(mesh, P()))
 
     rng = np.random.default_rng(cfg.seed)
     # Epoch-style sampling: indices come from chained host-side permutations,
@@ -464,9 +537,10 @@ def train_sae_from_rows(
         s = min(chunk, steps - done)
         # Host-side permutation indices; the gather happens on device.
         idx = _take(s * cfg.batch_rows).reshape(s, cfg.batch_rows)
-        batches = rows[jnp.asarray(idx)]
+        idx = jnp.asarray(idx)
+        batches = (rows[idx], targets[idx]) if paired else rows[idx]
         if mesh is not None:
-            batches = jax.device_put(batches, batch_sharding)
+            batches = jax.tree.map(lambda b: jax.device_put(b, batch_sharding), batches)
         params, opt_state, stats, metrics = runner(params, opt_state, stats, batches)
         done += s
         if log_every and (done % log_every < chunk):
@@ -475,6 +549,134 @@ def train_sae_from_rows(
                 "sae step %d: loss %.4g fvu %.3f l0 %.1f", done, m["loss"], m["fvu"], m["l0"]
             )
     return finalize_sae_params(params, cfg), stats, jax.device_get(metrics)
+
+
+def train_transcoder_from_rows(rows, targets, cfg: SAEConfig, **kwargs):
+    """Train a transcoder on paired (input-tap, target-tap) row matrices.
+
+    A transcoder (arXiv:2406.11944) is an SAE whose decoder reconstructs a
+    DIFFERENT activation than the encoder reads — canonically the MLP's
+    output from the MLP's input — so its latents form a sparse, interpretable
+    replacement of the layer's computation (the building block of
+    attribution-graph circuit analysis). ``cfg.skip=True`` adds the
+    zero-initialized affine bypass of skip transcoders (arXiv:2501.18823),
+    which absorbs the map's linear component so latents spend their capacity
+    on the nonlinear part. Same flavours/machinery as
+    :func:`train_sae_from_rows` (TopK/AuxK, ReLU+L1, JumpReLU, mesh DP,
+    donated scanned steps); requires ``cfg.d_out`` = target width.
+    """
+    return train_sae_from_rows(rows, cfg, targets=targets, **kwargs)
+
+
+def _make_pair_extractor(model: SubjectModel, tap_in: str, tap_out: str, cfg: SAEConfig):
+    """Jitted (params, images, key) → (x_rows, y_rows) from ONE forward:
+    the same sampled positions index both taps, keeping pairs aligned."""
+
+    @jax.jit
+    def extract(params, images, key):
+        _, taps = model.apply(params, images, (tap_in, tap_out))
+        hx = taps[tap_in].astype(jnp.float32)
+        hy = taps[tap_out].astype(jnp.float32)
+        b = hx.shape[0]
+        fx = hx.reshape(b, -1, hx.shape[-1])
+        fy = hy.reshape(b, -1, hy.shape[-1])
+        if fx.shape[1] != fy.shape[1]:
+            raise ValueError(
+                f"taps '{tap_in}' and '{tap_out}' have different position counts "
+                f"({fx.shape[1]} vs {fy.shape[1]}); a transcoder needs positionally "
+                "aligned input/target activations"
+            )
+        if cfg.positions_per_image and cfg.positions_per_image < fx.shape[1]:
+            pos = jax.random.randint(
+                key, (b, cfg.positions_per_image), 0, fx.shape[1], jnp.int32
+            )
+            fx = jnp.take_along_axis(fx, pos[..., None], axis=1)
+            fy = jnp.take_along_axis(fy, pos[..., None], axis=1)
+        return fx.reshape(-1, fx.shape[-1]), fy.reshape(-1, fy.shape[-1])
+
+    return extract
+
+
+def train_transcoder_on_layer(
+    model: SubjectModel,
+    params,
+    dataset,
+    tap_in: str,
+    tap_out: str,
+    cfg: SAEConfig,
+    *,
+    batch_size: int = 64,
+    epochs: int = 1,
+    mesh=None,
+    input_preprocess=None,
+    log_every: int = 0,
+):
+    """Streaming transcoder trainer: one device-resident pass (per epoch)
+    over the dataset, extracting positionally-aligned (``tap_in``,
+    ``tap_out``) row pairs from a single subject forward and scanning
+    optimizer minibatches — the transcoder sibling of
+    :func:`train_sae_on_layer` (same static-shape/batch semantics).
+    """
+    from semanticlens_tpu.data.dataset import device_prefetch_batches, iter_batches
+
+    if not cfg.is_transcoder:
+        raise ValueError("set cfg.d_out to the target tap's width")
+    if cfg.d_in <= 0:
+        raise ValueError("cfg.d_in must be set to the input tap's width")
+    prep = input_preprocess or (lambda x: x.astype(jnp.float32))
+    wrapped = _PreprocessedModel(model, prep)
+    extract = _make_pair_extractor(wrapped, tap_in, tap_out, cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, sub = jax.random.split(key)
+    tc_params = init_sae(sub, cfg)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(tc_params)
+    stats = init_stats(cfg)
+    runner = _scan_steps(cfg, optimizer, paired=True)
+
+    sharding = NamedSharding(mesh, P("data")) if mesh is not None else None
+    n_full = (len(dataset) // batch_size) * batch_size
+    if n_full == 0:
+        raise ValueError(f"dataset of {len(dataset)} samples < batch_size {batch_size}")
+
+    done_steps = 0
+    metrics = {}
+    for epoch in range(epochs):
+        batches = device_prefetch_batches(
+            iter_batches(dataset, batch_size), sharding=sharding
+        )
+        for images, start_index, _ in batches:
+            if start_index + batch_size > len(dataset):
+                continue  # zero-padded tail batch: skip (static-shape training)
+            key, k1, k2 = jax.random.split(key, 3)
+            xr, yr = extract(params, images, k1)
+            n_rows = xr.shape[0]
+            if n_rows < cfg.batch_rows:
+                raise ValueError(
+                    f"batch yields {n_rows} rows < batch_rows={cfg.batch_rows}; "
+                    "raise batch_size or positions_per_image"
+                )
+            perm = jax.random.permutation(k2, n_rows)
+            s = n_rows // cfg.batch_rows
+            sel = perm[: s * cfg.batch_rows]
+            mini = (
+                xr[sel].reshape(s, cfg.batch_rows, cfg.d_in),
+                yr[sel].reshape(s, cfg.batch_rows, cfg.d_out),
+            )
+            if sharding is not None:
+                mini = jax.tree.map(
+                    lambda b: jax.device_put(b, NamedSharding(mesh, P(None, "data"))), mini
+                )
+            tc_params, opt_state, stats, metrics = runner(tc_params, opt_state, stats, mini)
+            done_steps += s
+            if log_every and done_steps % log_every < s:
+                m = jax.device_get(metrics)
+                logger.info(
+                    "transcoder epoch %d step %d: loss %.4g fvu %.3f l0 %.1f",
+                    epoch, done_steps, m["loss"], m["fvu"], m["l0"],
+                )
+    return finalize_sae_params(tc_params, cfg), stats, jax.device_get(metrics)
 
 
 def _make_row_extractor(model: SubjectModel, layer_name: str, cfg: SAEConfig):
@@ -665,6 +867,14 @@ class SAESubjectModel(SubjectModel):
             # as causal.sae_latent_ablation — the baseline includes the
             # SAE's reconstruction error; compare against an identity
             # rewrite, not the raw forward, to isolate the latent effect).
+            if "b_in" in params["sae"]:
+                raise ValueError(
+                    "this dictionary is a transcoder (decodes into a "
+                    "DIFFERENT tap's space); in-place substitution of "
+                    f"'{self.layer_name}' would be dimensionally wrong — "
+                    "use TranscoderSubjectModel, which replaces the target "
+                    "tap instead"
+                )
             stash = {}
 
             def _substitute(v):
@@ -685,6 +895,115 @@ class SAESubjectModel(SubjectModel):
             if self.layer_name not in base_taps:
                 del taps[self.layer_name]
             taps[self.sae_tap] = codes
+        return out, taps
+
+
+class TranscoderSubjectModel(SubjectModel):
+    """Subject model exposing a trained transcoder's codes as a virtual tap.
+
+    Adds ``"{tap_in}.tc"`` to ``module_names``: its activation is the
+    transcoder code field (same spatial/token structure as the input tap),
+    so transcoder latents collect evidence / embed / score / get named
+    through the standard pipeline exactly like SAE latents.
+
+    Causal semantics differ from :class:`SAESubjectModel`: a transcoder
+    predicts a DIFFERENT tap, so when the virtual tap carries an
+    intervention — or when ``replace=True`` — the TARGET tap's activation is
+    substituted with ``decode(rewrite(encode(tap_in)))`` (the
+    MLP-replacement patch of transcoder circuit analysis, arXiv:2406.11944;
+    ``replace=True`` with an identity rewrite measures the transcoder's
+    patched-model fidelity).
+
+    ``params`` is ``{"base": base_params, "tc": transcoder_params}``.
+    """
+
+    def __init__(
+        self,
+        base: SubjectModel,
+        tap_in: str,
+        tap_out: str,
+        tc_params: Mapping,
+        *,
+        k: int | None = None,
+        base_params=None,
+        replace: bool = False,
+        name: str | None = None,
+    ):
+        for tap in (tap_in, tap_out):
+            if not base.has_module(tap):
+                raise ValueError(f"Layer '{tap}' not found in model.")
+        if "b_in" not in tc_params:
+            raise ValueError(
+                "tc_params is a plain SAE dictionary (no 'b_in'); train via "
+                "train_transcoder_on_layer / train_transcoder_from_rows"
+            )
+        self.base = base
+        self.tap_in = tap_in
+        self.tap_out = tap_out
+        self.replace = bool(replace)
+        stored_k = tc_params.get("k")
+        if k is None:
+            if stored_k is None:
+                raise ValueError("pass k= or train via semanticlens_tpu.sae "
+                                 "(trainers stamp 'k' into the params)")
+            k = int(stored_k)
+        elif stored_k is not None and int(stored_k) != int(k):
+            raise ValueError(
+                f"k={int(k)} contradicts tc_params['k']={int(stored_k)}")
+        self.k = int(k)
+        self.tc_tap = f"{tap_in}.tc"
+        self.module_names = tuple(base.module_names) + (self.tc_tap,)
+        base_params = base_params if base_params is not None else getattr(base, "params", None)
+        if base_params is not None:
+            self.params = {"base": base_params, "tc": dict(tc_params)}
+        self._tc_params = dict(tc_params)
+        if name is None:
+            base_name = getattr(base, "name", base.__class__.__name__)
+            n_latents = int(np.shape(tc_params["W_dec"])[0])
+            digest = _params_digest(tc_params)
+            name = f"{base_name}-tc_{tap_in}_{n_latents}k{self.k}_{digest}"
+        self.name = name
+
+    def init(self, rng):
+        return {"base": self.base.init(rng), "tc": self._tc_params}
+
+    def apply(self, params, x, tap_names=()):
+        from semanticlens_tpu.models.base import (
+            apply_interventions,
+            has_intervention,
+            interventions,
+        )
+
+        tap_names = tuple(tap_names)
+        want_tc = self.tc_tap in tap_names
+        base_taps = tuple(t for t in tap_names if t != self.tc_tap)
+        if self.replace or has_intervention(self.tc_tap):
+            # Patch path: capture tap_in in flight, rewrite its codes, and
+            # substitute the transcoder's prediction for tap_out. tap_in
+            # precedes tap_out in the forward, so its stash is ready.
+            stash = {}
+
+            def _capture(v):
+                z = apply_interventions(self.tc_tap, encode(params["tc"], v, k=self.k))
+                stash["codes"], stash["x"] = z, v
+                return v
+
+            def _substitute(v):
+                return decode(params["tc"], stash["codes"], stash["x"]
+                              if "W_skip" in params["tc"] else None).astype(v.dtype)
+
+            with interventions({self.tap_in: _capture, self.tap_out: _substitute}):
+                out, taps = self.base.apply(params["base"], x, base_taps)
+            if want_tc:
+                taps[self.tc_tap] = stash["codes"]
+            return out, taps
+        need = base_taps if not want_tc else tuple(dict.fromkeys(base_taps + (self.tap_in,)))
+        out, taps = self.base.apply(params["base"], x, need)
+        if want_tc:
+            codes = encode(params["tc"], taps[self.tap_in], k=self.k)
+            if self.tap_in not in base_taps:
+                del taps[self.tap_in]
+            taps[self.tc_tap] = codes
         return out, taps
 
 

@@ -154,7 +154,7 @@ def test_epoch_permutation_visits_every_row(monkeypatch):
     cfg = SAEConfig(d_in=n, n_latents=4, k=1, batch_rows=32, seed=1)
     captured = []
 
-    def fake_scan(cfg_, optimizer_):
+    def fake_scan(cfg_, optimizer_, paired=False):
         def run(params, opt_state, stats, batches):
             captured.append(np.asarray(batches).argmax(-1).ravel())
             return params, opt_state, stats, {}
@@ -443,3 +443,193 @@ def test_jumprelu_dictionary_through_sae_subject_model():
     _, base_taps = lm.apply(base_params, ids, (layer,))
     want = np.asarray(encode(sae_params, base_taps[layer], k=0))
     np.testing.assert_allclose(codes, want, rtol=1e-5, atol=1e-6)
+
+
+# ----------------------------------------------------------- transcoders
+from semanticlens_tpu.sae import (  # noqa: E402
+    finalize_sae_params,
+    train_transcoder_from_rows,
+    train_transcoder_on_layer,
+)
+
+
+def _paired_map(n=4096, d_in=8, d_out=6, seed=0, linear=False):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    a = rng.normal(size=(d_in, 16)).astype(np.float32) / np.sqrt(d_in)
+    b = rng.normal(size=(16, d_out)).astype(np.float32) / 4.0
+    m = rng.normal(size=(d_in, d_out)).astype(np.float32) / np.sqrt(d_in)
+    c = rng.normal(size=(d_out,)).astype(np.float32)
+    y = x @ m + c if linear else np.maximum(x @ a, 0.0) @ b + c
+    return x, y.astype(np.float32)
+
+
+def test_transcoder_learns_nonlinear_map():
+    x, y = _paired_map()
+    cfg = SAEConfig(d_in=8, d_out=6, n_latents=64, k=8, lr=3e-3, batch_rows=512, seed=0)
+    params, stats, metrics = train_transcoder_from_rows(x, y, cfg, steps=400)
+    assert metrics["fvu"] < 0.25, metrics  # explains most of the target variance
+    assert params["W_dec"].shape == (64, 6) and params["b_dec"].shape == (6,)
+    assert "b_in" in params and int(params["k"]) == 8
+    # encode reads the input space; decode lands in the target space
+    z = encode(params, jnp.asarray(x[:4]), k=8)
+    assert decode(params, z).shape == (4, 6)
+
+
+def test_skip_transcoder_absorbs_linear_map():
+    x, y = _paired_map(linear=True)
+    cfg = SAEConfig(d_in=8, d_out=6, n_latents=32, k=4, lr=3e-3, batch_rows=512,
+                    seed=0, skip=True)
+    params, _, metrics = train_transcoder_from_rows(x, y, cfg, steps=400)
+    # the zero-initialized affine bypass can represent a linear map exactly
+    assert metrics["fvu"] < 0.02, metrics
+    assert float(jnp.abs(params["W_skip"]).max()) > 0.0  # bypass actually learned
+    z = encode(params, jnp.asarray(x[:4]), k=4)
+    with pytest.raises(ValueError, match="needs the input rows"):
+        decode(params, z)
+    out = decode(params, z, jnp.asarray(x[:4]))
+    assert out.shape == (4, 6)
+
+
+def test_transcoder_config_and_pairing_errors():
+    x, y = _paired_map(n=1024)
+    with pytest.raises(ValueError, match="skip=True is a transcoder option"):
+        SAEConfig(d_in=8, n_latents=16, skip=True)
+    tc = SAEConfig(d_in=8, d_out=6, n_latents=16, k=2, batch_rows=256)
+    with pytest.raises(ValueError, match="pairs"):
+        train_sae_from_rows(x, tc, steps=2)  # transcoder cfg without targets
+    plain = SAEConfig(d_in=8, n_latents=16, k=2, batch_rows=256)
+    with pytest.raises(ValueError, match="pairs"):
+        train_sae_from_rows(x, plain, targets=y, steps=2)
+    with pytest.raises(ValueError, match="targets must be"):
+        train_transcoder_from_rows(x, y[:, :3], tc, steps=2)
+
+
+def test_plain_sae_artifacts_unchanged_by_transcoder_support():
+    cfg = SAEConfig(d_in=8, n_latents=16, k=2)
+    params = init_sae(jax.random.PRNGKey(0), cfg)
+    assert "b_in" not in params and "W_skip" not in params
+    from semanticlens_tpu.sae import _topk_mask
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32))
+    pre = (x - params["b_dec"]) @ params["W_enc"] + params["b_enc"]  # legacy formula
+    np.testing.assert_allclose(
+        np.asarray(encode(params, x, k=2)), np.asarray(_topk_mask(pre, 2)), rtol=1e-6)
+
+
+def test_transcoder_streaming_on_layer_pairs_positions():
+    from semanticlens_tpu.data import ArrayDataset
+
+    class _TwoTap:
+        module_names = ("a", "b")
+
+        def __init__(self):
+            rng = np.random.default_rng(7)
+            self.w1 = jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32))
+            self.w2 = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32) / 2.0)
+
+        def has_module(self, name):
+            return name in self.module_names
+
+        def apply(self, params, x, tap_names=()):
+            ha = jax.nn.relu(x @ self.w1)          # (B, H, W, 8)
+            hb = jax.nn.gelu(ha @ self.w2)          # (B, H, W, 6) — same positions
+            taps = {}
+            if "a" in tap_names:
+                taps["a"] = ha
+            if "b" in tap_names:
+                taps["b"] = hb
+            return jnp.mean(hb, axis=(1, 2)), taps
+
+    model = _TwoTap()
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.normal(size=(70, 12, 12, 3)).astype(np.float32), name="ds")
+    cfg = SAEConfig(d_in=8, d_out=6, n_latents=32, k=4, lr=3e-3, batch_rows=128,
+                    positions_per_image=16, seed=0)
+    params, stats, metrics = train_transcoder_on_layer(
+        model, {}, ds, "a", "b", cfg, batch_size=32, epochs=8)
+    assert np.isfinite(metrics["loss"]) and metrics["fvu"] < 1.0
+    assert params["W_dec"].shape == (32, 6) and int(params["k"]) == 4
+    assert int(stats["step"]) == 64  # same step arithmetic as the SAE trainer
+
+
+def test_transcoder_mesh_data_parallel_parity():
+    from jax.sharding import Mesh
+
+    x, y = _paired_map(n=2048)
+    cfg = SAEConfig(d_in=8, d_out=6, n_latents=32, k=4, batch_rows=512, seed=1)
+    p1, _, m1 = train_transcoder_from_rows(x, y, cfg, steps=20)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    p2, _, m2 = train_transcoder_from_rows(x, y, cfg, steps=20, mesh=mesh)
+    for name in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[name], np.float32), np.asarray(p2[name], np.float32),
+            atol=2e-5, err_msg=name)
+
+
+def test_transcoder_subject_model_patch_and_evidence():
+    from semanticlens_tpu.data import ArrayDataset
+    from semanticlens_tpu.models.base import interventions
+    from semanticlens_tpu.sae import SAESubjectModel, TranscoderSubjectModel
+
+    class _TwoTap:
+        module_names = ("a", "b")
+
+        def __init__(self):
+            rng = np.random.default_rng(7)
+            self.w1 = jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32))
+            self.w2 = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32) / 2.0)
+
+        def has_module(self, name):
+            return name in self.module_names
+
+        def apply(self, params, x, tap_names=()):
+            from semanticlens_tpu.models.base import TapCollector
+
+            tap = TapCollector(tap_names)
+            ha = tap("a", jax.nn.relu(x @ self.w1))
+            hb = tap("b", jax.nn.gelu(ha @ self.w2))
+            return jnp.mean(hb, axis=(1, 2)), tap.taps
+
+    model = _TwoTap()
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.normal(size=(70, 12, 12, 3)).astype(np.float32), name="ds")
+    cfg = SAEConfig(d_in=8, d_out=6, n_latents=32, k=4, lr=3e-3, batch_rows=128,
+                    positions_per_image=16, seed=0)
+    tc, _, _ = train_transcoder_on_layer(model, {}, ds, "a", "b", cfg,
+                                         batch_size=32, epochs=8)
+
+    sub = TranscoderSubjectModel(model, "a", "b", tc, base_params={})
+    x = jnp.asarray(rng.normal(size=(4, 12, 12, 3)).astype(np.float32))
+
+    # evidence path: codes tap has the input tap's spatial structure
+    _, taps = sub.apply(sub.params, x, tap_names=("a.tc",))
+    assert taps["a.tc"].shape == (4, 12, 12, 32)
+    assert (np.asarray(taps["a.tc"] > 0).sum(-1) <= 4).all()  # k-sparse codes
+
+    # replace=True patches tap b with the transcoder's prediction:
+    # output changes, but far less than ablating the whole layer
+    base_out, _ = model.apply({}, x)
+    patched = TranscoderSubjectModel(model, "a", "b", tc, base_params={}, replace=True)
+    out_p, taps_p = patched.apply(patched.params, x, tap_names=("b",))
+    patch_err = float(jnp.mean((out_p - base_out) ** 2))
+    with interventions({"b": lambda v: jnp.zeros_like(v)}):
+        out_z, _ = model.apply({}, x)
+    zero_err = float(jnp.mean((out_z - base_out) ** 2))
+    assert 0 < patch_err < 0.5 * zero_err, (patch_err, zero_err)
+
+    # ablating a code latent changes the patched output (causal wiring)
+    with interventions({"a.tc": lambda z: z.at[..., :16].set(0.0)}):
+        out_abl, _ = sub.apply(sub.params, x)
+    assert float(jnp.mean((out_abl - out_p) ** 2)) > 0.0
+
+    # guards: plain SAE dict rejected; SAESubjectModel refuses transcoder
+    plain = finalize_sae_params(
+        init_sae(jax.random.PRNGKey(0), SAEConfig(d_in=8, n_latents=16, k=2)),
+        SAEConfig(d_in=8, n_latents=16, k=2))
+    with pytest.raises(ValueError, match="plain SAE dictionary"):
+        TranscoderSubjectModel(model, "a", "b", plain, base_params={})
+    wrong = SAESubjectModel(model, "a", tc, base_params={})
+    with pytest.raises(ValueError, match="transcoder"):
+        with interventions({"a.sae": lambda z: z}):
+            wrong.apply(wrong.params, x)
