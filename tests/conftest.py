@@ -58,6 +58,9 @@ _SLOW_TESTS = {
     "test_clip.py::test_openclip_rn50_tower",  # ViT-B/32 path stays fast
     "test_sae.py::test_approx_topk_training_identical_on_cpu",
     "test_sae.py::test_auxk_routes_gradient_to_dead_latents",
+    "test_sae.py::test_transcoder_learns_nonlinear_map",
+    "test_sae.py::test_skip_transcoder_absorbs_linear_map",
+    "test_sae.py::test_transcoder_mesh_data_parallel_parity",
     "test_scores.py::test_null_calibrated_polysemanticity",
 }
 
