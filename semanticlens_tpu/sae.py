@@ -150,6 +150,11 @@ def init_sae(rng, cfg: SAEConfig) -> dict:
             # zero-init: the bypass starts as a no-op and learns the
             # affine component of the target map (arXiv:2501.18823)
             params["W_skip"] = jnp.zeros((cfg.d_in, cfg.d_out), jnp.float32)
+        # NOTE: the trainers rescale this init to the DATA once rows are
+        # seen (_calibrate_transcoder_init) — input and target taps can
+        # differ in scale by orders of magnitude (an MLP output is often
+        # ~100× smaller than its LayerNorm'd input), and a unit-scale
+        # decoder would start that far from the mean predictor.
     else:
         w = jax.random.normal(rng, (cfg.n_latents, cfg.d_in), jnp.float32)
         w_dec = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
@@ -496,6 +501,8 @@ def train_sae_from_rows(
     if params is None:
         key, sub = jax.random.split(key)
         params = init_sae(sub, cfg)
+        if paired:
+            params = _calibrate_transcoder_init(params, rows, targets)
     else:
         params = {name: v for name, v in params.items() if name != "k"}
     optimizer = make_optimizer(cfg)
@@ -549,6 +556,24 @@ def train_sae_from_rows(
                 "sae step %d: loss %.4g fvu %.3f l0 %.1f", done, m["loss"], m["fvu"], m["l0"]
             )
     return finalize_sae_params(params, cfg), stats, jax.device_get(metrics)
+
+
+def _calibrate_transcoder_init(params: dict, x_rows, y_rows) -> dict:
+    """Data-dependent transcoder init: center the encoder on the input mean,
+    start the decoder bias at the target mean, and scale the unit-norm
+    decoder rows to the target's standard deviation — the mean predictor is
+    the starting point regardless of how far apart the two taps' scales are
+    (the standard b_dec-to-mean initialization of SAE practice, applied to
+    the transcoder's output space)."""
+    x = jnp.asarray(x_rows, jnp.float32)
+    y = jnp.asarray(y_rows, jnp.float32)
+    y_std = jnp.maximum(jnp.std(y), 1e-8)
+    return {
+        **params,
+        "b_in": jnp.mean(x, axis=0),
+        "b_dec": jnp.mean(y, axis=0),
+        "W_dec": params["W_dec"] * y_std,
+    }
 
 
 def train_transcoder_from_rows(rows, targets, cfg: SAEConfig, **kwargs):
@@ -631,7 +656,7 @@ def train_transcoder_on_layer(
     key, sub = jax.random.split(key)
     tc_params = init_sae(sub, cfg)
     optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(tc_params)
+    opt_state = None  # initialized after data-dependent calibration below
     stats = init_stats(cfg)
     runner = _scan_steps(cfg, optimizer, paired=True)
 
@@ -657,6 +682,9 @@ def train_transcoder_on_layer(
                     f"batch yields {n_rows} rows < batch_rows={cfg.batch_rows}; "
                     "raise batch_size or positions_per_image"
                 )
+            if opt_state is None:
+                tc_params = _calibrate_transcoder_init(tc_params, xr, yr)
+                opt_state = optimizer.init(tc_params)
             perm = jax.random.permutation(k2, n_rows)
             s = n_rows // cfg.batch_rows
             sel = perm[: s * cfg.batch_rows]

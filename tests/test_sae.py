@@ -633,3 +633,48 @@ def test_transcoder_subject_model_patch_and_evidence():
     with pytest.raises(ValueError, match="transcoder"):
         with interventions({"a.sae": lambda z: z}):
             wrong.apply(wrong.params, x)
+
+
+def test_transcoder_on_gpt2_mlp_block():
+    """The canonical circuit-analysis workload: an MLP transcoder on a
+    (tiny) GPT-2 block — ln_2 output → mlp output — audited through
+    TranscoderSubjectModel on token input."""
+    from semanticlens_tpu.data import ArrayDataset
+    from semanticlens_tpu.models.gpt import GPT2
+    from semanticlens_tpu.sae import TranscoderSubjectModel
+
+    model = GPT2(vocab_size=64, n_positions=16, width=16, depth=2, heads=2,
+                 dtype=jnp.float32)
+    model.params = model.init(jax.random.PRNGKey(0))
+    model.name = "tiny-gpt2-tc"
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 64, size=(48, 16), dtype=np.int32)
+    ds = ArrayDataset(tokens, name="tok")
+
+    cfg = SAEConfig(d_in=16, d_out=16, n_latents=48, k=4, lr=1e-2,
+                    batch_rows=128, seed=0, skip=True)
+    tc, _, metrics = train_transcoder_on_layer(
+        model, model.params, ds, "transformer.h.0.ln_2", "transformer.h.0.mlp",
+        cfg, batch_size=16, epochs=25)
+    assert np.isfinite(metrics["loss"]) and metrics["fvu"] < 1.0
+
+    sub = TranscoderSubjectModel(model, "transformer.h.0.ln_2",
+                                 "transformer.h.0.mlp", tc,
+                                 base_params=model.params)
+    x = jnp.asarray(tokens[:4])
+    out, taps = sub.apply(sub.params, x, tap_names=("transformer.h.0.ln_2.tc",))
+    assert taps["transformer.h.0.ln_2.tc"].shape == (4, 16, 48)
+    # patched-model fidelity: replacing the MLP with the transcoder moves
+    # the logits less than zeroing the MLP outright
+    base, _ = model.apply(model.params, x)
+    patched = TranscoderSubjectModel(model, "transformer.h.0.ln_2",
+                                     "transformer.h.0.mlp", tc,
+                                     base_params=model.params, replace=True)
+    out_p, _ = patched.apply(patched.params, x)
+    from semanticlens_tpu.models.base import interventions
+
+    with interventions({"transformer.h.0.mlp": lambda v: jnp.zeros_like(v)}):
+        out_z, _ = model.apply(model.params, x)
+    err_p = float(jnp.mean((out_p - base) ** 2))
+    err_z = float(jnp.mean((out_z - base) ** 2))
+    assert 0 < err_p < err_z, (err_p, err_z)
