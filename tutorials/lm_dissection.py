@@ -9,12 +9,18 @@ validation, and SAE-latent audits apply to LM neurons unchanged.
 Run:  PYTHONPATH=. python tutorials/lm_dissection.py
 """
 
+import sys
+from pathlib import Path
+
+_repo = Path(__file__).resolve().parent.parent
+if str(_repo) not in sys.path:
+    sys.path.insert(0, str(_repo))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")  # demo-sized; keep it off the TPU
 
 import tempfile
-from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
@@ -128,4 +134,38 @@ sae_cv = TextSAEComponentVisualizer(lm, ds, ds.texts_view(), LAYER, sae_params,
                                     num_samples=5, cache_dir=str(cache))
 sae_db = lens.compute_concept_db(sae_cv, batch_size=16)
 print("SAE-latent concept DB:", {k: np.asarray(v).shape for k, v in sae_db.items()})
+
+# --- 6. Transcoders: sparse replacement of the MLP's computation --------------
+# Train encode-from-ln_2 / decode-toward-mlp dictionaries (the circuit-
+# analysis primitive); replace=True patches the MLP with the transcoder to
+# measure fidelity, and interventions on the code tap are causal.
+from semanticlens_tpu.sae import TranscoderSubjectModel, train_transcoder_on_layer
+
+tc_cfg = SAEConfig(d_in=64, d_out=64, n_latents=96, k=6, lr=1e-2,
+                   batch_rows=64, skip=True, seed=0)
+tc, _, tc_metrics = train_transcoder_on_layer(
+    lm, lm.params, ds, "transformer.h.1.ln_2", "transformer.h.1.mlp",
+    tc_cfg, batch_size=16, epochs=10)
+
+# The transcoder-quality metric that matters: how much do the LOGITS move
+# when the MLP is replaced by the transcoder, relative to ablating the MLP?
+# Demo caveat: a RANDOM-init toy's MLP output is unstructured noise, so this
+# ratio stays >1 here; on a learnable map the same machinery reaches
+# fvu < 0.15 (tests/test_sae.py::test_transcoder_learns_nonlinear_map), and
+# on real subjects with real corpora the ratio is what you tune toward 0.
+from semanticlens_tpu.models.base import interventions
+
+patched = TranscoderSubjectModel(lm, "transformer.h.1.ln_2", "transformer.h.1.mlp",
+                                 tc, base_params=lm.params, replace=True)
+base_logits, _ = lm.apply(lm.params, jnp.asarray(tokens[:4]))
+patched_logits, taps = patched.apply(
+    patched.params, jnp.asarray(tokens[:4]), tap_names=("transformer.h.1.ln_2.tc",))
+with interventions({"transformer.h.1.mlp": lambda v: jnp.zeros_like(v)}):
+    zeroed_logits, _ = lm.apply(lm.params, jnp.asarray(tokens[:4]))
+patch_mse = float(jnp.mean((patched_logits - base_logits) ** 2))
+zero_mse = float(jnp.mean((zeroed_logits - base_logits) ** 2))
+print(f"patched-model logit mse {patch_mse:.4f} vs MLP-zeroed {zero_mse:.4f} "
+      f"(ratio {patch_mse / zero_mse:.2f}; see caveat above) | codes:",
+      taps["transformer.h.1.ln_2.tc"].shape)
+
 print("done — artifacts under", cache)
