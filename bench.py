@@ -6,20 +6,23 @@ foundation-model forward pass) — executed the TPU-native way: uint8 batches
 upload once, are normalized on device, and feed BOTH models in a single fused
 pass; the top-k state lives in HBM; embeddings come back in one readback.
 
-Budget-safe protocol (the driver records whatever JSON line appears LAST on
-stdout, so every intermediate print is itself a complete, valid result):
+Emission protocol (the driver records a bounded TAIL of stdout and parses the
+LAST JSON line in it — rounds 3 and 4 lost their numbers to a timeout and to
+a >2,000-char final line respectively, so BOTH constraints are load-bearing):
 
-1. The core end-to-end measurement runs FIRST and its JSON line is printed
-   immediately — a degraded tunnel or driver timeout after this point still
-   leaves a recorded number.
-2. Optional stages (device-compute ceilings, real-data path, serving latency,
-   CPU baselines) each run only if the remaining wall-clock budget allows,
-   and each failure is caught — after every stage the full merged JSON line
-   is re-printed, so being killed mid-extras loses only the unfinished extra.
-3. ``SL_BENCH_BUDGET_S`` (default 540 s) bounds total wall-clock.
-
-Prints (possibly several times, last one wins) ONE JSON line:
-    {"metric": ..., "value": N, "unit": "imgs/s/chip", "vs_baseline": N, ...}
+1. Every stdout line is a COMPACT headline (< 1,200 bytes, enforced by
+   tests/test_bench_headline.py): metric/value/unit/vs_baseline plus the
+   transport-independent trend fields. Full measurement detail goes to
+   ``BENCH_DETAIL.json`` next to this file, never to stdout.
+2. The first headline prints as soon as the FIRST end-to-end repeat finishes
+   (repeat 1 doubles as the compile warm-up; ``provisional: true`` until a
+   compile-free repeat lands). A driver kill after this point still leaves a
+   parseable number.
+3. Optional stages (device-compute ceilings, in-run sustained probe, real
+   data, serving, CPU baselines) each run only if the remaining wall-clock
+   budget allows, each failure is caught, and the headline is re-printed
+   after every stage — last line wins.
+4. ``SL_BENCH_BUDGET_S`` (default 540 s) bounds total wall-clock.
 
 The reference publishes no numbers (BASELINE.md: "this repo establishes the
 number"), so ``vs_baseline`` is a MEASURED ratio against the reference's own
@@ -35,12 +38,16 @@ local measurement).
 
 Because the end-to-end number rides the host→device tunnel (observed 7–17
 MB/s swings across rounds on identical code, docs/PERF_NOTES.md), the
-stable, design-attributable rates are first-class top-level fields the
-driver can trend across rounds:
-  - ``fused_compute_imgs_per_s``  — both networks chained on-device (ceiling)
-  - ``sustained_imagenet_scale_imgs_per_s`` — last measured
-    tools/bench_imagenet_scale.py sustained rate (1.28M samples, round 4,
-    batch-size-swept optimum).
+stable, design-attributable rates are first-class headline fields the driver
+can trend across rounds:
+  - ``fused_compute_imgs_per_s`` — both networks chained on-device (ceiling)
+  - ``sustained_imagenet_scale_imgs_per_s`` — device-resident sustained rate
+    at the production batch size, MEASURED IN-RUN by a budget-gated probe
+    (``sustained_measured: true``); when budget forces a skip the last chip
+    measurement is carried with ``sustained_measured: false`` so a trend
+    reader can tell a measurement from a memory.
+  - ``mfu_pct`` — sustained rate × analytic model FLOPs/img vs the chip's
+    bf16 peak (semanticlens_tpu/utils/flops.py).
 """
 
 from __future__ import annotations
@@ -59,22 +66,77 @@ import jax
 import jax.numpy as jnp
 
 from semanticlens_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+from semanticlens_tpu.utils.flops import mfu_pct, resnet_flops_per_image, vit_flops_per_image
 
-_REF_CACHE = Path(__file__).resolve().parent / "REF_BASELINE.json"
-_SELF_CACHE = Path(__file__).resolve().parent / "SELF_BASELINE.json"
+_HERE = Path(__file__).resolve().parent
+_REF_CACHE = _HERE / "REF_BASELINE.json"
+_SELF_CACHE = _HERE / "SELF_BASELINE.json"
+_DETAIL_PATH = _HERE / "BENCH_DETAIL.json"
 _REF_N, _REF_BATCH = 64, 16
 
 _START = time.perf_counter()
 _BUDGET_S = float(os.environ.get("SL_BENCH_BUDGET_S", "540"))
 
-# Measured at ImageNet scale (tools/bench_imagenet_scale.py, 1,282,048
-# samples): batch 256 — round 2: 5,400 imgs/s, round 3 code: 5,402, round 4:
-# 5,382.6 (stable to 0.3% across rounds); round 4 batch-size sweep found
-# batch 128 optimal — full-scale re-run: 224.6 s = 5,708.2 imgs/s
-# (docs/PERF_NOTES.md). Re-run that tool to refresh; carried here so the
-# driver's trend line has the transport-independent sustained rate even on
-# short budgets.
-_SUSTAINED_IMAGENET_SCALE = 5708.2
+# Fallback for the sustained trend field when the in-run probe is budget-
+# skipped: the last full-scale chip measurement (tools/bench_imagenet_scale.py,
+# 1,281,167 samples, batch-128 optimum, round 4: 224.6 s = 5,708.2 imgs/s,
+# docs/PERF_NOTES.md). Emitted with ``sustained_measured: false`` so it can
+# never masquerade as a fresh measurement.
+_SUSTAINED_CARRIED = 5708.2
+_SUSTAINED_CARRIED_FROM = "r4 full-scale run (tools/bench_imagenet_scale.py)"
+
+# Analytic model FLOPs per image for MFU (multiply-add = 2 FLOPs; see
+# semanticlens_tpu/utils/flops.py for the published-table parity tests).
+MODEL_FLOPS_PER_IMG = resnet_flops_per_image(50, 224) + vit_flops_per_image(patch=32)
+
+# Headline fields, in emission order. Everything else lives in the detail
+# file — tests/test_bench_headline.py pins the compact-line contract.
+HEADLINE_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "vs_baseline",
+    "fused_compute_imgs_per_s",
+    "sustained_imagenet_scale_imgs_per_s",
+    "sustained_measured",
+    "mfu_pct",
+    "model_flops_per_img",
+    "provisional",
+    "error",
+    "detail_file",
+)
+
+
+def make_headline(result: dict) -> dict:
+    """Project the full result onto the compact driver-facing headline.
+
+    Pure so the size contract is unit-testable: the returned dict must
+    serialize to < 1,200 bytes no matter how large ``result['detail']`` is.
+    """
+    headline = {}
+    for key in HEADLINE_KEYS:
+        if key in ("provisional", "error") and not result.get(key):
+            continue  # only present when meaningful — keeps the line short
+        if key == "detail_file":
+            headline[key] = _DETAIL_PATH.name
+            continue
+        headline[key] = result.get(key)
+    err = headline.get("error")
+    if isinstance(err, str) and len(err) > 200:
+        headline["error"] = err[:200]
+    return headline
+
+
+def _emit(result: dict) -> None:
+    """Write the FULL result to BENCH_DETAIL.json; print the compact
+    headline as one JSON line and flush — the driver takes the LAST
+    parseable line of a bounded stdout tail, so each emission supersedes
+    the previous and must stay far under the tail size."""
+    try:
+        _DETAIL_PATH.write_text(json.dumps(result, indent=1))
+    except OSError:
+        pass  # a read-only checkout must not cost the round
+    print(json.dumps(make_headline(result)), flush=True)
 
 
 def _remaining() -> float:
@@ -110,7 +172,7 @@ def _load_cached_baseline(path: Path, rate_key: str) -> dict | None:
 
 
 def _measure_baseline(tool_name: str, cache: Path, rate_key: str, timeout_s: float) -> dict:
-    tool = Path(__file__).resolve().parent / "tools" / tool_name
+    tool = _HERE / "tools" / tool_name
     proc = subprocess.run(
         [sys.executable, str(tool), "--n-images", str(_REF_N), "--batch", str(_REF_BATCH)],
         capture_output=True,
@@ -177,11 +239,15 @@ def real_data_bench(engine, params, embed_fn, images: np.ndarray, batch: int) ->
     # page cache so neither sweep pays one-time costs
     ds.get_batch(0, min(batch, n))
 
-    # decode-only sweep: host cost of the real-data path
-    t0 = time.perf_counter()
-    for _ in iter_batches(ds, batch):
-        pass
-    decode_s = time.perf_counter() - t0
+    # decode-only sweep: host cost of the real-data path (best of 2 — the
+    # first sweep can still pay page-cache/thread-pool ramp; see the
+    # round-over-round decode trend in docs/PERF_NOTES.md)
+    decode_s = math.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in iter_batches(ds, batch):
+            pass
+        decode_s = min(decode_s, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     states, embeds, n_seen = engine.run_fused(params, ds, batch, embed_fn)
@@ -248,24 +314,85 @@ def serving_latency_bench(fm, concept_db, n_req: int = 40) -> dict:
     }
 
 
+def sustained_probe(
+    engine, model_params, fm, images: np.ndarray, *, batch: int, chain: int, n_programs: int
+) -> dict:
+    """Device-resident sustained rate at the production batch size — the
+    in-run version of tools/bench_imagenet_scale.py (same fused program,
+    donated state, pipelined dispatch, no per-step readback), sized to a
+    bench-budget slice instead of the full 1.28M samples.
+
+    The state dynamics match a real sweep after the top-k slots fill
+    (~first program); only the pixels repeat (pool of distinct batches).
+    """
+    import functools
+
+    s = images.shape[1]
+    pool_n = chain  # chain distinct batches per program is plenty of variety
+    rng = np.random.default_rng(1)
+    pool = [
+        jax.device_put(
+            np.ascontiguousarray(
+                images[rng.integers(0, images.shape[0], size=batch)]
+            )
+        )
+        for _ in range(pool_n)
+    ]
+    for buf in pool:
+        np.asarray(buf[:1, :1, :1])  # sync uploads out of the timed region
+    n_latents = engine.infer_n_latents(model_params, (batch, s, s, 3), np.uint8)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def program(states, params, fm_params, start, *batches):
+        emb_acc = jnp.zeros((), jnp.float32)
+        for i, buf in enumerate(batches):
+            ids = start + jnp.int32(i * batch) + jnp.arange(batch, dtype=jnp.int32)
+            states = engine._local_step(states, params, buf, ids, jnp.ones((batch,), bool))
+            emb_acc = emb_acc + jnp.sum(fm._encode_image(fm_params, fm.preprocess(buf)))
+        return states, emb_acc
+
+    states = engine._init_states(n_latents)
+    t_compile = time.perf_counter()
+    states, acc = program(states, model_params, fm.params, jnp.int32(0), *pool)
+    jax.block_until_ready(states[next(iter(states))].values)
+    compile_s = time.perf_counter() - t_compile
+
+    states = engine._init_states(n_latents)
+    per_program = batch * chain
+    t0 = time.perf_counter()
+    for p in range(n_programs):
+        states, acc = program(
+            states, model_params, fm.params, jnp.int32(p * per_program), *pool
+        )
+    np.asarray(states[next(iter(states))].values)
+    np.asarray(acc)
+    wall = time.perf_counter() - t0
+    return {
+        "imgs_per_s": round(n_programs * per_program / wall, 1),
+        "n_samples": n_programs * per_program,
+        "wall_s": round(wall, 2),
+        "compile_s": round(compile_s, 1),
+        "batch": batch,
+        "chain": chain,
+        "method": "donated-state fused chain, pipelined dispatch, no per-step readback",
+    }
+
+
 N_IMAGES = 2048
 # Batch 256 for the chained-ceiling + e2e stages: the chained best-of-3
 # methodology pays a sync readback per repeat, which favors bigger batches
 # (256 -> ~5.0k, 128 -> ~4.7k chained) and keeps fused_compute_imgs_per_s
 # comparable across rounds. The PRODUCTION sustained optimum is batch 128
 # (pipelined dispatches, no per-step readback): 5,708 imgs/s at full
-# ImageNet scale, carried in _SUSTAINED_IMAGENET_SCALE above
-# (docs/PERF_NOTES.md round-4 batch sweep).
+# ImageNet scale (docs/PERF_NOTES.md round-4 batch sweep) — measured in-run
+# by sustained_probe above at SUSTAINED_BATCH.
 BATCH = 256
+SUSTAINED_BATCH = 128
+SUSTAINED_CHAIN = 8
+SUSTAINED_PROGRAMS = 48  # 48 x 1024 imgs ~= 49k imgs ~= 9 s at 5.7k/s
 IMAGE_SIZE = 224
 N_COLLECT = 25
 LAYERS = ("layer1", "layer2", "layer3", "layer4")
-
-
-def _emit(result: dict) -> None:
-    """Print the full result as one JSON line and flush — the driver takes
-    the LAST parseable line, so each emission supersedes the previous."""
-    print(json.dumps(result), flush=True)
 
 
 def main():
@@ -279,14 +406,34 @@ def main():
             "value": 0,
             "unit": "imgs/s/chip",
             "vs_baseline": 0,
-            "detail": {"error": "accelerator backend unreachable (tunnel down); "
-                                "no measurement taken"},
+            "error": "accelerator backend unreachable (tunnel down); no measurement taken",
         })
         sys.exit(1)
 
+    # A tunneled backend can also die MID-RUN (observed: FAILED_PRECONDITION
+    # on a device→host copy between two healthy runs). A crash before the
+    # first emit must still leave a parseable line — never silence.
+    result: dict = {
+        "metric": "concept-DB build imgs/s/chip (fused ResNet-50 collect + CLIP ViT-B/32 embed)",
+        "value": None,
+        "unit": "imgs/s/chip",
+        "vs_baseline": None,
+    }
+    try:
+        _measured_main(result)
+    except BaseException as e:  # noqa: BLE001 — emit, then re-raise
+        result["error"] = f"{type(e).__name__}: {e}"
+        _emit(result)
+        raise
+
+
+def _measured_main(result: dict):
     from semanticlens_tpu.core import enable_compilation_cache
 
-    enable_compilation_cache()  # repeat runs skip XLA recompiles
+    # default now points at the repo-committed .xla_cache/ — a fresh driver
+    # container skips the ~4-minute XLA warm-up when the committed cache
+    # matches its jax/libtpu build (docs/PERF_NOTES.md round 5)
+    cache_dir = enable_compilation_cache()
 
     from semanticlens_tpu.collect import ActivationComponentVisualizer
     from semanticlens_tpu.data import ArrayDataset
@@ -310,6 +457,7 @@ def main():
     from semanticlens_tpu.ops.aggregators import aggregate_conv_mean
 
     fm = OpenClip("ViT-B-32", dtype=jnp.bfloat16, seed=0)
+    device_kind = jax.devices()[0].device_kind
     setup_s = time.perf_counter() - _START
 
     cv = ActivationComponentVisualizer(
@@ -323,34 +471,8 @@ def main():
         model_preprocess=model_preprocess,
     )
 
-    # Warm-up: compile the fused step + embed program on one batch-sized
-    # slice, reusing the SAME engine and fm (jit caches live on them).
-    warm_ds = ArrayDataset(images[:BATCH], name="warm")
-
     def embed_fn(x):
         return fm.encode_image(fm.preprocess(x))
-
-    warm_states, warm_embeds, _ = cv.engine.run_fused(
-        model.params, warm_ds, BATCH, embed_fn
-    )
-    np.asarray(warm_states["layer4"].values), warm_embeds
-    warmup_s = time.perf_counter() - _START - setup_s
-
-    # ---- Core measurement: end-to-end pipeline, best of up to 3 ----------
-    # (host→device transport on shared links is noisy with multi-x swings
-    # between phases; compute is deterministic). Each repeat runs only while
-    # budget remains — at least one always runs.
-    walls = []
-    concept_db = None
-    for i in range(3):
-        if i > 0 and _remaining() < 2.5 * walls[0]:
-            break
-        t0 = time.perf_counter()
-        concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
-        _force(concept_db)  # host materialization = honest end-to-end timing
-        walls.append(time.perf_counter() - t0)
-    total_s = min(walls)
-    imgs_per_sec = N_IMAGES / total_s
 
     # Baselines: committed caches are free; re-measurement deferred to the
     # extras phase below so the headline is never blocked on a subprocess.
@@ -360,14 +482,14 @@ def main():
     }
     ref_rate = ref.get("ref_imgs_per_s")
 
-    result = {
-        "metric": "concept-DB build imgs/sec/chip (fused ResNet-50 collect + CLIP ViT-B/32 embed)",
-        "value": round(imgs_per_sec, 2),
-        "unit": "imgs/s/chip",
-        "vs_baseline": round(imgs_per_sec / ref_rate, 3) if ref_rate else None,
+    result.update({
         # transport-independent trend fields (see module docstring)
         "fused_compute_imgs_per_s": None,  # filled by the ceiling stage below
-        "sustained_imagenet_scale_imgs_per_s": _SUSTAINED_IMAGENET_SCALE,
+        "sustained_imagenet_scale_imgs_per_s": _SUSTAINED_CARRIED,
+        "sustained_measured": False,
+        "mfu_pct": mfu_pct(_SUSTAINED_CARRIED, MODEL_FLOPS_PER_IMG, device_kind),
+        "model_flops_per_img": MODEL_FLOPS_PER_IMG,
+        "provisional": True,
         "detail": {
             "baseline": {
                 **ref,
@@ -378,25 +500,74 @@ def main():
                 ),
             },
             "backend": jax.default_backend(),
+            "device_kind": device_kind,
             "n_images": N_IMAGES,
             "batch": BATCH,
-            "wall_s": [round(w, 3) for w in walls],
             "layers": list(LAYERS),
             "n_collect": N_COLLECT,
             "uploaded_mb": round(images.nbytes / 2**20, 1),
             "budget_s": _BUDGET_S,
             "setup_s": round(setup_s, 1),
-            "warmup_compile_s": round(warmup_s, 1),
+            "xla_cache_dir": cache_dir,
+            "sustained_note": f"carried from {_SUSTAINED_CARRIED_FROM}",
+            "mfu_note": (
+                "mfu = sustained imgs/s x analytic model FLOPs/img (MAC=2) / "
+                "chip bf16 peak; see semanticlens_tpu/utils/flops.py"
+            ),
             "e2e_note": (
                 "end-to-end value rides the host->device tunnel (7-17 MB/s "
                 "observed variance across rounds on identical code); the "
                 "fused_compute / sustained fields are the stable "
                 "design-attributable rates"
             ),
-            "db_shapes": {k: list(np.asarray(v).shape) for k, v in concept_db.items()},
         },
-    }
-    _emit(result)  # headline recorded — everything past here is opportunistic
+    })
+
+    # ---- Core measurement: end-to-end pipeline, up to 3 repeats ----------
+    # Repeat 1 doubles as the compile warm-up (no separate warm pass: with
+    # the committed .xla_cache it IS warm; cold it emits a provisional
+    # compile-inclusive floor immediately rather than printing nothing for
+    # 4+ minutes). Transport on shared links is noisy with multi-x swings;
+    # compute is deterministic — later repeats refine via min().
+    walls = []
+    concept_db = None
+    retried = False
+    for i in range(3):
+        if i > 0 and _remaining() < 2.5 * walls[-1]:
+            break
+        try:
+            t0 = time.perf_counter()
+            concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
+            _force(concept_db)  # host materialization = honest end-to-end timing
+        except Exception as e:
+            # observed once: a transient FAILED_PRECONDITION from the
+            # tunneled backend between two healthy runs — one retry for the
+            # must-succeed first repeat; with a number already in hand, keep it
+            if walls:
+                result["detail"]["e2e_abort"] = f"repeat {i + 1}: {type(e).__name__}: {e}"[:200]
+                break
+            if retried:
+                raise
+            retried = True
+            result["detail"]["e2e_retry"] = f"{type(e).__name__}: {e}"[:200]
+            time.sleep(5)
+            t0 = time.perf_counter()
+            concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
+            _force(concept_db)
+        walls.append(time.perf_counter() - t0)
+        # repeat 1 includes compile; later repeats are the honest steady rate
+        steady = walls[1:] if len(walls) > 1 else walls
+        result["value"] = round(N_IMAGES / min(steady), 2)
+        result["provisional"] = len(walls) == 1
+        result["vs_baseline"] = round(result["value"] / ref_rate, 3) if ref_rate else None
+        result["detail"]["wall_s"] = [round(w, 3) for w in walls]
+        result["detail"]["repeat1_includes_compile"] = True
+        if i == 0:
+            result["detail"]["time_to_first_emit_s"] = round(time.perf_counter() - _START, 1)
+            result["detail"]["db_shapes"] = {
+                k: list(np.asarray(v).shape) for k, v in concept_db.items()
+            }
+        _emit(result)  # headline recorded — a kill now still leaves a number
 
     # ---- Extras: each stage budget-gated and failure-isolated ------------
     def stage(name: str, min_budget_s: float, fn) -> None:
@@ -451,7 +622,7 @@ def main():
 
         # Fused ceiling: BOTH networks in one program per batch — the
         # production rate where the host→device link is provisioned
-        # (tools/bench_imagenet_scale.py measures the same program sustained).
+        # (sustained_probe measures the same program pipelined).
         @jax.jit
         def fused_chain(states, params, fparams, *batches):
             acc = jnp.zeros((), jnp.float32)
@@ -477,7 +648,6 @@ def main():
                 n=n_reps,
             )
             result["fused_compute_imgs_per_s"] = round(n_chain * BATCH / fused_compute_s, 1)
-            result["detail"]["fused_compute_imgs_per_s"] = result["fused_compute_imgs_per_s"]
             result["detail"]["compute_ceiling_method"] = (
                 f"{n_chain} batches chained in one program, best of {n_reps}"
             )
@@ -497,6 +667,25 @@ def main():
                 chain_imgs / collect_compute_s, 1
             )
             result["detail"]["embed_compute_imgs_per_s"] = round(chain_imgs / embed_compute_s, 1)
+
+    def sustained():
+        probe = sustained_probe(
+            cv.engine,
+            model.params,
+            fm,
+            images,
+            batch=SUSTAINED_BATCH,
+            chain=SUSTAINED_CHAIN,
+            n_programs=SUSTAINED_PROGRAMS,
+        )
+        result["sustained_imagenet_scale_imgs_per_s"] = probe["imgs_per_s"]
+        result["sustained_measured"] = True
+        result["mfu_pct"] = mfu_pct(probe["imgs_per_s"], MODEL_FLOPS_PER_IMG, device_kind)
+        result["detail"]["sustained_probe"] = probe
+        result["detail"]["sustained_note"] = (
+            "measured in-run (device-resident pool, production batch size); "
+            "full 1.28M-sample methodology in tools/bench_imagenet_scale.py"
+        )
 
     def real_data():
         result["detail"]["real_data"] = real_data_bench(
@@ -530,13 +719,15 @@ def main():
             ),
         }
 
-    # ceilings first: fused_compute_imgs_per_s is the driver-trended field and
-    # must survive harsh external kills; baselines on a committed-cache hit
-    # cost ~0 s but on a miss can eat the whole budget in subprocesses.
+    # ceilings first: fused_compute_imgs_per_s is the longest-trended field;
+    # then the sustained probe (fills sustained + mfu with fresh
+    # measurements); baselines on a committed-cache hit cost ~0 s but on a
+    # miss can eat the whole budget in subprocesses.
     stage("ceilings", 45, ceilings)
+    stage("sustained_probe", 100, sustained)
     stage("baselines", 5, baselines)
-    stage("real_data", 90, real_data)
-    stage("serving_text_search_latency", 60, serving)
+    stage("real_data", 60, real_data)
+    stage("serving_text_search_latency", 45, serving)
 
     result["detail"]["total_bench_wall_s"] = round(time.perf_counter() - _START, 1)
     _emit(result)

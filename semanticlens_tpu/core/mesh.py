@@ -97,12 +97,19 @@ def enable_compilation_cache(directory: str | None = None) -> str:
     big fused programs (tens of seconds per shape on the first run). Safe on
     backends that cannot serialize executables — JAX logs and compiles as
     usual. Returns the cache directory used.
+
+    The default is the REPO-COMMITTED ``.xla_cache/`` directory (a warmed
+    cache from a chip run is committed): a fresh driver container on the same
+    jax/libtpu build then skips the ~4-minute benchmark warm-up entirely.
+    XLA keys entries on the compiler version + topology, so a non-matching
+    build simply misses and recompiles. Override with
+    ``SEMANTICLENS_XLA_CACHE``.
     """
     import os
 
+    _repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     directory = directory or os.environ.get(
-        "SEMANTICLENS_XLA_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "semanticlens_tpu", "xla"),
+        "SEMANTICLENS_XLA_CACHE", os.path.join(_repo_root, ".xla_cache")
     )
     os.makedirs(directory, exist_ok=True)
     try:
