@@ -70,7 +70,16 @@ def clear_programs() -> None:
 def _cache_program(key, program):
     _PROGRAMS[key] = program
     while len(_PROGRAMS) > _MAX_PROGRAMS:
-        _PROGRAMS.pop(next(iter(_PROGRAMS)))  # evict oldest insertion
+        _PROGRAMS.pop(next(iter(_PROGRAMS)))  # evict least recently used
+    return program
+
+
+def _get_program(key):
+    """Cached-program lookup that refreshes recency on hit — true LRU, so a
+    hot program cycling with cold ones is never the eviction victim."""
+    program = _PROGRAMS.pop(key, None)
+    if program is not None:
+        _PROGRAMS[key] = program
     return program
 
 
@@ -132,7 +141,7 @@ def ablation_effects(
         fill = jnp.zeros((width,), jnp.float32)
 
     key = (id(model), layer_name)
-    program = _PROGRAMS.get(key)
+    program = _get_program(key)
     if program is None:
 
         def run(mask, fill, params, images):
@@ -254,7 +263,7 @@ def sae_latent_ablation(
     keep_masks = 1.0 - jax.nn.one_hot(ids, n_latents, dtype=jnp.float32)  # (K, L)
 
     cache_key = (id(model), layer_name, "sae", int(k))
-    program = _PROGRAMS.get(cache_key)
+    program = _get_program(cache_key)
     if program is None:
 
         def run(keep, params, sae_params, images):

@@ -117,7 +117,14 @@ class CollectEngine:
     def _cache_step(self, cache: dict, key, step):
         cache[key] = step
         while len(cache) > self.max_compiled_steps:
-            cache.pop(next(iter(cache)))  # evict oldest insertion
+            cache.pop(next(iter(cache)))  # evict least recently used
+        return step
+
+    def _cache_hit(self, cache: dict, key):
+        """Return the cached step, refreshing its recency (true LRU: a hot
+        program cycling with cold ones must not be the eviction victim)."""
+        step = cache.pop(key)
+        cache[key] = step
         return step
 
     # ----------------------------------------------------------------- shapes
@@ -153,7 +160,7 @@ class CollectEngine:
         """
         fp = interventions_fingerprint()
         if fp in self._steps:
-            return self._steps[fp]
+            return self._cache_hit(self._steps, fp)
 
         if self.mesh is None or self.gspmd:
             # GSPMD mode pins the (donated) state replicated so every step
@@ -206,7 +213,7 @@ class CollectEngine:
         """
         key = (id(embed_fn), interventions_fingerprint())
         if key in self._fused_steps:
-            return self._fused_steps[key]
+            return self._cache_hit(self._fused_steps, key)
 
         if self.mesh is None or self.gspmd:
             # (states replicated, embeddings batch-sharded) in GSPMD mode —

@@ -52,8 +52,11 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
     max_batch : canvases per XLA program (components × variants are chunked
         to this size; one compile per distinct chunk shape).
     cache_dir : when set, the synthesized gallery persists as
-        ``synthesis-{steps}-{num_samples}-{layer}.safetensors`` and reloads
-        instead of re-optimizing.
+        ``synthesis-{config_digest}-{num_samples}-{layer}.safetensors`` and
+        reloads instead of re-optimizing; the digest covers every parameter
+        that changes the pixels or gallery shape (config, seed, image_size,
+        n_components, max_batch, aggregator), and a loaded gallery is
+        shape-validated with fallback to re-synthesis.
     """
 
     def __init__(
@@ -121,7 +124,24 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
         }
 
     def _config_digest(self) -> str:
-        key = repr((self.config._key(), self.seed, self.image_size))
+        # EVERYTHING that changes the synthesized pixels or gallery shape is
+        # folded in: the optimization config, seed, canvas size, the per-layer
+        # component counts (shape), max_batch (chunk seeds are seed+start, so
+        # chunking changes the draws), and the aggregator (the objective
+        # itself). Reusing a cache_dir after changing any of these must MISS —
+        # a gallery optimized under a different objective is wrong evidence,
+        # not a cache hit.
+        agg_id = getattr(
+            self.aggregate_fn, "__qualname__", getattr(self.aggregate_fn, "__name__", None)
+        ) or repr(self.aggregate_fn)
+        key = repr((
+            self.config._key(),
+            self.seed,
+            self.image_size,
+            sorted(self.n_components.items()),
+            self.max_batch,
+            agg_id,
+        ))
         return hashlib.sha256(key.encode()).hexdigest()[:12]
 
     def _gallery_path(self, layer_name: str) -> Path:
@@ -135,8 +155,11 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
         for layer_name in self.layer_names:
             if layer_name in self.gallery:
                 continue
-            if self.caching and self._gallery_path(layer_name).exists():
-                self._load_gallery(layer_name)
+            if (
+                self.caching
+                and self._gallery_path(layer_name).exists()
+                and self._load_gallery(layer_name)
+            ):
                 continue
             self._synthesize_layer(layer_name)
             if self.caching:
@@ -202,13 +225,23 @@ class SynthesisComponentVisualizer(AbstractComponentVisualizer):
         )
         logger.info(f"Saved synthesis gallery to {path}")
 
-    def _load_gallery(self, layer_name: str) -> None:
+    def _load_gallery(self, layer_name: str) -> bool:
         from safetensors.numpy import load_file
 
         data = load_file(str(self._gallery_path(layer_name)))
+        expected = (self.n_components[layer_name], self.num_samples)
+        if data["images"].shape[:2] != expected or data["objective"].shape != expected:
+            # a stale/foreign file at the digest path (e.g. hand-copied) must
+            # trigger re-synthesis, never a silently wrong-sized gallery
+            logger.warning(
+                f"Cached gallery for {layer_name} has shape "
+                f"{data['images'].shape[:2]}, expected {expected}; re-synthesizing"
+            )
+            return False
         self.gallery[layer_name] = data["images"].astype(np.float32) / 255.0
         self.objectives[layer_name] = data["objective"]
         logger.info(f"Loaded synthesis gallery for {layer_name}")
+        return True
 
     # ------------------------------------------------------------- analyze
     def _compute_concept_db(self, fm, batch_size: int = 64, **kwargs) -> dict:

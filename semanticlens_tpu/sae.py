@@ -413,12 +413,19 @@ def make_train_step(cfg: SAEConfig, optimizer=None, *, paired: bool = False):
         )(params, x, cfg, stats["last_fired"], y)
         # Unit-norm decoder constraint is the ReLU+L1 anti-scale-gaming
         # device; L0 is scale-invariant so JumpReLU trains unconstrained
-        # (arXiv:2407.14435 trains W_dec freely).
-        if cfg.k == 0 and not cfg.jumprelu:
+        # (arXiv:2407.14435 trains W_dec freely). Transcoders also train
+        # W_dec freely: renorming to unit rows on step 1 would undo
+        # _calibrate_transcoder_init's y_std decoder scaling (input and
+        # target taps can differ in scale by orders of magnitude), and the
+        # norm-weighted L1 in _loss_fn (z·‖W_dec row‖) already makes the
+        # penalty invariant to the shrink-z/grow-rows gaming the constraint
+        # exists to stop.
+        constrain_dec = cfg.k == 0 and not cfg.jumprelu and not cfg.is_transcoder
+        if constrain_dec:
             grads = _project_decoder(params, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        if cfg.k == 0 and not cfg.jumprelu:
+        if constrain_dec:
             params = _renorm_decoder(params)
         stats = {
             "last_fired": jnp.where(fired, 0, stats["last_fired"] + 1),
@@ -960,6 +967,15 @@ class TranscoderSubjectModel(SubjectModel):
         for tap in (tap_in, tap_out):
             if not base.has_module(tap):
                 raise ValueError(f"Layer '{tap}' not found in model.")
+        if tap_in == tap_out:
+            # the patch path builds {tap_in: capture, tap_out: substitute} —
+            # equal keys would silently drop the capture and fail at trace
+            # time with an opaque KeyError('codes'); an in-place dictionary
+            # is SAESubjectModel's job
+            raise ValueError(
+                "tap_in == tap_out is not a transcoder (it predicts a "
+                "DIFFERENT tap); use SAESubjectModel for in-place dictionaries"
+            )
         if "b_in" not in tc_params:
             raise ValueError(
                 "tc_params is a plain SAE dictionary (no 'b_in'); train via "

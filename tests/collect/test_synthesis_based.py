@@ -274,3 +274,55 @@ def test_cache_misses_on_config_change(toy, tmp_path):
     )
     assert other._gallery_path("0") != cv1._gallery_path("0")
     assert other.metadata["config"] != cv1.metadata["config"]
+
+
+def test_cache_digest_covers_objective_and_shape(toy, tmp_path):
+    """n_components / max_batch / aggregator changes must MISS the gallery
+    cache (ADVICE round 4): a gallery optimized under a different objective
+    or chunking is wrong evidence, not a hit."""
+    from semanticlens_tpu.ops.aggregators import aggregate_conv_max
+
+    base = _make_cv(toy, tmp_path)
+    variants = [
+        dict(n_components={"0": 3}),
+        dict(max_batch=4),
+        dict(aggregate_fn=aggregate_conv_max),
+    ]
+    paths = {base._gallery_path("0")}
+    for kw in variants:
+        args = dict(
+            layer_names=["0"], n_components={"0": 4}, num_samples=2,
+            aggregate_fn=aggregate_conv_mean, image_size=IMG,
+            model_preprocess=_preprocess, config=FAST,
+            cache_dir=str(tmp_path), max_batch=8,
+        )
+        args.update(kw)
+        cv = SynthesisComponentVisualizer(
+            toy, args.pop("layer_names"), args.pop("n_components"),
+            args.pop("num_samples"), args.pop("aggregate_fn"), **args,
+        )
+        paths.add(cv._gallery_path("0"))
+    assert len(paths) == 1 + len(variants), "every variant must key its own gallery"
+
+
+def test_wrong_shaped_cached_gallery_triggers_resynthesis(toy, tmp_path, caplog):
+    """A stale/foreign file at the digest path (e.g. hand-copied) must be
+    shape-validated and re-synthesized, never loaded as wrong evidence."""
+    import logging
+    import shutil
+
+    cv1 = _make_cv(toy, tmp_path)
+    cv1.run()
+
+    cv2 = SynthesisComponentVisualizer(
+        toy, ["0"], {"0": 3}, num_samples=2, aggregate_fn=aggregate_conv_mean,
+        image_size=IMG, model_preprocess=_preprocess, config=FAST,
+        cache_dir=str(tmp_path), max_batch=8,
+    )
+    path2 = cv2._gallery_path("0")
+    path2.parent.mkdir(parents=True, exist_ok=True)
+    shutil.copy(cv1._gallery_path("0"), path2)  # wrong shape (4 vs 3 comps)
+    with caplog.at_level(logging.WARNING):
+        cv2.run()
+    assert cv2.gallery["0"].shape == (3, 2, IMG, IMG, 3)
+    assert any("re-synthesizing" in r.message for r in caplog.records)

@@ -27,6 +27,31 @@ def _find_checkpoint(meta) -> Path | None:
     return find_asset(tuple(meta["ckpt_patterns"]))
 
 
+def test_golden_fixtures_exist_or_skip_loudly():
+    """ALWAYS collected: real-weight parity must never be silently absent.
+
+    The parametrized test below collects ZERO items when ``tests/fixtures/``
+    is empty — invisible in a green run. This environment has no network
+    egress, so fixtures cannot be generated here; this test turns that
+    absence into an explicit, instruction-carrying SKIPPED line (and into a
+    real assertion for each family once its fixture is committed)."""
+    missing = [k for k in make_golden.FAMILIES if not make_golden.fixture_path(k).exists()]
+    if len(missing) == len(make_golden.FAMILIES):
+        pytest.skip(
+            "NO golden real-weight fixtures committed (tests/fixtures/ is "
+            "empty) — cosine >= 0.999 vs published checkpoints (BASELINE.md) "
+            "is currently proven only against random-weight torch twins. On "
+            "a connected host run ONE command:  python tools/fetch_assets.py "
+            "all --verify  (fetches checkpoints, generates "
+            f"golden_embeds_*.npz for {sorted(make_golden.FAMILIES)}, checks "
+            "cosine) — then commit tests/fixtures/."
+        )
+    assert not missing, (
+        f"golden fixtures exist for some families but not {missing}; "
+        "run `python tools/fetch_assets.py all --verify` on a connected host"
+    )
+
+
 @pytest.mark.parametrize(
     "fixture", FIXTURES, ids=[f.stem.replace("golden_embeds_", "") for f in FIXTURES]
 )

@@ -678,3 +678,45 @@ def test_transcoder_on_gpt2_mlp_block():
     err_p = float(jnp.mean((out_p - base) ** 2))
     err_z = float(jnp.mean((out_z - base) ** 2))
     assert 0 < err_p < err_z, (err_p, err_z)
+
+
+def test_relu_l1_transcoder_keeps_calibrated_decoder_scale():
+    """ADVICE round 4: the unit-norm decoder renorm must NOT apply to
+    transcoders — it would undo _calibrate_transcoder_init's y_std scaling
+    on the very first optimizer step (the norm-weighted L1 already blocks
+    scale gaming)."""
+    x, y = _paired_map(n=2048, d_in=8, d_out=6, seed=3)
+    y = y * 50.0  # target tap 50x the input scale
+    cfg = SAEConfig(d_in=8, d_out=6, n_latents=32, k=0, l1_coef=1e-4,
+                    lr=1e-3, batch_rows=512, seed=0)
+    params, _, _ = train_transcoder_from_rows(x, y, cfg, steps=5)
+    row_norms = np.linalg.norm(np.asarray(params["W_dec"], np.float32), axis=-1)
+    assert row_norms.mean() > 5.0, (
+        f"decoder rows renormed to {row_norms.mean():.3f} — y_std calibration lost"
+    )
+
+    # the plain ReLU+L1 SAE constraint is unchanged: unit rows after steps
+    scfg = SAEConfig(d_in=8, n_latents=32, k=0, l1_coef=1e-4,
+                     lr=1e-3, batch_rows=512, seed=0)
+    sae_params, _, _ = train_sae_from_rows(x, scfg, steps=5)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(sae_params["W_dec"], np.float32), axis=-1),
+        1.0, atol=1e-5)
+
+
+def test_transcoder_subject_model_rejects_equal_taps():
+    """tap_in == tap_out would silently drop the capture intervention in the
+    patch path's {tap_in: capture, tap_out: substitute} dict and fail later
+    with an opaque trace-time KeyError — reject it loudly at construction."""
+    from semanticlens_tpu.sae import TranscoderSubjectModel, init_sae
+
+    class _OneTap:
+        module_names = ("a",)
+
+        def has_module(self, name):
+            return name in self.module_names
+
+    cfg = SAEConfig(d_in=8, d_out=8, n_latents=16, k=2)
+    tc_params = dict(init_sae(jax.random.PRNGKey(0), cfg))
+    with pytest.raises(ValueError, match="SAESubjectModel"):
+        TranscoderSubjectModel(_OneTap(), "a", "a", tc_params, k=2)

@@ -203,6 +203,12 @@ def main() -> None:
         "(tools/make_golden.py) for every family whose checkpoint is present",
     )
     args = ap.parse_args()
+    if args.names == ["all"]:
+        # the one-command connected-host runbook:
+        #   python tools/fetch_assets.py all --verify
+        # fetches every asset set, then generates/checks the golden
+        # real-weight fixtures for every family (commit tests/fixtures/)
+        args.names = sorted(ASSETS)
     if args.list or (not args.names and not args.verify):
         for name, items in ASSETS.items():
             print(f"{name}:")
