@@ -1,9 +1,10 @@
 .PHONY: test test-all lint bench dryrun native
 
 # Fast tier: excludes @pytest.mark.slow (full-size parity twins, fuzz sweeps,
-# multi-process DCN tests, zoo-breadth family modules). Measured 2026-08-19 on
-# one CPU core: `make test` 8m27s (409 passed), `make test-all` 55m37s
-# (660 passed, 6 skipped). Latest green tails live in docs/TESTING.md.
+# multi-process DCN tests, zoo-breadth family modules). Timings and pass
+# counts move every round — the authoritative green tails (with the commit
+# each was taken at) live in docs/TESTING.md; roughly fast ~9 min, full ~56 min
+# on one CPU core.
 test:
 	python -m pytest tests/ -q -m "not slow"
 
