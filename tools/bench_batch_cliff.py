@@ -70,17 +70,20 @@ def main() -> None:
         input_preprocess=lambda x: (x.astype(jnp.float32) / 255.0 - mean) / std,
     )
 
-    rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 255, (args.total, 224, 224, 3), np.uint8)
+    # Pool generated ON DEVICE: the probe isolates device compute, and a
+    # degraded tunnel (observed <0.4 MB/s) turns a 294 MB host upload into
+    # a 15+ minute stall that has nothing to do with the cliff under test.
     t0 = time.perf_counter()
-    flat = jax.device_put(imgs)
+    flat = jax.jit(
+        lambda k: jax.random.randint(k, (args.total, 224, 224, 3), 0, 255, jnp.uint8),
+        static_argnums=(),
+    )(jax.random.PRNGKey(0))
     np.asarray(flat[:1, :1, :1])
-    up_s = time.perf_counter() - t0
+    gen_s = time.perf_counter() - t0
     print(
         json.dumps({
-            "upload_mb": round(imgs.nbytes / 2**20, 1),
-            "upload_s": round(up_s, 1),
-            "mb_per_s": round(imgs.nbytes / 2**20 / up_s, 2),
+            "pool_mb": round(args.total * 224 * 224 * 3 / 2**20, 1),
+            "device_gen_s": round(gen_s, 1),
         }),
         flush=True,
     )
