@@ -6,14 +6,18 @@ sweep") found the fused Collect+Embed pipeline peaks at batch 128 and loses
 through the tunnel). This tool decomposes the loss by measuring, per batch
 size, three device-resident scan-chain programs over the SAME total images:
 
-  - collect-only: ResNet-50 forward + 4-layer aggregation + top-k update
+  - forward-only: ResNet-50 forward + 4-layer aggregation (no top-k)
+  - collect-only: forward + aggregation + top-k update
   - embed-only:   CLIP ViT-B/32 preprocess + encode
   - fused:        both in one program (the production Collect+Embed body)
 
 If the conv tower degrades at 512 while the ViT holds, the HBM-pressure
 hypothesis (early-stage conv activations: 56x56x256 at batch 512 is ~1.6 GB
-live in bf16) is supported; if both degrade equally the cause is elsewhere
-(e.g. top-k update cost growing with batch).
+live in bf16) is supported; if both degrade equally the cause is elsewhere.
+``collect - forward`` isolates the top-k merge cost, which scans
+O((k+B) log) per component row and is the only stage whose per-image work
+GROWS with batch (the merge runs once per batch over C rows of k+B
+candidates, so candidates/img = (k+B)/B falls but sort width rises).
 
 Methodology matches bench.py's ceilings stage (reference workload:
 activation_based.py:341-358 + 392-433 executed as one fused pass): one
@@ -106,6 +110,20 @@ def main() -> None:
             return jnp.sum(states["layer4"].values.astype(jnp.float32))
 
         @jax.jit
+        def forward_chain(p, st):
+            def body(acc, xb):
+                x = engine.input_preprocess(xb)
+                _, taps = engine.model.apply(p, x, engine.layer_names)
+                s = sum(
+                    jnp.sum(engine.aggregation_fn(taps[n]).astype(jnp.float32))
+                    for n in engine.layer_names
+                )
+                return acc + s, ()
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), st)
+            return acc
+
+        @jax.jit
         def embed_chain(fp, st):
             def body(acc, xb):
                 return acc + jnp.sum(fm._encode_image(fp, fm.preprocess(xb))), ()
@@ -136,6 +154,9 @@ def main() -> None:
 
         total = chain * batch
         row = {"batch": batch, "chain": chain}
+        row["forward_imgs_per_s"] = round(
+            total / best_of(lambda s: forward_chain(params, s), stacked), 1
+        )
         row["collect_imgs_per_s"] = round(
             total / best_of(lambda s: collect_chain(engine._init_states(n_latents), params, s), stacked), 1
         )
