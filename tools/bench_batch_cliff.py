@@ -132,6 +132,17 @@ def main() -> None:
             return acc
 
         @jax.jit
+        def embed_core_chain(fp, st):
+            # Encode with preprocess hoisted out (inputs already bf16-normalized):
+            # ``embed - embed_core`` isolates the uint8→float normalize, whose
+            # materialized intermediate grows to 308 MB/step at batch 512.
+            def body(acc, xb):
+                return acc + jnp.sum(fm._encode_image(fp, xb)), ()
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), st)
+            return acc
+
+        @jax.jit
         def fused_chain(states, p, fp, st, batch=batch):
             def body(carry, xb):
                 s, i = carry
@@ -161,6 +172,14 @@ def main() -> None:
             total / best_of(lambda s: collect_chain(engine._init_states(n_latents), params, s), stacked), 1
         )
         row["embed_imgs_per_s"] = round(total / best_of(lambda s: embed_chain(fm.params, s), stacked), 1)
+        pre = jax.jit(lambda f: jnp.reshape(fm.preprocess(f), (chain, batch, 224, 224, 3)))(
+            flat[: chain * batch]
+        )
+        np.asarray(pre[:1, :1, :1, :1])
+        row["embed_core_imgs_per_s"] = round(
+            total / best_of(lambda s: embed_core_chain(fm.params, s), pre), 1
+        )
+        del pre
         row["fused_imgs_per_s"] = round(
             total
             / best_of(
