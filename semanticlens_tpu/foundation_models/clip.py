@@ -418,6 +418,32 @@ def _maybe_shard_tp(params, cfg, mesh):
     return shard_clip_params(params, mesh, clip_param_specs_2d(cfg))
 
 
+def quantize_clip_params(params, cfg: CLIPConfig, *, include_text: bool = False):
+    """Int8-quantize the ViT tower's transformer matmuls (ops/quant.py).
+
+    Weights become per-out-channel int8 :class:`QuantizedTensor` leaves;
+    ``models.layers.linear`` routes them onto the MXU's 2×-rate int8 path
+    with dynamic per-row activation quantization. LayerNorms, biases,
+    embeddings, the patch conv and the final projection stay float — they
+    carry <5% of the tower's FLOPs and all of its normalization numerics.
+
+    ModifiedResNet towers have no dense stack to quantize (their FLOPs are
+    convs); they are returned unchanged with a warning.
+    """
+    from semanticlens_tpu.ops.quant import quantize_params, transformer_dense_match
+
+    if cfg.vision.kind == "vit":
+        params = quantize_params(params, transformer_dense_match("visual.transformer."))
+    else:
+        logger.warning(
+            "int8 quantization targets ViT towers; %s vision tower left in float",
+            cfg.vision.kind,
+        )
+    if include_text:
+        params = quantize_params(params, transformer_dense_match("transformer."))
+    return params
+
+
 # --------------------------------------------------------------------------- #
 # User-facing foundation-model class
 # --------------------------------------------------------------------------- #
@@ -450,6 +476,7 @@ class OpenClip(AbstractVLM):
         mesh=None,
         seed: int = 0,
         quick_gelu: bool | None = None,
+        quantize: str | None = None,
         **kwargs,
     ):
         self.url = url
@@ -478,6 +505,19 @@ class OpenClip(AbstractVLM):
             logger.warning("No weights provided for %s — using random init.", url)
             self.params = init_clip_params(jax.random.PRNGKey(seed), self.cfg)
         self.params = _maybe_shard_tp(self.params, self.cfg, mesh)
+
+        # Opt-in int8 inference for the image tower (see quantize_clip_params;
+        # measured speedup + cosine parity in docs/PERF_NOTES.md). Applied
+        # after TP sharding: quantized leaves are replicated and re-sharded
+        # lazily by GSPMD — the single-chip Embed sweep is the target here.
+        self.quantize = quantize
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"Unsupported quantize={quantize!r}; only 'int8'")
+            self.params = quantize_clip_params(self.params, self.cfg)
+            # Concept-DB caches key on fm.name (lens.py): a quantized tower's
+            # embeddings must never be mistaken for its float twin's.
+            self.name = f"{self.name}-int8"
 
         if bpe_path is None:
             from semanticlens_tpu.foundation_models.assets import find_clip_bpe
@@ -512,7 +552,8 @@ class OpenClip(AbstractVLM):
         return self.cfg.embed_dim
 
     def __repr__(self):
-        return f"{self.__class__.__name__}(url='{self.url}', preset={self.preset})"
+        quant = f", quantize='{self.quantize}'" if self.quantize else ""
+        return f"{self.__class__.__name__}(url='{self.url}', preset={self.preset}{quant})"
 
     def preprocess(self, img):
         """Host images → normalized (B, S, S, 3) on device.

@@ -214,6 +214,34 @@ def load_siglip_state_dict(cfg: SigLIPConfig, state_dict):
     return out
 
 
+#: timm-Block dense suffixes (SigLIP naming differs from open_clip's): the
+#: fused qkv, attention out-proj and MLP pair — >95% of the tower's FLOPs.
+SIGLIP_DENSE_SUFFIXES = (
+    ".attn.qkv.weight",
+    ".attn.proj.weight",
+    ".mlp.fc1.weight",
+    ".mlp.fc2.weight",
+)
+
+
+def quantize_siglip_params(params, *, include_text: bool = False):
+    """Int8-quantize the SigLIP ViT blocks (see ops/quant.py).
+
+    The MAP attention-pool head and all norms/biases/embeddings stay float;
+    SigLIP slices its fused qkv on the OUTPUT side, so no weight-slicing
+    support is needed (contrast quantize_clip_params).
+    """
+    from semanticlens_tpu.ops.quant import quantize_params
+
+    def _match(prefix):
+        return lambda k: k.startswith(prefix) and k.endswith(SIGLIP_DENSE_SUFFIXES)
+
+    params = quantize_params(params, _match("visual.blocks."))
+    if include_text:
+        params = quantize_params(params, _match("text.blocks."))
+    return params
+
+
 class SigLipV2(AbstractVLM):
     """SigLIP v2 foundation model (reference API: clip.py:190-211)."""
 
@@ -229,6 +257,7 @@ class SigLipV2(AbstractVLM):
         dtype=jnp.bfloat16,
         mesh=None,
         seed: int = 0,
+        quantize: str | None = None,
         **kwargs,
     ):
         self.url = self.URL
@@ -249,6 +278,16 @@ class SigLipV2(AbstractVLM):
 
             logger.info("tensor-sharding SigLIP params over %d-way 'model' axis", mesh.shape["model"])
             self.params = shard_clip_params(self.params, mesh, siglip_param_specs_2d(self.cfg))
+
+        # Opt-in int8 inference for the image tower (docs/PERF_NOTES.md).
+        self.quantize = quantize
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"Unsupported quantize={quantize!r}; only 'int8'")
+            self.params = quantize_siglip_params(self.params)
+            # Concept-DB caches key on fm.name (lens.py): segregate from the
+            # float twin's caches.
+            self.name = f"{self.name}-int8"
 
         # SigLIP uses a SentencePiece tokenizer. Resolution order: an explicit
         # tokenizer object, an explicit .model path, a locally discovered

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from semanticlens_tpu.ops.quant import QuantizedTensor, col_slice, dequantize, int8_matmul
+
 # --------------------------------------------------------------------------- #
 # LRP (layer-wise relevance propagation) context
 #
@@ -245,7 +247,22 @@ def batch_norm(x, weight, bias, running_mean, running_var, *, eps=1e-5):
 
 
 def linear(x, weight, bias=None):
-    """Dense layer; ``weight`` is (in, out) — torch (out, in) is transposed at load."""
+    """Dense layer; ``weight`` is (in, out) — torch (out, in) is transposed at load.
+
+    Accepts an int8 :class:`~semanticlens_tpu.ops.quant.QuantizedTensor`
+    weight: the matmul then runs on the MXU's 2×-rate int8 path with dynamic
+    per-row activation quantization (ops/quant.py). Under an active LRP
+    composite the weight is dequantized and the float rule set applies —
+    attribution numerics never see quantization rounding.
+    """
+    if isinstance(weight, QuantizedTensor):
+        if _lrp_active():
+            weight = dequantize(weight)
+        else:
+            out = int8_matmul(x, weight)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
 
     def _dense(xx, w):
         return jnp.matmul(
@@ -448,9 +465,21 @@ def multi_head_attention(x, params, prefix, n_heads, *, mask=None, kv=None):
     b_in = params[f"{prefix}.in_proj_bias"]
     kv = x if kv is None else kv
 
-    q = linear(x, w_in[:, :d_model], b_in[:d_model])
-    k = linear(kv, w_in[:, d_model : 2 * d_model], b_in[d_model : 2 * d_model])
-    v = linear(kv, w_in[:, 2 * d_model :], b_in[2 * d_model :])
+    if kv is x and not _lrp_active():
+        # Self-attention: ONE (D, 3D) projection then output-slice — a 3×
+        # wider MXU matmul beats three D×D ones, and an int8-quantized
+        # in-proj quantizes x once instead of three times. Bypassed under
+        # LRP so the composite's per-linear rule stream stays 3-per-MHA.
+        qkv = linear(x, w_in, b_in)
+        q = qkv[..., :d_model]
+        k = qkv[..., d_model : 2 * d_model]
+        v = qkv[..., 2 * d_model :]
+    else:
+        # col_slice keeps fused in-proj weights sliceable when int8-quantized
+        # (per-out-channel scales make the column split exact, ops/quant.py).
+        q = linear(x, col_slice(w_in, 0, d_model), b_in[:d_model])
+        k = linear(kv, col_slice(w_in, d_model, 2 * d_model), b_in[d_model : 2 * d_model])
+        v = linear(kv, col_slice(w_in, 2 * d_model, 3 * d_model), b_in[2 * d_model :])
 
     out = scaled_dot_product_attention(q, k, v, n_heads, mask=mask)
     return linear(out, params[f"{prefix}.out_proj.weight"], params[f"{prefix}.out_proj.bias"])
