@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from semanticlens_tpu.ops.quant import QuantizedTensor, col_slice, dequantize, int8_matmul
+from semanticlens_tpu.ops.quant import (
+    QuantizedTensor,
+    col_slice,
+    dequantize,
+    int8_conv,
+    int8_matmul,
+)
 
 # --------------------------------------------------------------------------- #
 # LRP (layer-wise relevance propagation) context
@@ -181,11 +187,27 @@ def residual_add(x, h):
 
 
 def conv2d(x, weight, bias=None, *, stride=1, padding=0, groups=1):
-    """2-D convolution, NHWC input, HWIO weight, torch-style int padding."""
+    """2-D convolution, NHWC input, HWIO weight, torch-style int padding.
+
+    Accepts an int8 :class:`~semanticlens_tpu.ops.quant.QuantizedTensor`
+    weight: the convolution then runs on the MXU's 2×-rate int8 path with
+    dynamic per-sample activation quantization (ops/quant.py). Under an
+    active LRP composite the weight is dequantized and the float rule set
+    applies — attribution numerics never see quantization rounding.
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+
+    if isinstance(weight, QuantizedTensor):
+        if _lrp_active():
+            weight = dequantize(weight)
+        else:
+            out = int8_conv(x, weight, stride=stride, padding=padding, groups=groups)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
 
     def _conv(x, w):
         # Precision policy: the input dtype selects the MXU regime (cast x to

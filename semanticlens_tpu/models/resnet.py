@@ -66,6 +66,15 @@ class ResNet(SubjectModel):
         ``width_per_group=128`` is ``wide_resnet50_2`` / ``wide_resnet101_2``.
         Bottleneck inner width follows torchvision:
         ``int(planes * width_per_group / 64) * groups``.
+    quantize : ``None`` (default) or ``"int8"``. Int8 puts every STAGE
+        convolution (``layerS.B.convN`` + downsample projections) on the
+        v5e MXU's 2×-rate int8 path — static per-out-channel int8 weights ×
+        dynamic per-sample int8 activations (ops/quant.py). The stem conv
+        (raw-pixel statistics), BNs, and the fc head stay float, standard
+        int8-CNN practice. OPT-IN ONLY: quantization perturbs tapped
+        activations within rounding noise, so top-k concept-example picks
+        can reorder near ties; the default Collect tower stays bf16 for
+        reference parity. Attribution/LRP dequantizes (never sees rounding).
     """
 
     STEM_WIDTH_D = 32  # timm resnet*d default
@@ -78,11 +87,15 @@ class ResNet(SubjectModel):
         variant: str = "",
         groups: int = 1,
         width_per_group: int = 64,
+        quantize: str | None = None,
     ):
         if depth not in _STAGE_BLOCKS:
             raise ValueError(f"Unsupported ResNet depth {depth}")
         if variant not in ("", "d"):
             raise ValueError(f"Unsupported ResNet variant {variant!r}; expected '' or 'd'")
+        if quantize not in (None, "int8"):
+            raise ValueError(f"Unsupported quantize mode {quantize!r}; expected None or 'int8'")
+        self.quantize = quantize
         self.depth = depth
         self.variant = variant
         self.num_classes = num_classes
@@ -210,7 +223,24 @@ class ResNet(SubjectModel):
                 params[name] = jnp.ones(shape, jnp.float32)
             else:
                 params[name] = jnp.zeros(shape, jnp.float32)
-        return params
+        return self._maybe_quantize(params)
+
+    def _maybe_quantize(self, params: dict) -> dict:
+        """Int8-quantize the stage convolutions when ``quantize='int8'``.
+
+        Eligibility comes from the model's own param specs (kind == 'conv'),
+        never a name regex — ``downsample.1`` is a conv in one variant and a
+        BN in the other. Stem convs (no ``layer`` prefix) stay float."""
+        if self.quantize != "int8":
+            return params
+        from semanticlens_tpu.ops.quant import quantize_params
+
+        conv_keys = {
+            name
+            for name, _, kind in self._param_specs()
+            if kind == "conv" and name.startswith("layer")
+        }
+        return quantize_params(params, conv_keys.__contains__)
 
     # ------------------------------------------------------------------ apply
     def _bn(self, params, prefix, x):
@@ -317,10 +347,14 @@ class ResNet(SubjectModel):
             elif name == "fc.weight":
                 arr = arr.T
             params[name] = jnp.asarray(arr, jnp.float32)
-        return params
+        return self._maybe_quantize(params)
 
     def __repr__(self):
         v = f", variant='{self.variant}'" if self.variant else ""
         if self.groups != 1 or self.width_per_group != 64:
             v += f", groups={self.groups}, width_per_group={self.width_per_group}"
+        if self.quantize:
+            # cache keys derive from repr via get_fallback_name — a quantized
+            # tower must never share ActMax/concept-DB caches with the float one
+            v += f", quantize='{self.quantize}'"
         return f"ResNet(depth={self.depth}, num_classes={self.num_classes}{v})"

@@ -1,10 +1,12 @@
-"""Int8 weight/activation quantization for the Embed-stage matmuls.
+"""Int8 weight/activation quantization for the pipeline's hot matmuls/convs.
 
 The v5e MXU executes int8×int8→int32 at 2× its bf16 FLOP rate (394 vs 197
-TOPS), and the Embed tower is the fused pipeline's slower half (the ViT
-encode core measures 9.5k imgs/s vs the conv tower's 11.1k at batch 128,
+TOPS). Both fused-pipeline towers bound the sustained rate (the ViT encode
+core measures 9.5k imgs/s and the conv tower 11.1k at batch 128,
 docs/PERF_NOTES.md "Batch-size cliff decomposition"). This module gives the
-foundation-model towers an OPT-IN int8 inference path the TPU-native way:
+foundation-model towers (``OpenClip``/``SigLipV2`` dense stacks) AND the
+subject-model Collect tower (``ResNet`` stage convs, via :func:`int8_conv`)
+an OPT-IN int8 inference path the TPU-native way:
 
 - **weights**: static symmetric per-output-channel int8 (scale = row
   absmax / 127), quantized once at model construction;
@@ -61,21 +63,24 @@ class QuantizedTensor(NamedTuple):
 
 
 def quantize_weight(w: jax.Array) -> QuantizedTensor:
-    """(in, out) float → symmetric per-out-channel int8.
+    """Float weight → symmetric per-out-channel int8.
 
-    scale[o] = max(|w[:, o]|) / 127; zero columns get scale 1 to avoid 0/0
-    (their quantized values are all-zero anyway).
+    Works for rank-2 ``(in, out)`` denses and rank-4 HWIO convs alike — the
+    OUT channel is the LAST axis in both layouts, so the scale reduces over
+    every other axis: scale[o] = absmax(w[..., o]) / 127. Zero channels get
+    scale 1 to avoid 0/0 (their quantized values are all-zero anyway).
     """
     w32 = jnp.asarray(w).astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(w32), axis=0)
+    absmax = jnp.max(jnp.abs(w32), axis=tuple(range(w32.ndim - 1)))
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(w32 / scale[None, :]), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
     return QuantizedTensor(q=q, scale=scale)
 
 
 def dequantize(qt: QuantizedTensor) -> jax.Array:
-    """int8 weight back to float32 — the LRP/attribution fallback path."""
-    return qt.q.astype(jnp.float32) * qt.scale[None, :]
+    """int8 weight back to float32 — the LRP/attribution fallback path.
+    The (out,) scale broadcasts over the last axis of any-rank ``q``."""
+    return qt.q.astype(jnp.float32) * qt.scale
 
 
 def col_slice(w, start: int, stop: int):
@@ -111,21 +116,51 @@ def int8_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def int8_conv(x: jax.Array, qt: QuantizedTensor, *, stride=(1, 1), padding=((0, 0), (0, 0)), groups: int = 1) -> jax.Array:
+    """NHWC float ``x`` convolved with an HWIO :class:`QuantizedTensor`.
+
+    Activations quantize dynamically PER SAMPLE (symmetric absmax over
+    H·W·C): a conv output sums many spatial positions of one sample, so the
+    only activation scale that factors exactly out of the convolution is a
+    per-sample scalar — per-position scales would not commute with the sum
+    over the receptive field. Zero padding is exact in the symmetric int8
+    domain. The product accumulates in int32 on the MXU's 2×-rate int8 path;
+    both scales apply to the accumulator. Returns ``x.dtype``.
+    """
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=(1, 2, 3), keepdims=True)
+    x_scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    x_q = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        x_q,
+        qt.q,
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * x_scale * qt.scale
+    return out.astype(x.dtype)
+
+
 def quantize_params(params: dict, match: Callable[[str], bool]) -> dict:
     """Return a params dict with every float weight whose key satisfies
     ``match`` replaced by a :class:`QuantizedTensor`.
 
-    Only rank-2 (in, out) weights are eligible; matching a non-rank-2 entry
-    raises — silent shape coercion would corrupt a tower.
+    Only rank-2 (in, out) dense and rank-4 HWIO conv weights are eligible;
+    matching anything else raises — silent shape coercion would corrupt a
+    tower.
     """
     out = {}
     for key, value in params.items():
         if match(key) and not isinstance(value, QuantizedTensor):
             arr = jnp.asarray(value)
-            if arr.ndim != 2:
+            if arr.ndim not in (2, 4):
                 raise ValueError(
                     f"quantize_params matched {key!r} with rank {arr.ndim}; only "
-                    "rank-2 (in, out) dense weights can be int8-quantized"
+                    "rank-2 (in, out) dense and rank-4 HWIO conv weights can be "
+                    "int8-quantized"
                 )
             out[key] = quantize_weight(arr)
         else:

@@ -15,6 +15,7 @@ from semanticlens_tpu.ops.quant import (
     QuantizedTensor,
     col_slice,
     dequantize,
+    int8_conv,
     int8_matmul,
     quantize_params,
     quantize_weight,
@@ -155,3 +156,83 @@ def test_openclip_quantize_rejects_unknown_mode():
 
     with pytest.raises(ValueError, match="int8"):
         OpenClip("ViT-B-32", seed=0, quantize="int4")
+
+
+# --------------------------------------------------------------------- convs
+
+
+def test_quantize_weight_rank4_scale_per_out_channel():
+    w = _rand((3, 3, 16, 32), 12)  # HWIO
+    qt = quantize_weight(w)
+    assert qt.q.dtype == jnp.int8 and qt.q.shape == w.shape and qt.scale.shape == (32,)
+    err = np.abs(np.asarray(dequantize(qt)) - np.asarray(w))
+    assert (err <= np.asarray(qt.scale)[None, None, None, :] * 0.5 + 1e-7).all()
+
+
+def test_int8_conv_cosine_vs_float():
+    w = _rand((3, 3, 8, 16), 13)
+    x = _rand((2, 14, 14, 8), 14)
+    ref = np.asarray(layers.conv2d(x, w, stride=2, padding=1))
+    out = np.asarray(layers.conv2d(x, quantize_weight(w), stride=2, padding=1))
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+    cos = (ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out))
+    assert cos > 0.999
+
+
+def test_int8_conv_zero_input_exact():
+    w = _rand((1, 1, 4, 4), 15)
+    out = np.asarray(int8_conv(jnp.zeros((2, 5, 5, 4)), quantize_weight(w)))
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_int8_conv_grouped():
+    w = _rand((3, 3, 4, 8), 16)  # groups=2: in-per-group 4, in total 8
+    x = _rand((1, 9, 9, 8), 17)
+    ref = np.asarray(layers.conv2d(x, w, padding=1, groups=2))
+    out = np.asarray(layers.conv2d(x, quantize_weight(w), padding=1, groups=2))
+    cos = (ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out))
+    assert cos > 0.999
+
+
+def test_conv2d_quantized_under_lrp_dequantizes():
+    w = _rand((3, 3, 4, 4), 18)
+    x = _rand((1, 8, 8, 4), 19)
+    with layers.lrp_composite("epsilon"):
+        out = np.asarray(layers.conv2d(x, quantize_weight(w), padding=1))
+    ref = np.asarray(layers.conv2d(x, dequantize(quantize_weight(w)), padding=1))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_int8_collect_tower():
+    """ResNet(quantize='int8'): stage convs quantized, stem/BN/fc float;
+    tapped pooled activations stay cosine-close to the float tower; repr
+    (and thus the ActMax cache key) segregates."""
+    from semanticlens_tpu.models.resnet import ResNet
+
+    m = ResNet(depth=18, num_classes=10, dtype=jnp.float32)
+    mq = ResNet(depth=18, num_classes=10, dtype=jnp.float32, quantize="int8")
+    assert "int8" in repr(mq) and "int8" not in repr(m)
+    params = m.init(jax.random.PRNGKey(0))
+    qparams = mq.init(jax.random.PRNGKey(0))
+    assert isinstance(qparams["layer1.0.conv1.weight"], QuantizedTensor)
+    assert isinstance(qparams["layer2.0.downsample.0.weight"], QuantizedTensor)
+    assert not isinstance(qparams["conv1.weight"], QuantizedTensor)  # stem float
+    assert not isinstance(qparams["layer1.0.bn1.weight"], QuantizedTensor)
+    assert not isinstance(qparams["fc.weight"], QuantizedTensor)
+
+    x = _rand((2, 64, 64, 3), 20)
+    taps = ("layer1", "layer4")
+    _, ref = m.apply(params, x, taps)
+    _, out = mq.apply(qparams, x, taps)
+    for name in taps:
+        a = np.asarray(ref[name]).mean(axis=(1, 2)).ravel()
+        b = np.asarray(out[name]).mean(axis=(1, 2)).ravel()
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99, (name, cos)
+
+
+def test_resnet_quantize_rejects_unknown_mode():
+    from semanticlens_tpu.models.resnet import ResNet
+
+    with pytest.raises(ValueError, match="quantize"):
+        ResNet(depth=18, quantize="int4")

@@ -1,12 +1,15 @@
-"""Measure the int8-quantized Embed tower against bf16 on chip.
+"""Measure the int8-quantized towers against bf16 on chip.
 
 Same scan-chain methodology as tools/bench_batch_cliff.py (device-generated
 uint8 pool, best of N compile-free repeats): the CLIP ViT-B/32 encode chain
-with float params vs int8-quantized params (ops/quant.py), plus the fused
-Collect+Embed production body both ways. Prints one JSON line per program.
+with float params vs int8-quantized params (ops/quant.py), the ResNet-50
+Collect chain with float vs int8 stage convs, and the fused Collect+Embed
+production body with the Embed tower quantized and with BOTH towers
+quantized. Prints one JSON line per program, plus numeric-fidelity lines
+(embedding cosine; top-k id overlap + value cosine for the Collect tower).
 
 The v5e MXU's int8 path peaks at 2× bf16; the realizable tower speedup is
-bounded by the non-matmul share (attention softmax, LayerNorms, dynamic
+bounded by the non-matmul share (attention softmax, LayerNorms, BNs, dynamic
 activation quantization) — this tool measures what is actually realized.
 """
 
@@ -129,6 +132,81 @@ def main() -> None:
     )
     row2["fused_speedup"] = round(row2["fused_int8_imgs_per_s"] / row2["fused_bf16_imgs_per_s"], 3)
     print(json.dumps(row2), flush=True)
+
+    # ---- Collect tower: bf16 vs int8 stage convs ------------------------
+    qmodel = ResNet(depth=50, num_classes=1000, dtype=jnp.bfloat16, quantize="int8")
+    m_qparams = qmodel._maybe_quantize(params)  # same float init, convs → int8
+
+    @jax.jit
+    def collect_chain(states, p, st):
+        def body(carry, xb):
+            s, i = carry
+            ids = i * jnp.int32(batch) + jnp.arange(batch, dtype=jnp.int32)
+            s = engine._local_step(s, p, xb, ids, jnp.ones((batch,), bool))
+            return (s, i + 1), ()
+
+        (states, _), _ = jax.lax.scan(body, (states, jnp.int32(0)), st)
+        return jnp.sum(states["layer4"].values.astype(jnp.float32))
+
+    row3 = {"batch": batch}
+    row3["collect_bf16_imgs_per_s"] = round(
+        (chain * batch)
+        / best_of(lambda p, s: collect_chain(engine._init_states(n_latents), p, s), params, stacked),
+        1,
+    )
+    row3["collect_int8_imgs_per_s"] = round(
+        (chain * batch)
+        / best_of(lambda p, s: collect_chain(engine._init_states(n_latents), p, s), m_qparams, stacked),
+        1,
+    )
+    row3["collect_speedup"] = round(
+        row3["collect_int8_imgs_per_s"] / row3["collect_bf16_imgs_per_s"], 3
+    )
+    print(json.dumps(row3), flush=True)
+
+    # ---- Fused with BOTH towers int8 ------------------------------------
+    row4 = {"batch": batch}
+    row4["fused_int8both_imgs_per_s"] = round(
+        (chain * batch)
+        / best_of(
+            lambda p, fp, s: fused_chain(engine._init_states(n_latents), p, fp, s),
+            m_qparams,
+            qparams,
+            stacked,
+        ),
+        1,
+    )
+    row4["fused_int8both_speedup_vs_bf16"] = round(
+        row4["fused_int8both_imgs_per_s"] / row2["fused_bf16_imgs_per_s"], 3
+    )
+    print(json.dumps(row4), flush=True)
+
+    # ---- Collect-tower fidelity: the quantity that matters is WHICH
+    # samples each component picks. Sweep the pool once with each tower and
+    # compare per-component top-k id sets + value cosine.
+    @jax.jit
+    def final_states(p):
+        def body(carry, xb):
+            s, i = carry
+            ids = i * jnp.int32(batch) + jnp.arange(batch, dtype=jnp.int32)
+            s = engine._local_step(s, p, xb, ids, jnp.ones((batch,), bool))
+            return (s, i + 1), ()
+
+        (s, _), _ = jax.lax.scan(body, (engine._init_states(n_latents), jnp.int32(0)), stacked)
+        return s
+
+    sf, sq = final_states(params), final_states(m_qparams)
+    fid = {}
+    for layer in engine.layer_names:
+        ids_f, ids_q = np.asarray(sf[layer].ids), np.asarray(sq[layer].ids)
+        overlap = np.mean(
+            [len(set(a) & set(b)) / len(a) for a, b in zip(ids_f, ids_q)]
+        )
+        vf = np.asarray(sf[layer].values, np.float32).ravel()
+        vq = np.asarray(sq[layer].values, np.float32).ravel()
+        cos = float((vf * vq).sum() / (np.linalg.norm(vf) * np.linalg.norm(vq) + 1e-12))
+        fid[layer] = {"topk_id_overlap": round(float(overlap), 4), "value_cosine": round(cos, 5)}
+    print(json.dumps({"collect_fidelity": fid}), flush=True)
 
 
 if __name__ == "__main__":
