@@ -214,6 +214,43 @@ def init_mobileclip_params(rng, cfg: MobileCLIPConfig):
     return init_from_specs(rng, mobileclip_param_specs(cfg))
 
 
+#: Visual-tower weight-key suffixes worth int8-quantizing: the 1×1
+#: pointwise convs (ConvFFN expand/project, stage-downsample projection)
+#: and the attention-stage dense pair carry the FLOPs. Depthwise convs
+#: (``.dw.weight`` / ``.mixer.weight``) stay float — one input channel per
+#: group gives the MXU's int8 path nothing to batch, and they are VPU-bound
+#: anyway. Stem convs (raw-pixel statistics) and the GAP head projection
+#: stay float, matching the other towers (ops/quant.py policy).
+_MOBILECLIP_QUANT_SUFFIXES = (
+    ".fc1.weight",
+    ".fc2.weight",
+    ".attn.qkv.weight",
+    ".attn.proj.weight",
+    ".downsample.pw.weight",
+)
+
+
+def quantize_mobileclip_params(params, *, include_text: bool = False):
+    """Int8-quantize the FastViT tower's pointwise convs + attention denses.
+
+    Same W8A8-dynamic scheme as ``quantize_clip_params`` (ops/quant.py):
+    static per-out-channel int8 weights, per-row (dense) / per-sample (conv)
+    dynamic activation quantization, int32 MXU accumulation. The hybrid
+    tower's depthwise convs and stem stay float (see
+    ``_MOBILECLIP_QUANT_SUFFIXES``). ``include_text`` additionally quantizes
+    the CLIP-style text transformer blocks.
+    """
+    from semanticlens_tpu.ops.quant import quantize_params, transformer_dense_match
+
+    def match(key: str) -> bool:
+        return key.startswith("visual.") and key.endswith(_MOBILECLIP_QUANT_SUFFIXES)
+
+    params = quantize_params(params, match)
+    if include_text:
+        params = quantize_params(params, transformer_dense_match("transformer."))
+    return params
+
+
 # --------------------------------------------------------------------------- #
 # Checkpoint conversion (raw train-form or deployed)
 # --------------------------------------------------------------------------- #
@@ -309,6 +346,7 @@ class ClipMobile(AbstractVLM):
         dtype=jnp.bfloat16,
         mesh=None,
         seed: int = 0,
+        quantize: str | None = None,
         **kwargs,
     ):
         if version not in self.URLs:
@@ -326,6 +364,18 @@ class ClipMobile(AbstractVLM):
         else:
             logger.warning("No weights provided for %s — using random init.", self.url)
             self.params = init_mobileclip_params(jax.random.PRNGKey(seed), self.cfg)
+
+        # Opt-in int8 inference for the image tower (docs/PERF_NOTES.md).
+        # Applied after loading/reparam folding — quantization is the LAST
+        # transform so branch-fusion arithmetic stays float-exact.
+        self.quantize = quantize
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"Unsupported quantize={quantize!r}; only 'int8'")
+            self.params = quantize_mobileclip_params(self.params)
+            # Concept-DB caches key on fm.name (lens.py): segregate from the
+            # float twin's caches.
+            self.name = f"{self.name}-int8"
 
         if bpe_path is None:
             from semanticlens_tpu.foundation_models.assets import find_clip_bpe

@@ -151,6 +151,49 @@ def test_siglip_quantized_tower_cosine():
     assert (cos > 0.995).all(), cos
 
 
+def test_mobileclip_quantized_tower_cosine():
+    """ClipMobile(quantize='int8'): pointwise convs + attention denses int8,
+    depthwise/stem/head float; embeddings cosine-close; caches segregate."""
+    from semanticlens_tpu.foundation_models.mobileclip import (
+        ClipMobile,
+        quantize_mobileclip_params,
+    )
+
+    fm = ClipMobile("s1", dtype=jnp.float32, seed=0)
+    fmq = ClipMobile("s1", dtype=jnp.float32, seed=0, quantize="int8")
+    assert fmq.name != fm.name and "int8" in fmq.name
+
+    qp = fmq.params
+    assert isinstance(qp["visual.stage0.blocks.0.ffn.fc1.weight"], QuantizedTensor)
+    assert isinstance(qp["visual.stage1.downsample.pw.weight"], QuantizedTensor)
+    # depthwise, stem, head and text tower stay float by default
+    assert not isinstance(qp["visual.stage0.blocks.0.ffn.dw.weight"], QuantizedTensor)
+    assert not isinstance(qp["visual.stem.0.weight"], QuantizedTensor)
+    assert not isinstance(qp["visual.head.proj"], QuantizedTensor)
+    attn_qkv = [k for k in qp if k.endswith(".attn.qkv.weight") and k.startswith("visual.")]
+    assert attn_qkv and all(isinstance(qp[k], QuantizedTensor) for k in attn_qkv)
+    text_dense = [k for k in qp if k.startswith("transformer.") and k.endswith(".mlp.c_fc.weight")]
+    assert text_dense and not any(isinstance(qp[k], QuantizedTensor) for k in text_dense)
+
+    # include_text quantizes the text transformer blocks too
+    qp_t = quantize_mobileclip_params(fm.params, include_text=True)
+    assert all(isinstance(qp_t[k], QuantizedTensor) for k in text_dense)
+
+    size = fm.cfg.image_size
+    imgs = np.random.RandomState(2).randint(0, 255, (2, size, size, 3), dtype=np.uint8)
+    a = np.asarray(fm.encode_image(imgs))
+    b = np.asarray(fmq.encode_image(imgs))
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert (cos > 0.995).all(), cos
+
+
+def test_mobileclip_quantize_rejects_unknown_mode():
+    from semanticlens_tpu.foundation_models.mobileclip import ClipMobile
+
+    with pytest.raises(ValueError, match="int8"):
+        ClipMobile("s1", seed=0, quantize="fp8")
+
+
 def test_openclip_quantize_rejects_unknown_mode():
     from semanticlens_tpu.foundation_models.clip import OpenClip
 
