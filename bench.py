@@ -14,14 +14,16 @@ a >2,000-char final line respectively, so BOTH constraints are load-bearing):
    tests/test_bench_headline.py): metric/value/unit/vs_baseline plus the
    transport-independent trend fields. Full measurement detail goes to
    ``BENCH_DETAIL.json`` next to this file, never to stdout.
-2. The first headline prints as soon as the FIRST end-to-end repeat finishes
-   (repeat 1 doubles as the compile warm-up; ``provisional: true`` until a
-   compile-free repeat lands). A driver kill after this point still leaves a
-   parseable number.
-3. Optional stages (device-compute ceilings, in-run sustained probe, real
-   data, serving, CPU baselines) each run only if the remaining wall-clock
-   budget allows, each failure is caught, and the headline is re-printed
-   after every stage — last line wins.
+2. A static headline (carried trend fields flagged ``*_measured: false``)
+   prints BEFORE any device work, then the TRANSPORT-FREE stages run first —
+   the in-run sustained probe and the device-compute ceilings use
+   device-generated pools, so even a dead tunnel (observed 0.01 MB/s — one
+   4 MB upload once cost 570 s) records freshly measured trend fields.
+3. The transport-bound end-to-end path follows: a bandwidth probe sizes a
+   provisional slice (``provisional: true``), full-methodology repeats
+   refine ``value`` via min(). Every stage is budget-gated and
+   failure-isolated, and the headline is re-printed after each — last line
+   wins; a driver kill at any point leaves the best number so far.
 4. ``SL_BENCH_BUDGET_S`` (default 540 s) bounds total wall-clock.
 
 The reference publishes no numbers (BASELINE.md: "this repo establishes the
@@ -85,6 +87,12 @@ _BUDGET_S = float(os.environ.get("SL_BENCH_BUDGET_S", "540"))
 _SUSTAINED_CARRIED = 5708.2
 _SUSTAINED_CARRIED_FROM = "r4 full-scale run (tools/bench_imagenet_scale.py)"
 
+# Same contract for the fused ceiling: carried only until the in-run ceiling
+# stage overwrites it (``fused_measured: true``) — a process killed before
+# the first device stage still trends the field, flagged as a memory.
+_FUSED_CARRIED = 4916.0
+_FUSED_CARRIED_FROM = "r5 chip run (8-batch scan chain, best of 3)"
+
 # Analytic model FLOPs per image for MFU (multiply-add = 2 FLOPs; see
 # semanticlens_tpu/utils/flops.py for the published-table parity tests).
 MODEL_FLOPS_PER_IMG = resnet_flops_per_image(50, 224) + vit_flops_per_image(patch=32)
@@ -97,6 +105,7 @@ HEADLINE_KEYS = (
     "unit",
     "vs_baseline",
     "fused_compute_imgs_per_s",
+    "fused_measured",
     "sustained_imagenet_scale_imgs_per_s",
     "sustained_measured",
     "mfu_pct",
@@ -315,7 +324,7 @@ def serving_latency_bench(fm, concept_db, n_req: int = 40) -> dict:
 
 
 def sustained_probe(
-    engine, model_params, fm, images: np.ndarray, *, batch: int, chain: int, n_programs: int
+    engine, model_params, fm, image_size: int, *, batch: int, chain: int, n_programs: int
 ) -> dict:
     """Device-resident sustained rate at the production batch size — the
     in-run version of tools/bench_imagenet_scale.py (same fused program,
@@ -324,21 +333,22 @@ def sustained_probe(
 
     The state dynamics match a real sweep after the top-k slots fill
     (~first program); only the pixels repeat (pool of distinct batches).
+    The pool is GENERATED ON DEVICE (uint8 randint) — this stage must stay
+    transport-free so a dead tunnel (observed 0.01 MB/s) still records the
+    design-attributable trend fields; pixel statistics do not change the
+    rate of a fixed-shape bf16 pipeline.
     """
     import functools
 
-    s = images.shape[1]
-    rng = np.random.default_rng(1)
+    s = image_size
     # one stacked (chain, batch, H, W, 3) pool, scanned inside the program —
     # vs the unrolled chain this compiles the step body ONCE, so the
     # executable is small enough for the committed .xla_cache and a fresh
     # driver container skips this compile entirely
-    stacked = jax.device_put(
-        np.ascontiguousarray(
-            images[rng.integers(0, images.shape[0], size=(chain, batch))]
-        )
-    )
-    np.asarray(stacked[:1, :1, :1, :1])  # sync the upload out of the timed region
+    stacked = jax.jit(
+        lambda k: jax.random.randint(k, (chain, batch, s, s, 3), 0, 255, jnp.uint8)
+    )(jax.random.PRNGKey(1))
+    np.asarray(stacked[:1, :1, :1, :1])  # sync generation out of the timed region
     n_latents = engine.infer_n_latents(model_params, (batch, s, s, 3), np.uint8)
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -424,7 +434,8 @@ def main():
         "value": None,
         "unit": "imgs/s/chip",
         "vs_baseline": None,
-        "fused_compute_imgs_per_s": None,
+        "fused_compute_imgs_per_s": _FUSED_CARRIED,
+        "fused_measured": False,
         "sustained_imagenet_scale_imgs_per_s": _SUSTAINED_CARRIED,
         "sustained_measured": False,
         "mfu_pct": mfu_pct(_SUSTAINED_CARRIED, MODEL_FLOPS_PER_IMG, device_kind),
@@ -533,75 +544,100 @@ def _measured_main(result: dict):
         result["provisional"] = provisional
         result["vs_baseline"] = round(imgs_per_s / ref_rate, 3) if ref_rate else None
 
-    # ---- Provisional slice first (2 batches, ~74 MB): lands a measured
-    # value quickly even when the tunnel degrades to ~1 MB/s (a full 294 MB
-    # pass stalls past whole budgets), and compiles the EXACT program shapes
-    # the full repeats use (same engine, same memoized embed_fn).
     embed_fn_fused, embed_params = cv._fused_embed(fm)
-    slice_n = 2 * BATCH
-    slice_ds = ArrayDataset(images[:slice_n], name="bench-slice")
-
-    def _slice_pass():
-        t0 = time.perf_counter()
-        s_states, s_embeds, _ = cv.engine.run_fused(
-            model.params, slice_ds, BATCH, embed_fn_fused, embed_params=embed_params
-        )
-        np.asarray(s_states["layer4"].values), np.asarray(s_embeds)
-        return time.perf_counter() - t0
-
-    try:
-        wall_slice = _slice_pass()
-    except Exception as e:
-        # observed once: a transient FAILED_PRECONDITION from the tunneled
-        # backend between two healthy runs — retry the must-succeed pass once
-        result["detail"]["e2e_retry"] = f"{type(e).__name__}: {e}"[:200]
-        time.sleep(5)
-        wall_slice = _slice_pass()
-    _set_value(slice_n / wall_slice, provisional=True)
-    result["detail"]["provisional_slice"] = {
-        "n_images": slice_n,
-        "wall_s": round(wall_slice, 3),
-        "includes_compile": True,
-    }
-    result["detail"]["time_to_first_value_s"] = round(time.perf_counter() - _START, 1)
-    _emit(result)  # a measured value is recorded — refinements follow
-
-    # ---- Full-methodology repeats (N_IMAGES), transport permitting.
-    # Transport on shared links is noisy with multi-x swings; compute is
-    # deterministic — repeats refine via min(). The slice above compiled
-    # everything, so a repeat is upload + compute only.
-    est_full = wall_slice * N_IMAGES / slice_n  # pessimistic: slice paid compile
-    walls = []
+    walls: list = []
     concept_db = None
-    for i in range(3):
-        est = est_full if not walls else walls[-1]
-        if _remaining() < 1.25 * est + 45:
-            break
-        try:
-            t0 = time.perf_counter()
-            concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
-            _force(concept_db)  # host materialization = honest end-to-end timing
-        except Exception as e:
-            result["detail"]["e2e_abort"] = f"repeat {i + 1}: {type(e).__name__}: {e}"[:200]
-            break
-        walls.append(time.perf_counter() - t0)
-        _set_value(N_IMAGES / min(walls), provisional=False)
-        result["detail"]["wall_s"] = [round(w, 3) for w in walls]
-        if i == 0:
-            result["detail"]["db_shapes"] = {
-                k: list(np.asarray(v).shape) for k, v in concept_db.items()
-            }
-        _emit(result)  # headline recorded — a kill now still leaves a number
 
-    # ---- Extras: each stage budget-gated and failure-isolated ------------
+    def e2e():
+        # ---- Transport probe: one distinct-data upload (dedup-proof) sizes
+        # the tunnel before any large transfer. Observed across rounds:
+        # 0.01–17 MB/s on identical code — at the bottom of that range every
+        # MB spent before the first e2e value is driver-budget risk (a 4 MB
+        # probe once cost 570 s, hence the 512 KB size).
+        nonlocal concept_db
+        probe_kb = 512
+        probe_arr = rng.integers(0, 255, size=(probe_kb << 10,), dtype=np.uint8)
+        t0 = time.perf_counter()
+        np.asarray(jax.jit(lambda a: a[:: 1 << 16].sum())(jax.device_put(probe_arr)))
+        transport_mb_s = (probe_kb / 1024) / max(time.perf_counter() - t0, 1e-6)
+        result["detail"]["transport_mb_s"] = round(transport_mb_s, 2)
+
+        # ---- Provisional slice first: lands a measured value quickly even
+        # when the tunnel is degraded (a full 294 MB pass stalls past whole
+        # budgets), and compiles the EXACT program shapes the full repeats
+        # use (same engine, same memoized embed_fn). Below ~3 MB/s a 2-batch
+        # slice alone risks blowing half the budget (measured: 74 MB at
+        # 0.26 MB/s = 280 s), so the slice shrinks to one batch.
+        slice_batches = 1 if transport_mb_s < 3.0 else 2
+        slice_n = slice_batches * BATCH
+        slice_ds = ArrayDataset(images[:slice_n], name="bench-slice")
+
+        def _slice_pass():
+            t0 = time.perf_counter()
+            s_states, s_embeds, _ = cv.engine.run_fused(
+                model.params, slice_ds, BATCH, embed_fn_fused, embed_params=embed_params
+            )
+            np.asarray(s_states["layer4"].values), np.asarray(s_embeds)
+            return time.perf_counter() - t0
+
+        try:
+            wall_slice = _slice_pass()
+        except Exception as e:
+            # observed once: a transient FAILED_PRECONDITION from the
+            # tunneled backend between two healthy runs — retry once
+            result["detail"]["e2e_slice_retry"] = f"{type(e).__name__}: {e}"[:200]
+            time.sleep(5)
+            wall_slice = _slice_pass()
+        _set_value(slice_n / wall_slice, provisional=True)
+        result["detail"]["provisional_slice"] = {
+            "n_images": slice_n,
+            "wall_s": round(wall_slice, 3),
+            "includes_compile": True,
+        }
+        result["detail"]["time_to_first_value_s"] = round(time.perf_counter() - _START, 1)
+        _emit(result)  # a measured e2e value is recorded — refinements follow
+
+        # ---- Full-methodology repeats (N_IMAGES), transport permitting.
+        # Transport on shared links is noisy with multi-x swings; compute is
+        # deterministic — repeats refine via min(). The slice above compiled
+        # everything, so a repeat is upload + compute only.
+        est_full = wall_slice * N_IMAGES / slice_n  # pessimistic: slice paid compile
+        for i in range(3):
+            est = est_full if not walls else walls[-1]
+            if _remaining() < 1.25 * est + 45:
+                break
+            try:
+                t0 = time.perf_counter()
+                concept_db = cv._compute_concept_db(fm, batch_size=BATCH)
+                _force(concept_db)  # host materialization = honest e2e timing
+            except Exception as e:
+                result["detail"]["e2e_abort"] = f"repeat {i + 1}: {type(e).__name__}: {e}"[:200]
+                break
+            walls.append(time.perf_counter() - t0)
+            _set_value(N_IMAGES / min(walls), provisional=False)
+            result["detail"]["wall_s"] = [round(w, 3) for w in walls]
+            if i == 0:
+                result["detail"]["db_shapes"] = {
+                    k: list(np.asarray(v).shape) for k, v in concept_db.items()
+                }
+            _emit(result)  # headline recorded — a kill now still leaves a number
+
+    # ---- Stages: each budget-gated and failure-isolated ------------------
     def stage(name: str, min_budget_s: float, fn) -> None:
+        trace = result["detail"].setdefault("stage_trace", {})
         if _remaining() < min_budget_s:
             result["detail"][name] = {"skipped": f"budget ({_remaining():.0f}s left)"}
             return
+        # start marker emitted BEFORE the stage: a budget-kill mid-stage then
+        # leaves the detail file naming the stage it died in (a 7-minute cold
+        # ceiling compile once looked identical to a hung setup without this)
+        trace[name] = {"start_s": round(time.perf_counter() - _START, 1)}
+        _emit(result)
         try:
             fn()
         except Exception as e:  # one broken extra must not cost the round
             result["detail"][name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        trace[name]["end_s"] = round(time.perf_counter() - _START, 1)
         _emit(result)
 
     def ceilings():
@@ -614,9 +650,14 @@ def _measured_main(result: dict):
         # body compiles ONCE, so the executable fits the committed
         # .xla_cache) and the result is reduced on device — best of 3.
         N_CHAIN = min(8, N_IMAGES // BATCH)
-        stacked = jax.device_put(images[: N_CHAIN * BATCH].reshape(
-            N_CHAIN, BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
-        np.asarray(stacked[:1, :1, :1, :1])  # sync upload before timing
+        # device-generated pool: keeps this stage transport-free (see
+        # sustained_probe) — pixel values do not change a fixed-shape rate
+        stacked = jax.jit(
+            lambda k: jax.random.randint(
+                k, (N_CHAIN, BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), 0, 255, jnp.uint8
+            )
+        )(jax.random.PRNGKey(2))
+        np.asarray(stacked[:1, :1, :1, :1])  # sync generation before timing
         n_latents = cv.engine.infer_n_latents(
             model.params, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), images.dtype
         )
@@ -671,8 +712,10 @@ def _measured_main(result: dict):
             stacked,
         )
         result["fused_compute_imgs_per_s"] = round(N_CHAIN * BATCH / fused_compute_s, 1)
+        result["fused_measured"] = True
         result["detail"]["compute_ceiling_method"] = (
-            f"{N_CHAIN} batches scanned in one program, best of 3"
+            f"{N_CHAIN} batches scanned in one program, best of 3; "
+            "device-generated pool (transport-free)"
         )
         _emit(result)
 
@@ -696,7 +739,7 @@ def _measured_main(result: dict):
             cv.engine,
             model.params,
             fm,
-            images,
+            IMAGE_SIZE,
             batch=SUSTAINED_BATCH,
             chain=SUSTAINED_CHAIN,
             n_programs=SUSTAINED_PROGRAMS,
@@ -790,14 +833,17 @@ def _measured_main(result: dict):
             ),
         }
 
-    # sustained first: it feeds the headline's sustained_measured + mfu_pct
-    # (the fields VERDICT r4 required to move with the code); then the
-    # fused ceiling (longest-trended field); baselines on a committed-cache
-    # hit cost ~0 s but on a miss can eat the whole budget in subprocesses.
-    # Both device stages scan-compile (small programs, committed-cache
-    # hits), so a degraded-tunnel run can still afford them.
+    # Transport-FREE stages first (device-generated pools, committed-cache
+    # compile hits): sustained feeds the headline's sustained_measured +
+    # mfu_pct and ceilings the fused ceiling — the fields VERDICT r4
+    # required to move with the code. A dead tunnel (observed 0.01 MB/s,
+    # which once ate 570 s in one 4 MB upload) then still records every
+    # design-attributable trend field before the first big transfer. The
+    # transport-bound e2e path follows; baselines on a committed-cache hit
+    # cost ~0 s but on a miss can eat the whole budget in subprocesses.
     stage("sustained_probe", 60, sustained)
     stage("ceilings", 45, ceilings)
+    stage("e2e", 90, e2e)
     stage("baselines", 5, baselines)
     stage("real_data", 60, real_data)
     # e2e_retry before serving: when the full repeats were transport-skipped

@@ -209,6 +209,21 @@ syn_db = lens.compute_concept_db(syn, batch_size=8)
 print("synthesized concept DB:", {k: np.asarray(v).shape for k, v in syn_db.items()})
 print("synthesis objectives (first component):", np.round(syn.objectives["layer4"][0], 3))
 
+# --- 4h. Int8 towers (opt-in W8A8 inference) ---------------------------------
+# quantize="int8" on OpenClip / SigLipV2 / ClipMobile (and ResNet subjects)
+# puts the tower's matmuls/convs on the MXU's 2x-rate int8 path — measured
+# 1.11x on the full fused pipeline with both towers quantized, embedding
+# cosine >= 0.9995 (docs/PERF_NOTES.md). Quantized towers segregate their
+# caches automatically (the name gains -int8), so float and int8 concept
+# DBs never mix. Defaults stay bf16: int8 can reorder near-tied top-k picks.
+fm_int8 = OpenClip("ViT-B-32", dtype=jnp.float32, seed=0, quantize="int8")
+emb8 = np.asarray(fm_int8.encode_image(fm_int8.preprocess(raw_images[:4])))
+embf = np.asarray(fm.encode_image(fm.preprocess(raw_images[:4])))
+cos8 = (emb8 * embf).sum(-1) / (
+    np.linalg.norm(emb8, axis=-1) * np.linalg.norm(embf, axis=-1)
+)
+print("int8 tower:", fm_int8.name, "cosine vs float:", np.round(cos8.min(), 4))
+
 # --- 5. Serve the concept DB -------------------------------------------------
 from semanticlens_tpu.serve import SearchService, serve
 
